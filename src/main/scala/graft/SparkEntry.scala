@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers one entry in
+  * `queries`; SQL-expressible ones also register the DuckDB oracle in
+  * `oracleSql` (column names aliased identically on both sides — the
+  * driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def modules: Seq[QDef] =
+    Relational.defs ++ Windows.defs ++ Scalars.defs
+
+  /** Flagship query (TPC-H Q3 shape) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_join_multi")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(d => d.name -> d.fn).toMap
+
+  /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(d => d.sql.map(sql => d.name -> sql)).toMap
 }
