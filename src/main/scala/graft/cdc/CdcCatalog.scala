@@ -1,0 +1,62 @@
+package graft.cdc
+
+import java.io.StringReader
+import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+/** Config-driven routing catalog: table→PK list and source→target rename,
+  * with `db.table` overriding `table`, and defaults (PK `id`, target =
+  * lowercased source name).
+  *
+  * Reference semantics: PK/map parsing
+  * /root/reference/consumer/src/main/java/com/example/cdc/DebeziumToPostgresConsumer.java:77-91,
+  * precedence + defaulting :156-172, config file
+  * /root/reference/consumer/src/main/resources/config.properties:15-20.
+  *
+  * The catalog is a tiny immutable value closed over by executors —
+  * semantically a broadcast dimension; no lookup shuffle at any scale.
+  */
+final case class CdcCatalog(
+    pk: Map[String, Seq[String]],
+    rename: Map[String, String]) extends Serializable {
+
+  /** `pk.<db>.<table>` > `pk.<table>` > ["id"]. */
+  def pkFor(db: String, table: String): Seq[String] = {
+    val t = Option(table).getOrElse("").toLowerCase
+    val d = Option(db).getOrElse("").toLowerCase
+    pk.getOrElse(s"$d.$t", pk.getOrElse(t, CdcCatalog.DefaultPk))
+  }
+
+  /** `map.<db>.<table>` > `map.<table>` > lowercase(table). */
+  def targetFor(db: String, table: String): String = {
+    val t = Option(table).getOrElse("").toLowerCase
+    val d = Option(db).getOrElse("").toLowerCase
+    rename.getOrElse(s"$d.$t", rename.getOrElse(t, t))
+  }
+}
+
+object CdcCatalog {
+  val DefaultPk: Seq[String] = Seq("id")
+
+  val empty: CdcCatalog = CdcCatalog(Map.empty, Map.empty)
+
+  /** Parse `pk.*` (comma-split, multi-column supported) and `map.*`
+    * entries from java-properties content; keys lowercased. */
+  def fromProperties(props: Properties): CdcCatalog = {
+    val entries = props.asScala.toMap
+    val pk = entries.collect { case (k, v) if k.startsWith("pk.") =>
+      k.stripPrefix("pk.").toLowerCase ->
+        v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+    }
+    val rename = entries.collect { case (k, v) if k.startsWith("map.") =>
+      k.stripPrefix("map.").toLowerCase -> v.trim.toLowerCase
+    }
+    CdcCatalog(pk, rename)
+  }
+
+  def fromPropertiesString(content: String): CdcCatalog = {
+    val p = new Properties()
+    p.load(new StringReader(content))
+    fromProperties(p)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** CLI: replay a directory of change-event files (JSON lines shaped like
+  * the Kafka source: topic/key/value/partition/offset) into a
+  * Spark-native materialized table store, then print the final state of
+  * each table — the engine's equivalent of the reference's "insert into
+  * MySQL, then SELECT from Postgres" verification loop
+  * (/root/reference/README.md:85-134).
+  *
+  * Usage: graft.cdc.CdcReplay <inDir> <storeDir> [configProperties]
+  */
+object CdcReplay {
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val storeDir = args(1)
+    val catalog = args.lift(2) match {
+      case Some(path) =>
+        CdcCatalog.fromPropertiesString(
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+      case None => CdcCatalog.fromPropertiesString("pk.customers=id\npk.orders=id\n")
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-cdc-replay")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sink = new ParquetTableStore(spark, storeDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-replay-ckpt")
+    val q = CdcPipeline.start(
+      CdcPipeline.fileSource(spark, inDir), catalog,
+      Envelope.defaultRegistry, sink, ckpt.toString,
+      trigger = Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    q.stop()
+
+    val tables = new java.io.File(storeDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    tables.foreach { t =>
+      println(s"=== $t ===")
+      sink.read(t).foreach(df => df.orderBy(df.columns.head).show(100, truncate = false))
+    }
+    spark.stop()
+  }
+}

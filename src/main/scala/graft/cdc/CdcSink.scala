@@ -1,0 +1,163 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Where a micro-batch of compacted changes lands. `upserts` carries full
+  * row images (the `after` image), `deleteKeys` carries PK tuples only.
+  * Both arrive pre-deduplicated (one change per key, last writer wins),
+  * so every implementation can apply them idempotently — the contract
+  * that makes at-least-once replay safe (SURVEY.md §2-A C1).
+  */
+trait CdcSink extends Serializable {
+  def applyChanges(target: String, pks: Seq[String],
+      upserts: DataFrame, deleteKeys: DataFrame): Unit
+}
+
+/** JDBC sink with the reference's UPSERT/DELETE semantics
+  * (DebeziumToPostgresConsumer.java:197-253): dynamic
+  * `INSERT … ON CONFLICT (pks) DO UPDATE SET col=EXCLUDED.col`,
+  * lowercased identifiers, all-PK degenerate case self-assigns, DELETE
+  * by PK from the before-image.
+  *
+  * Strict upgrades over the reference (noted in SURVEY.md §2-A X2): one
+  * connection per partition instead of one global, prepared-statement
+  * reuse + addBatch/executeBatch instead of one round-trip per record,
+  * one commit per partition instead of autocommit per statement. At
+  * cluster scale each executor core streams its partition into the DB.
+  */
+class JdbcUpsertSink(url: String, user: String, password: String,
+    batchSize: Int = 500) extends CdcSink {
+
+  def applyChanges(target: String, pks: Seq[String],
+      upserts: DataFrame, deleteKeys: DataFrame): Unit = {
+    val upCols = upserts.columns.toSeq.map(_.toLowerCase)
+    val upSql = JdbcUpsertSink.upsertSql(target, upCols, pks)
+    val delSql = JdbcUpsertSink.deleteSql(target, pks)
+    val (u, p, bs) = (user, password, batchSize)
+    val jdbcUrl = url
+
+    upserts.foreachPartition { rows: Iterator[Row] =>
+      JdbcUpsertSink.withConnection(jdbcUrl, u, p) { conn =>
+        val st = conn.prepareStatement(upSql)
+        var n = 0
+        rows.foreach { r =>
+          (0 until r.length).foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch(); n += 1
+          if (n % bs == 0) st.executeBatch()
+        }
+        st.executeBatch(); conn.commit()
+      }
+    }
+    deleteKeys.foreachPartition { rows: Iterator[Row] =>
+      JdbcUpsertSink.withConnection(jdbcUrl, u, p) { conn =>
+        val st = conn.prepareStatement(delSql)
+        var n = 0
+        rows.foreach { r =>
+          (0 until r.length).foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch(); n += 1
+          if (n % bs == 0) st.executeBatch()
+        }
+        st.executeBatch(); conn.commit()
+      }
+    }
+  }
+}
+
+object JdbcUpsertSink {
+
+  private def withConnection(url: String, user: String, password: String)
+      (f: java.sql.Connection => Unit): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try { conn.setAutoCommit(false); f(conn) } finally conn.close()
+  }
+
+  /** `INSERT INTO t (cols) VALUES (?…) ON CONFLICT (pks) DO UPDATE SET
+    * col=EXCLUDED.col…`; all-PK tables degenerate to a no-op
+    * self-assignment (reference :222-232). Identifiers lowercased
+    * (reference :210). */
+  def upsertSql(target: String, cols: Seq[String], pks: Seq[String]): String = {
+    val lc = cols.map(_.toLowerCase)
+    val lpk = pks.map(_.toLowerCase)
+    val nonPk = lc.filterNot(lpk.contains)
+    val sets =
+      if (nonPk.isEmpty) lpk.map(c => s"$c = EXCLUDED.$c")
+      else nonPk.map(c => s"$c = EXCLUDED.$c")
+    s"INSERT INTO ${target.toLowerCase} (${lc.mkString(", ")}) " +
+      s"VALUES (${lc.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${lpk.mkString(", ")}) DO UPDATE SET ${sets.mkString(", ")}"
+  }
+
+  /** `DELETE FROM t WHERE pk1 = ? AND pk2 = ?…` (reference :234-253). */
+  def deleteSql(target: String, pks: Seq[String]): String =
+    s"DELETE FROM ${target.toLowerCase} WHERE " +
+      pks.map(p => s"${p.toLowerCase} = ?").mkString(" AND ")
+}
+
+/** Driver-memory sink for tests and interactive inspection: the
+  * materialized state is a Map per table keyed by PK tuple. Collects to
+  * the driver — test-scale only by design (golden scenarios, property
+  * tests); production paths use the JDBC or parquet sinks. */
+class InMemorySink extends CdcSink {
+  val tables: TrieMap[String, TrieMap[Seq[Any], Map[String, Any]]] = TrieMap.empty
+
+  def state(target: String): Map[Seq[Any], Map[String, Any]] =
+    tables.get(target).map(_.toMap).getOrElse(Map.empty)
+
+  def applyChanges(target: String, pks: Seq[String],
+      upserts: DataFrame, deleteKeys: DataFrame): Unit = {
+    val t = tables.getOrElseUpdate(target, TrieMap.empty)
+    val upCols = upserts.columns.toSeq
+    upserts.collect().foreach { r =>
+      val m = upCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+      t.put(pks.map(m), m)
+    }
+    val delCols = deleteKeys.columns.toSeq
+    deleteKeys.collect().foreach { r =>
+      val m = delCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+      t.remove(pks.map(m))
+    }
+  }
+}
+
+/** Spark-native materialized table: a versioned parquet directory per
+  * target table, advanced by an anti-join merge each batch
+  * (current ⟕̸ changed-keys ∪ upserts). This is the in-engine variant of
+  * the reference's Postgres mirror; on a real deployment the same merge
+  * is one `MERGE INTO` against Delta/Iceberg — the anti-join here is the
+  * same shuffle the table format would run. Writes a new version dir and
+  * flips a pointer file, so readers never see a half-written table and a
+  * replayed batch (at-least-once) simply rewrites the same content.
+  */
+class ParquetTableStore(spark: SparkSession, root: String) extends CdcSink {
+  import org.apache.spark.sql.functions.col
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def dir(t: String) = Paths.get(root, t)
+  private def pointer(t: String) = dir(t).resolve("_LATEST")
+
+  def read(target: String): Option[DataFrame] = {
+    val p = pointer(target)
+    if (Files.exists(p)) {
+      val v = new String(Files.readAllBytes(p)).trim
+      Some(spark.read.parquet(dir(target).resolve(v).toString))
+    } else None
+  }
+
+  def applyChanges(target: String, pks: Seq[String],
+      upserts: DataFrame, deleteKeys: DataFrame): Unit = {
+    val changedKeys = upserts.select(pks.map(col): _*)
+      .unionByName(deleteKeys.select(pks.map(col): _*)).distinct()
+    val next = read(target) match {
+      case Some(cur) => cur.join(changedKeys, pks, "left_anti").unionByName(upserts)
+      case None => upserts
+    }
+    val version = s"v${System.currentTimeMillis()}"
+    Files.createDirectories(dir(target))
+    next.write.mode("overwrite").parquet(dir(target).resolve(version).toString)
+    val tmp = dir(target).resolve("_LATEST.tmp")
+    Files.write(tmp, version.getBytes)
+    Files.move(tmp, pointer(target), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

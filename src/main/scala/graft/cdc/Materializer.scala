@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Micro-batch materialization: route → compact (last writer wins per
+  * key) → split upserts/deletes → sink.
+  *
+  * The reference gets ordering for free from single-threaded consumption
+  * of one partition (SURVEY.md §2-A C2); Spark processes a whole
+  * micro-batch at once, so last-writer-wins must be made explicit: one
+  * window per (db, table, pk) ordered by Kafka offset descending, keep
+  * row 1. Debezium keys records by PK, so a key is sticky to one Kafka
+  * partition and offset order IS the key's change order — the compaction
+  * is exact, not heuristic, and it shuffles each batch once by the same
+  * key the sink merges on.
+  */
+object Materializer {
+
+  /** Keep only the latest change per key within a batch (M1's dedup
+    * prerequisite). PK values come from `after`, falling back to
+    * `before` for deletes. */
+  def lastPerKey(decoded: DataFrame, pks: Seq[String]): DataFrame = {
+    val keyed = pks.foldLeft(decoded) { (df, p) =>
+      df.withColumn(s"_k_$p", coalesce(col(s"after.$p"), col(s"before.$p")))
+    }
+    val w = Window
+      .partitionBy(col("db") +: col("table") +: pks.map(p => col(s"_k_$p")): _*)
+      .orderBy(col("offset").desc)
+    keyed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn" +: pks.map(p => s"_k_$p"): _*)
+  }
+
+  /** Apply one raw micro-batch: per topic-table, parse with its
+    * registered schema (dynamic map fallback otherwise), then per
+    * (db, table) group resolve PKs/target and apply compacted changes.
+    */
+  def applyBatch(batch: DataFrame, catalog: CdcCatalog,
+      registry: Map[String, StructType], sink: CdcSink): Unit = {
+    if (batch.isEmpty) return
+    val withTable = batch
+      .withColumn("_topic_table", element_at(split(col("topic"), "\\."), -1))
+    // Distinct topic-tables: bounded by the catalog size, not data size.
+    val topicTables = withTable.select("_topic_table").distinct()
+      .collect().map(_.getString(0))
+
+    topicTables.foreach { tt =>
+      val sub = withTable.filter(col("_topic_table") === tt).drop("_topic_table")
+      val rowSchema = registry.getOrElse(tt, Envelope.dynamicRowSchema)
+      val decoded = Decode.decode(sub, rowSchema).cache()
+      try {
+        val groups = decoded.select("db", "table").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        groups.foreach { case (db, tbl) =>
+          val pks = catalog.pkFor(db, tbl)
+          val target = catalog.targetFor(db, tbl)
+          val g = lastPerKey(decoded.filter(col("db") === db && col("table") === tbl), pks)
+          // M1: ops c/r/u with a non-null after-image upsert…
+          val upserts = g
+            .filter(col("op").isin(Envelope.UpsertOps: _*) && col("after").isNotNull)
+            .select(col("after.*"))
+          // …M3: op d with a non-null before-image deletes by PK.
+          val deleteKeys = g
+            .filter(col("op") === Envelope.DeleteOp && col("before").isNotNull)
+            .select(pks.map(p => col(s"before.$p").as(p)): _*)
+          sink.applyChanges(target, pks, upserts, deleteKeys)
+        }
+      } finally decoded.unpersist()
+    }
+  }
+}

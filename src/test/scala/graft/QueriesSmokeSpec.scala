@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query runs end-to-end at sf0.001 (the hash-match vs
+  * DuckDB is the driver's t2 gate + tools/check_oracle.py; this guards
+  * against plans that stop resolving/executing). */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  // Queries whose correct result can be empty at tiny scale.
+  val mayBeEmpty: Set[String] = Set("q_except", "q_join_anti")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes") {
+      val n = fn(spark, sfDir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either oracle SQL or a documented exemption") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only checks are for sketch/approx operators only
+    assert(noOracle.forall(_.contains("approx")), s"missing oracle: $noOracle")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.cdc
+
+import graft.TestSpark
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** End-to-end: file-based change stream (same shape as the Kafka source)
+  * → CdcPipeline → materialized state, across multiple micro-batches
+  * with a real checkpoint dir. */
+class CdcStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def esc(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def writeBatch(dir: Path, n: Int,
+      rows: Seq[(String, String, String, Int, Long)]): Unit = {
+    val lines = rows.map { case (topic, key, value, part, off) =>
+      val v = if (value == null) "null" else esc(value)
+      s"""{"topic": ${esc(topic)}, "key": ${esc(key)}, "value": $v,""" +
+        s""""partition": $part, "offset": $off}"""
+    }
+    Files.write(dir.resolve(s"batch_$n.json"),
+      lines.mkString("\n").getBytes)
+  }
+
+  test("streamed golden scenario matches batch materialization") {
+    val in = Files.createTempDirectory("cdc-stream-in")
+    val ckpt = Files.createTempDirectory("cdc-stream-ckpt")
+    val catalog = CdcCatalog.fromPropertiesString("pk.customers=id\n")
+    val sink = new InMemorySink
+
+    val (first, rest) = Fixtures.goldenSequence.splitAt(4)
+    writeBatch(in, 0, first)
+    val q = CdcPipeline.start(
+      CdcPipeline.fileSource(spark, in.toString), catalog,
+      Envelope.defaultRegistry, sink, ckpt.toString,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      assert(sink.state("customers").keySet == Set(Seq(1), Seq(2), Seq(3)))
+      writeBatch(in, 1, rest)
+      q.processAllAvailable()
+      val st = sink.state("customers")
+      assert(st.keySet == Set(Seq(1), Seq(3)))
+      assert(st(Seq(3))("email") == "ed.walker@walker.com")
+    } finally q.stop()
+  }
+
+  test("random op sequences: materialized state == sequential replay") {
+    val rnd = new scala.util.Random(42)
+    val catalog = CdcCatalog.fromPropertiesString("pk.customers=id\n")
+    for (_ <- 1 to 5) {
+      val keys = 1 to 4
+      val ops = (0 until 30).map { i =>
+        val id = keys(rnd.nextInt(keys.size))
+        val op = Seq("c", "u", "d", "r")(rnd.nextInt(4))
+        val fx =
+          if (op == "d") Fixtures.customer("d", id, "X", "X", s"x$id@x",
+            before = Some((id, "X", "X", s"x$id@x")))
+          else Fixtures.customer(op, id, s"fn$i", "ln", s"e$i@x")
+        (op, id, i, fx)
+      }
+      // sequential replay oracle: foldLeft over ops in offset order
+      val expected = ops.foldLeft(Map.empty[Int, String]) {
+        case (st, (op, id, i, _)) =>
+          if (op == "d") st - id else st + (id -> s"fn$i")
+      }
+      val sink = new InMemorySink
+      import spark.implicits._
+      val df = ops.map { case (_, _, i, fx) =>
+        ("mysql.app.customers", s"""{"id": x}""", fx, 0, i.toLong)
+      }.toDF("topic", "key", "value", "partition", "offset")
+      Materializer.applyBatch(df, catalog, Envelope.defaultRegistry, sink)
+      val got = sink.state("customers").map { case (k, v) =>
+        k.head.asInstanceOf[Int] -> v("first_name").asInstanceOf[String]
+      }
+      assert(got == expected)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.cdc
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaterializerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val catalog: CdcCatalog = CdcCatalog.fromPropertiesString(
+    "pk.customers=id\nmap.customers=customers\n")
+
+  def toDf(rows: Seq[(String, String, String, Int, Long)]): DataFrame =
+    rows.toDF("topic", "key", "value", "partition", "offset")
+
+  def golden(sink: InMemorySink): Map[Seq[Any], Map[String, Any]] =
+    sink.state("customers")
+
+  test("golden scenario: r,r,c,u,d,tombstone,replay → {1, 3-updated}") {
+    val sink = new InMemorySink
+    Materializer.applyBatch(toDf(Fixtures.goldenSequence), catalog,
+      Envelope.defaultRegistry, sink)
+    val st = golden(sink)
+    assert(st.keySet == Set(Seq(1), Seq(3)))
+    assert(st(Seq(3))("email") == "ed.walker@walker.com")
+    assert(st(Seq(1))("first_name") == "Sally")
+  }
+
+  test("idempotent replay: re-applying the same batch is a no-op") {
+    val sink = new InMemorySink
+    val batch = toDf(Fixtures.goldenSequence)
+    Materializer.applyBatch(batch, catalog, Envelope.defaultRegistry, sink)
+    val first = golden(sink)
+    Materializer.applyBatch(batch, catalog, Envelope.defaultRegistry, sink)
+    assert(golden(sink) == first)
+  }
+
+  test("last-writer-wins inside one batch: only max-offset change applies") {
+    val sink = new InMemorySink
+    val rows = Seq(
+      Fixtures.raw(Fixtures.customer("c", 1, "V1", "X", "v1@x"), 10),
+      Fixtures.raw(Fixtures.customer("u", 1, "V2", "X", "v2@x"), 11),
+      Fixtures.raw(Fixtures.customer("u", 1, "V3", "X", "v3@x"), 12))
+    Materializer.applyBatch(toDf(rows), catalog, Envelope.defaultRegistry, sink)
+    assert(golden(sink)(Seq(1))("first_name") == "V3")
+  }
+
+  test("delete-then-reinsert within a batch keeps the reinsert (by offset)") {
+    val sink = new InMemorySink
+    val rows = Seq(
+      Fixtures.raw(Fixtures.customer("c", 1, "A", "B", "a@b"), 0),
+      Fixtures.raw(Fixtures.customer("d", 1, "A", "B", "a@b",
+        before = Some((1, "A", "B", "a@b"))), 1),
+      Fixtures.raw(Fixtures.customer("c", 1, "A2", "B2", "a2@b"), 2))
+    Materializer.applyBatch(toDf(rows), catalog, Envelope.defaultRegistry, sink)
+    assert(golden(sink)(Seq(1))("first_name") == "A2")
+  }
+
+  test("parquet table store: merge + delete across batches, reread survives") {
+    val sink = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-pts").toString)
+    val b1 = Seq(
+      Fixtures.raw(Fixtures.customer("r", 1, "Sally", "Thomas", "sally@acme"), 0),
+      Fixtures.raw(Fixtures.customer("r", 2, "George", "Bailey", "g@foobar"), 1))
+    val b2 = Seq(
+      Fixtures.raw(Fixtures.customer("u", 1, "Sally2", "Thomas", "sally@acme"), 2),
+      Fixtures.raw(Fixtures.customer("d", 2, "George", "Bailey", "g@foobar",
+        before = Some((2, "George", "Bailey", "g@foobar"))), 3))
+    Materializer.applyBatch(toDf(b1), catalog, Envelope.defaultRegistry, sink)
+    Materializer.applyBatch(toDf(b2), catalog, Envelope.defaultRegistry, sink)
+    val rows = sink.read("customers").get
+      .select("id", "first_name").as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "Sally2"))
+  }
+
+  test("multi-table batch routes by topic and applies per-table PKs") {
+    val cat = CdcCatalog.fromPropertiesString(
+      "pk.customers=id\npk.orders=id\nmap.orders=orders_sink\n")
+    val sink = new InMemorySink
+    val order =
+      """{"before": null, "after": {"id": 100, "order_date": "2026-01-28T00:00:00Z",
+        |"purchaser": 1, "quantity": 2, "product": "thing"},
+        |"source": {"db": "app", "table": "orders", "ts_ms": 1}, "op": "c", "ts_ms": 1}"""
+        .stripMargin.replaceAll("\n", " ")
+    val rows = Seq(
+      Fixtures.raw(Fixtures.customer("c", 1, "A", "B", "a@b"), 0),
+      Fixtures.raw(order, 0, topic = "mysql.app.orders"))
+    Materializer.applyBatch(toDf(rows), cat, Envelope.defaultRegistry, sink)
+    assert(sink.state("customers").keySet == Set(Seq(1)))
+    assert(sink.state("orders_sink")(Seq(100L))("product") == "thing")
+  }
+}
