@@ -13,7 +13,8 @@ import graft.operators._
 object SparkEntry {
 
   private def modules: Seq[QDef] =
-    Relational.defs ++ Windows.defs ++ Scalars.defs
+    Relational.defs ++ Windows.defs ++ Scalars.defs ++
+      TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++ Temporal.defs
 
   /** Flagship query (TPC-H Q3 shape) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` and `embeddings`: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: the exact and LSH paths are the 100 TB paths — they
+  * shuffle once on a short key (hash / band bucket) and never compare
+  * all pairs. The exact-Jaccard and banded-cosine queries are the
+  * verification/oracle anchors; their pair joins are keyed on shingle /
+  * bounded id-bands so the candidate set stays linear-ish, but at full
+  * scale one would only ever run them on LSH candidates (which is
+  * exactly what q_dedup_minhash_lsh does).
+  */
+object DedupOps {
+
+  /** doc_id → exploded distinct word-3-gram shingles. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    toks.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, size(w) - $n), i -> " +
+        (0 until n).map(k => s"w[i + $k]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+    )).as("shingle")).distinct()
+  }
+
+  /** Exact pairwise Jaccard over shared shingles (only pairs that share
+    * at least one shingle are ever materialized — the join key IS the
+    * shingle, so disjoint documents never meet). */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** MinHash signatures: for each seed, min over shingles of
+    * xxhash64(seed, shingle). One groupBy = one shuffle for all seeds. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(s =>
+      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: candidate pairs = docs sharing any band bucket. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*).as("bucket"))
+    }: _*)
+    val exploded = sig.select(col("doc_id"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("b.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word hashes: bit b of the fingerprint is the
+    * sign of Σ over tokens of ±1 by the token-hash's bit b. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val aggs = (0 until 64).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b"))
+    val bitSums = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_.bitwiseOR(_))
+        .as("simhash"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // Exact dedup: keep the lowest doc_id per normalized-content hash.
+    QDef("q_dedup_docs_exact",
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(md5(lower(trim(col("text"))).cast("binary")))
+        .orderBy(col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.8). The corpus
+    // contains planted near-duplicates (~0.99 Jaccard).
+    QDef("q_dedup_ngram_jaccard",
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM idx WHERE i <= len(w) - 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
+        |""".stripMargin) { (s, dir) =>
+      jaccardPairs(shingles(table(s, dir, "documents")), 0.8)
+    },
+
+    // MinHash(32 hashes) + LSH(16 bands × 2) candidates, then exact
+    // verification — the scale path: no all-pairs comparison exists.
+    // Probabilistic candidate generation → rows-only driver check; the
+    // spec asserts it recovers the exact-Jaccard pairs at sf0.001.
+    QDef.noOracle("q_dedup_minhash_lsh") { (s, dir) =>
+      val sh = shingles(table(s, dir, "documents")).cache()
+      val cand = lshCandidates(minhashSignatures(sh, 32), 32, 2)
+      val verified = sh.as("a")
+        .join(cand, col("a.doc_id") === col("d1"))
+        .join(sh.as("b"),
+          col("b.doc_id") === col("d2") && col("a.shingle") === col("b.shingle"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      verified
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.8)
+        .select("d1", "d2", "jaccard")
+    },
+
+    // SimHash near-dup: 4 bands × 16 bits block candidates, hamming ≤ 6
+    // confirms. Deterministic but bit-level — verified in DedupSpec.
+    QDef.noOracle("q_dedup_simhash") { (s, dir) =>
+      val sig = simhash(table(s, dir, "documents")).cache()
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(simhash, ${b * 16}) & 65535").as("bucket"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    },
+
+    // Embedding-cosine near-dup over bounded id-bands (oracle anchor;
+    // the unbounded version is LSH/IVF territory — see SimilarityOps).
+    QDef("q_dedup_embedding",
+      """WITH p AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.embedding AS e1, b.embedding AS e2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100),
+        |x AS (SELECT v1, v2, unnest(e1) AS a, unnest(e2) AS b FROM p),
+        |d AS (SELECT v1, v2, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |             sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |      FROM x GROUP BY v1, v2)
+        |SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+        |FROM d WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorOps
+      VectorOps.ensure(s)
+      // Norms are precomputed per vector (O(N)); the banded join then
+      // evaluates only the codegen'd dot product per candidate pair.
+      val e = table(s, dir, "embeddings")
+        .withColumn("nsq", VectorOps.normSq(col("embedding")))
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nsq").as("n1"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nsq").as("n2"))
+      a.join(b, col("v2") > col("v1") && col("v2") <= col("v1") + 100)
+        .withColumn("cos", round(
+          VectorOps.dot(col("e1"), col("e2")) / (sqrt(col("n1")) * sqrt(col("n2"))), 6))
+        .filter(col("cos") >= 0.4)
+        .select("v1", "v2", "cos")
+    },
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` table: token counting
+  * (whitespace + BPE-ish regex), quality scoring, language-ID heuristic,
+  * corpus statistics, and document fingerprinting.
+  *
+  * Everything except the rolling hash is a codegen'd built-in chain —
+  * per-row CPU with no shuffle; at 100 TB these run at scan speed.
+  */
+object TextOps {
+
+  /** Modular polynomial rolling hash over the document's characters
+    * (acc·31 + code, mod 1e9+7): the classic content-defined fingerprint.
+    * Expressed with `aggregate` over the char array so it stays inside
+    * codegen; mod applied each step keeps the accumulator in long range
+    * (required under ANSI overflow checking). */
+  private val rollingHashExpr =
+    "aggregate(split(text, ''), 0L, (acc, ch) -> pmod(acc * 31 + ascii(ch), 1000000007))"
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q_text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS sub_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_char, n_chars
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("sub_tokens"),
+        length(col("text")).cast("long").as("n_char"),
+        col("n_chars"))
+    },
+
+    QDef("q_text_quality",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_char,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+        |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / length(text), 6) AS alpha_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+        |        / len(string_split(trim(text), ' ')), 6) AS stopword_ratio,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(trim(text), ' ')), 6) AS avg_word_len
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      val words = size(split(trim(col("text")), " "))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_char"),
+        words.cast("long").as("n_words"),
+        round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / length(col("text")), 6).as("alpha_ratio"),
+        round(size(regexp_extract_all(col("text"),
+          lit("\\b(the|a|of|and|to)\\b"), lit(0))).cast("double") / words, 6)
+          .as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / words, 6)
+          .as("avg_word_len"))
+    },
+
+    // Marker-word language ID: argmax of per-language stopword counts
+    // (deterministic tie-break en > de > fr). A real model is out of
+    // scope; the operator shape (n-gram/marker scoring at scan speed) is
+    // what scales.
+    QDef("q_text_langid",
+      """SELECT doc_id, lang,
+        |  CASE WHEN n_en >= n_de AND n_en >= n_fr THEN 'en'
+        |       WHEN n_de >= n_fr THEN 'de' ELSE 'fr' END AS guess
+        |FROM (SELECT doc_id, lang,
+        |        len(regexp_extract_all(text, '\b(the|and|of|to)\b')) AS n_en,
+        |        len(regexp_extract_all(text, '\b(der|und|das|ist)\b')) AS n_de,
+        |        len(regexp_extract_all(text, '\b(le|la|et|est)\b')) AS n_fr
+        |      FROM documents) t
+        |""".stripMargin) { (s, dir) =>
+      def markers(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      table(s, dir, "documents")
+        .withColumn("n_en", markers("\\b(the|and|of|to)\\b"))
+        .withColumn("n_de", markers("\\b(der|und|das|ist)\\b"))
+        .withColumn("n_fr", markers("\\b(le|la|et|est)\\b"))
+        .select(col("doc_id"), col("lang"),
+          when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr"), "en")
+            .when(col("n_de") >= col("n_fr"), "de")
+            .otherwise("fr").as("guess"))
+    },
+
+    QDef("q_lang_stats",
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          avgExact(col("n_chars")).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    },
+
+    // Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    // word-order-insensitive exact dedup key.
+    QDef("q_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS bag_fp
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(trim(col("text")), " "))), " ")
+          .cast("binary")).as("bag_fp"))
+    },
+
+    // Rolling content hash — no concise ANSI-SQL equivalent (verified in
+    // TextOpsSpec against a Scala reference implementation instead).
+    QDef.noOracle("q_text_rollhash") { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), expr(rollingHashExpr).as("roll_hash"))
+    },
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over event streams: the incremental versions of
+  * operators/Temporal.scala — same grouping expressions, so a stream
+  * that is fully processed produces exactly the batch answer (asserted
+  * in StreamingOpsSpec).
+  *
+  * Watermarks bound state: with a 1-hour watermark a tumbling/session
+  * aggregation holds only windows newer than (max event time − 1 h);
+  * events later than that are dropped deterministically. At 100 TB/day
+  * the state store holds hours, not history — the CDC materialization
+  * path (graft.cdc) is the unbounded-state design instead.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time counts/sums per window × event_type. */
+  def tumblingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      // group by the window column itself (not a derived field) so the
+      // watermark stays attached and append mode can close windows
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,10)")).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding (1 h window, 30 min slide) sums. */
+  def slidingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,10)")).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("ws"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (30 min gap) per user. */
+  def sessionAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+
+  /** Exactly-once-per-event-id view of an at-least-once stream:
+    * watermarked dropDuplicates keeps the dedup state bounded. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  /** Running count per event_type (update-mode friendly, unbounded key
+    * space bounded by the type dictionary). */
+  def runningCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,10)")).as("sum_value"))
+}

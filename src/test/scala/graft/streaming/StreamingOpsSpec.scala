@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  val evs: Seq[Ev] = Seq(
+    Ev(0, t("2024-01-01 00:05:00"), 1, "view", 1.0),
+    Ev(1, t("2024-01-01 00:20:00"), 1, "view", 2.0),
+    Ev(2, t("2024-01-01 00:55:00"), 2, "purchase", 10.0),
+    Ev(3, t("2024-01-01 01:10:00"), 1, "view", 3.0),
+    Ev(4, t("2024-01-01 02:30:00"), 1, "view", 4.0), // >30min gap → new session
+    Ev(5, t("2024-01-01 02:40:00"), 2, "purchase", 20.0))
+
+  /** Run a streaming transform over the fixture events and collect the
+    * complete/append result once all input is processed. */
+  def runStream(fn: DataFrame => DataFrame, mode: String,
+      input: Seq[Seq[Ev]] = Seq(evs)): DataFrame = {
+    val ms = MemoryStream[Ev](spark)
+    val name = s"out_${System.nanoTime()}"
+    val q = fn(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      input.foreach { batch => ms.addData(batch); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streamed tumbling agg equals batch aggregation") {
+    val got = runStream(StreamingOps.tumblingAgg(_), "complete")
+      .select("ws", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+    val expected = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("streamed session windows match gap semantics across batches") {
+    val batches = Seq(evs.take(3), evs.drop(3))
+    val got = runStream(StreamingOps.sessionAgg(_), "complete", batches)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // user 1: events 0,1 + 3 chain (gaps ≤30m: 00:05→00:20→(50m!)…)
+    // gaps: 0→1 15m (merge), 1→3 50m (split), 3→4 80m (split)
+    // user 1 sessions: {0,1}, {3}, {4}; user 2: {2}, {5}
+    assert(got(1L) == Seq(1L, 1L, 2L))
+    assert(got(2L) == Seq(1L, 1L))
+  }
+
+  test("watermark drops events later than the bound") {
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.tumblingAgg(ms.toDF(), "30 minutes").writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      ms.addData(evs.filter(_.event_id <= 4)); q.processAllAvailable()
+      // max ts now 02:30 → watermark 02:00 → a 00:xx event is too late:
+      ms.addData(Seq(Ev(99, t("2024-01-01 00:01:00"), 3, "late", 9.9)))
+      q.processAllAvailable()
+      // advance watermark far enough to close and emit all windows
+      ms.addData(Seq(Ev(100, t("2024-01-01 06:00:00"), 3, "flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val types = spark.table("late_out").select("event_type").as[String].collect().toSet
+    assert(!types.contains("late"), "late event must be dropped by watermark")
+    assert(types.contains("view"))
+  }
+
+  test("stream dedup suppresses redelivered events") {
+    val dup = evs ++ evs.take(3) // redelivery of first three
+    val got = runStream(StreamingOps.dedupStream(_), "append", Seq(dup))
+    assert(got.count() == evs.size)
+  }
+
+  test("running counts update across micro-batches") {
+    val got = runStream(StreamingOps.runningCounts(_), "complete",
+      Seq(evs.take(3), evs.drop(3)))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 4L, "purchase" -> 2L))
+  }
+}
