@@ -11,9 +11,11 @@ import org.apache.spark.sql.streaming.Trigger
   * (/root/reference/README.md:85-134).
   *
   * Usage: graft.cdc.CdcReplay <inDir> <storeDir> [configProperties]
+  *        graft.cdc.CdcReplay --stateful <inDir>   (state-store changelog view)
   */
 object CdcReplay {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--stateful")) { statefulReplay(args(1)); return }
     val inDir = args(0)
     val storeDir = args(1)
     val catalog = args.lift(2) match {
@@ -46,6 +48,39 @@ object CdcReplay {
       println(s"=== $t ===")
       sink.read(t).foreach(df => df.orderBy(df.columns.head).show(100, truncate = false))
     }
+    spark.stop()
+  }
+
+  /** Changelog view: the same file stream through the in-engine
+    * state-store materializer (dynamic map decode) — prints every
+    * emitted key image (op-applied row or delete marker). */
+  private def statefulReplay(inDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-cdc-stateful-replay")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val decoded = Decode.decode(
+      CdcPipeline.fileSource(spark, inDir), Envelope.dynamicRowSchema)
+      .select(
+        concat_ws("/", col("table"),
+          org.apache.spark.sql.functions.coalesce(
+            col("after.id"), col("before.id"))).as("key"),
+        col("op"), col("offset"), col("after"))
+      .as[StatefulMaterializer.KeyedChange]
+    val q = StatefulMaterializer.materialize(decoded)
+      .writeStream.format("memory").queryName("changelog")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    println("=== changelog (state-store materialization) ===")
+    spark.table("changelog").orderBy("key").show(100, truncate = false)
     spark.stop()
   }
 }

@@ -101,14 +101,18 @@ object Scalars {
     QDef("q_json_funcs",
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
-          get_json_object(col("props"), "$.missing").cast("long").as("missing"))
+          get_json_object(col("props"), "$.missing").cast("long").as("missing"),
+          // schema-first parse of the same field (from_json path)
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k_struct"))
         .filter(col("k") > 50)
     },
 
@@ -116,7 +120,8 @@ object Scalars {
       """SELECT vec_id, label,
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  embedding[1] AS first_val,
-        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6) AS norm_sq
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6) AS norm_sq,
+        |  embedding[1] + embedding[1] AS zip_first
         |FROM embeddings
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "embeddings").select(
@@ -124,7 +129,9 @@ object Scalars {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_val"),
         round(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("norm_sq"))
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("norm_sq"),
+        element_at(zip_with(col("embedding"), col("embedding"), (a, b) => a + b), 1)
+          .as("zip_first"))
     },
   )
 }
