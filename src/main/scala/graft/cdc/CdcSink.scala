@@ -144,6 +144,20 @@ class ParquetTableStore(spark: SparkSession, root: String) extends CdcSink {
     } else None
   }
 
+  /** All retained versions of a table, oldest first. */
+  def versions(target: String): Seq[String] = {
+    val d = dir(target).toFile
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).sorted.toSeq
+  }
+
+  /** Time travel: read the table as of an older version (each batch
+    * writes a full new version, so any retained version is a complete,
+    * consistent snapshot — the poor man's Delta time travel). */
+  def readVersion(target: String, version: String): DataFrame =
+    spark.read.parquet(dir(target).resolve(version).toString)
+
   def applyChanges(target: String, pks: Seq[String],
       upserts: DataFrame, deleteKeys: DataFrame): Unit = {
     val changedKeys = upserts.select(pks.map(col): _*)

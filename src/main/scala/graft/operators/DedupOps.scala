@@ -64,8 +64,11 @@ object DedupOps {
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"h$i")): _*).as("bucket"))
     }: _*)
+    // cached: both sides of the self-join read it, and without the cache
+    // the whole signature aggregation runs twice
     val exploded = sig.select(col("doc_id"), explode(bands).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .cache()
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -183,15 +186,22 @@ object DedupOps {
         |""".stripMargin) { (s, dir) =>
       import graft.functions.VectorOps
       VectorOps.ensure(s)
-      // Norms are precomputed per vector (O(N)); the banded join then
-      // evaluates only the codegen'd dot product per candidate pair.
+      // Norms are precomputed per vector (O(N)); the id-band condition
+      // is expressed as equi-joins on 100-wide blocks (a pair ≤100 apart
+      // lives in the same or adjacent block), so Catalyst hash-joins
+      // instead of a broadcast-nested-loop over all pairs. The codegen'd
+      // dot product runs only per surviving candidate pair.
       val e = table(s, dir, "embeddings")
         .withColumn("nsq", VectorOps.normSq(col("embedding")))
+        .withColumn("blk", floor(col("vec_id") / 100))
       val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        col("nsq").as("n1"))
+        col("nsq").as("n1"), col("blk").as("blk1"))
       val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-        col("nsq").as("n2"))
-      a.join(b, col("v2") > col("v1") && col("v2") <= col("v1") + 100)
+        col("nsq").as("n2"), col("blk").as("blk2"))
+      val band = col("v2") > col("v1") && col("v2") <= col("v1") + 100
+      val pairs = a.join(b, col("blk1") === col("blk2") && band)
+        .unionByName(a.join(b, col("blk1") + 1 === col("blk2") && band))
+      pairs
         .withColumn("cos", round(
           VectorOps.dot(col("e1"), col("e2")) / (sqrt(col("n1")) * sqrt(col("n2"))), 6))
         .filter(col("cos") >= 0.4)
