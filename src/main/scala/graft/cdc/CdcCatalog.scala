@@ -59,4 +59,26 @@ object CdcCatalog {
     p.load(new StringReader(content))
     fromProperties(p)
   }
+
+  /** 3-tier config resolution, mirroring the reference's loadConfig
+    * (DebeziumToPostgresConsumer.java:36-75): explicit env-var path →
+    * ./config.properties in the working directory → classpath resource.
+    * Throws if none is found (same fail-fast contract). */
+  def load(envVar: String = "CONSUMER_CONFIG",
+      fileName: String = "config.properties"): CdcCatalog = {
+    import java.nio.file.{Files, Paths}
+    sys.env.get(envVar).map(Paths.get(_)).filter(Files.exists(_)) match {
+      case Some(p) => fromPropertiesString(new String(Files.readAllBytes(p)))
+      case None =>
+        val cwd = Paths.get(fileName)
+        if (Files.exists(cwd))
+          fromPropertiesString(new String(Files.readAllBytes(cwd)))
+        else Option(getClass.getClassLoader.getResourceAsStream(fileName)) match {
+          case Some(in) =>
+            try fromPropertiesString(new String(in.readAllBytes())) finally in.close()
+          case None => throw new IllegalStateException(
+            s"no CDC config: $$${envVar}, ./$fileName, or classpath $fileName")
+        }
+    }
+  }
 }

@@ -22,7 +22,13 @@ object CdcReplay {
       case Some(path) =>
         CdcCatalog.fromPropertiesString(
           new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
-      case None => CdcCatalog.fromPropertiesString("pk.customers=id\npk.orders=id\n")
+      case None =>
+        // 3-tier resolution like the reference ($CONSUMER_CONFIG →
+        // ./config.properties → classpath), defaulting if none exists.
+        try CdcCatalog.load() catch {
+          case _: IllegalStateException =>
+            CdcCatalog.fromPropertiesString("pk.customers=id\npk.orders=id\n")
+        }
     }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
