@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second coverage wave: string functions II, analytic window
+  * functions, fixed-width histograms, bitwise ops, unpivot, and date
+  * parts — still all codegen'd built-ins.
+  */
+object Coverage2 {
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q_str_funcs2",
+      """SELECT c_custkey,
+        |  left(c_name, 8) AS l8,
+        |  right(c_name, 3) AS r3,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  repeat(c_mktsegment, 2) AS twice,
+        |  reverse(c_mktsegment) AS rev,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated
+        |FROM customer
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        expr("left(c_name, 8)").as("l8"),
+        expr("right(c_name, 3)").as("r3"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        repeat(col("c_mktsegment"), 2).as("twice"),
+        reverse(col("c_mktsegment")).as("rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"))
+    },
+
+    QDef("q_win_analytic",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  round(percent_rank() OVER w2, 6) AS pr,
+        |  round(cume_dist() OVER w2, 6) AS cd
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val w2 = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        round(percent_rank().over(w2), 6).as("pr"),
+        round(cume_dist().over(w2), 6).as("cd"))
+    },
+
+    // Fixed-width histogram (width_bucket emulated with arithmetic —
+    // identical on both engines).
+    QDef("q_histogram",
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000.0).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    },
+
+    QDef("q_bitwise",
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS lo_byte,
+        |  o_orderkey | 1 AS force_odd,
+        |  xor(o_orderkey, 21) AS xored,
+        |  o_orderkey << 1 AS doubled,
+        |  o_orderkey >> 3 AS eighth
+        |FROM orders
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("lo_byte"),
+        col("o_orderkey").bitwiseOR(1).as("force_odd"),
+        col("o_orderkey").bitwiseXOR(21).as("xored"),
+        shiftleft(col("o_orderkey"), 1).as("doubled"),
+        shiftright(col("o_orderkey"), 3).as("eighth"))
+    },
+
+    // Unpivot (wide → long); metric names come from the source columns.
+    QDef("q_unpivot",
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey")), "metric", "value")
+    },
+
+    QDef("q_date_parts",
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"))
+    },
+  )
+}

@@ -61,4 +61,21 @@ object StreamingOps {
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(38,10)")).as("sum_value"))
+
+  /** Watermarked stream-stream join: each purchase joined to the same
+    * user's views within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * the state store retains only one hour per side — the join works
+    * at unbounded input. */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    p.join(v, expr(
+      "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+      .select("purchase_id", "user_id", "p_ts", "view_id", "v_ts", "purchase_value")
+  }
 }

@@ -84,6 +84,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.count() == evs.size)
   }
 
+  test("stream-stream join matches the batch join") {
+    val p = MemoryStream[Ev](spark)
+    val v = MemoryStream[Ev](spark)
+    val joined = StreamingOps.purchaseViewJoin(
+      p.toDF().filter(col("event_type") === "purchase"),
+      v.toDF().filter(col("event_type") === "view"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      p.addData(evs); v.addData(evs); q.processAllAvailable()
+      // flush watermarks so in-window pairs are emitted
+      p.addData(Seq(Ev(200, t("2024-01-01 10:00:00"), 9, "purchase", 0.0)))
+      v.addData(Seq(Ev(201, t("2024-01-01 10:00:00"), 9, "view", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_out")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    val all = evs ++ Seq(Ev(200, t("2024-01-01 10:00:00"), 9, "purchase", 0.0),
+      Ev(201, t("2024-01-01 10:00:00"), 9, "view", 0.0))
+    val expected = (for {
+      pp <- all if pp.event_type == "purchase"
+      vv <- all if vv.event_type == "view" && vv.user_id == pp.user_id
+      if !vv.ts.after(pp.ts) &&
+        vv.ts.getTime >= pp.ts.getTime - 3600 * 1000
+    } yield (pp.event_id, vv.event_id)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("running counts update across micro-batches") {
     val got = runStream(StreamingOps.runningCounts(_), "complete",
       Seq(evs.take(3), evs.drop(3)))
