@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import graft.functions.{MinHashSignature, SimHash64, VectorDot}
 
 /** Session extension point: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -17,5 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSignature(children(0),
+        children(1).eval().asInstanceOf[Int])))
   }
 }

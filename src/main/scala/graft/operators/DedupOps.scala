@@ -48,27 +48,37 @@ object DedupOps {
       .select("d1", "d2", "jaccard")
   }
 
-  /** MinHash signatures: for each seed, min over shingles of
-    * xxhash64(seed, shingle). One groupBy = one shuffle for all seeds. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(s =>
-      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** doc_id → distinct shingle set kept as one array per document (the
+    * no-shuffle representation: signatures and set intersections are
+    * per-row expressions over it). */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.TextHashExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(w) - $n), i -> " +
+          (0 until n).map(k => s"w[i + $k]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      )).as("shingles"))
+      .withColumn("nsh", size(col("shingles")).cast("long"))
   }
 
-  /** LSH banding: candidate pairs = docs sharing any band bucket. */
+  /** MinHash signatures via the per-row MinHashSignature expression —
+    * computed at scan speed, no token explode, no aggregation. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.withColumn("sig", call_function("minhash_sig", col("shingles"), lit(numHashes)))
+
+  /** LSH banding over signature arrays: candidate pairs = docs sharing
+    * any band bucket. Only this self-join shuffles, keyed on 8-byte
+    * bucket hashes. */
   def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"h$i")): _*).as("bucket"))
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
     }: _*)
-    // cached: both sides of the self-join read it, and without the cache
-    // the whole signature aggregation runs twice
     val exploded = sig.select(col("doc_id"), explode(bands).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      .cache()
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -77,19 +87,13 @@ object DedupOps {
       .distinct()
   }
 
-  /** 64-bit SimHash over word hashes: bit b of the fingerprint is the
-    * sign of Σ over tokens of ±1 by the token-hash's bit b. */
+  /** 64-bit SimHash via the per-row SimHash64 expression (one compiled
+    * pass over the token array per document; the first implementation
+    * exploded every token and ran a 64-column aggregation). */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val aggs = (0 until 64).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b"))
-    val bitSums = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    bitSums.select(col("doc_id"),
-      (0 until 64).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_.bitwiseOR(_))
-        .as("simhash"))
+    graft.functions.TextHashExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("simhash64", split(trim(col("text")), " ")).as("simhash"))
   }
 
   val defs: Seq[QDef] = Seq(
@@ -134,17 +138,16 @@ object DedupOps {
     // Probabilistic candidate generation → rows-only driver check; the
     // spec asserts it recovers the exact-Jaccard pairs at sf0.001.
     QDef.noOracle("q_dedup_minhash_lsh") { (s, dir) =>
-      val sh = shingles(table(s, dir, "documents")).cache()
+      val sh = shingleArrays(table(s, dir, "documents")).cache()
       val cand = lshCandidates(minhashSignatures(sh, 32), 32, 2)
-      val verified = sh.as("a")
-        .join(cand, col("a.doc_id") === col("d1"))
-        .join(sh.as("b"),
-          col("b.doc_id") === col("d2") && col("a.shingle") === col("b.shingle"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      verified
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      // exact verification per candidate pair: one array_intersect —
+      // no shingle explode, no per-shingle join
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1"),
+          col("nsh").as("n1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2"),
+          col("nsh").as("n2")), "d2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
         .withColumn("jaccard",
           round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
         .filter(col("jaccard") >= 0.8)
