@@ -43,16 +43,18 @@ object CdcPipeline {
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Decode.rawSchema).json(dir)
 
-  /** Start the materialization stream into `sink`. */
+  /** Start the materialization stream into `sink`; undecodable records
+    * land in `dlqDir` (JSON, per table) when given. */
   def start(raw: DataFrame, catalog: CdcCatalog,
       registry: Map[String, StructType], sink: CdcSink,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      dlqDir: Option[String] = None): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Materializer.applyBatch(batch, catalog, registry, sink)
+        Materializer.applyBatch(batch, catalog, registry, sink, dlqDir)
       }
       .start()
 }

@@ -41,18 +41,24 @@ object CdcReplay {
 
     val sink = new ParquetTableStore(spark, storeDir)
     val ckpt = java.nio.file.Files.createTempDirectory("cdc-replay-ckpt")
+    val dlqDir = s"$storeDir/_dlq"
     val q = CdcPipeline.start(
       CdcPipeline.fileSource(spark, inDir), catalog,
       Envelope.defaultRegistry, sink, ckpt.toString,
-      trigger = Trigger.ProcessingTime(0))
+      trigger = Trigger.ProcessingTime(0), dlqDir = Some(dlqDir))
     q.processAllAvailable()
     q.stop()
 
     val tables = new java.io.File(storeDir).listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted
+      .filter(f => f.isDirectory && f.getName != "_dlq").map(_.getName).sorted
     tables.foreach { t =>
       println(s"=== $t ===")
       sink.read(t).foreach(df => df.orderBy(df.columns.head).show(100, truncate = false))
+    }
+    val dlqTables = Option(new java.io.File(dlqDir).listFiles()).getOrElse(Array.empty)
+    dlqTables.filter(_.isDirectory).foreach { t =>
+      println(s"=== DLQ ${t.getName} ===")
+      spark.read.json(t.toString).show(20, truncate = false)
     }
     spark.stop()
   }

@@ -158,6 +158,23 @@ class ParquetTableStore(spark: SparkSession, root: String) extends CdcSink {
   def readVersion(target: String, version: String): DataFrame =
     spark.read.parquet(dir(target).resolve(version).toString)
 
+  /** Drop all but the newest `keep` versions (never the current one).
+    * Returns the deleted version names. */
+  def vacuum(target: String, keep: Int = 2): Seq[String] = {
+    val vs = versions(target)
+    val current = {
+      val p = pointer(target)
+      if (Files.exists(p)) new String(Files.readAllBytes(p)).trim else ""
+    }
+    val doomed = vs.dropRight(math.max(keep, 1)).filterNot(_ == current)
+    doomed.foreach { v =>
+      val d = dir(target).resolve(v)
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    doomed
+  }
+
   def applyChanges(target: String, pks: Seq[String],
       upserts: DataFrame, deleteKeys: DataFrame): Unit = {
     val changedKeys = upserts.select(pks.map(col): _*)

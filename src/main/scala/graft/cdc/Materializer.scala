@@ -38,9 +38,13 @@ object Materializer {
   /** Apply one raw micro-batch: per topic-table, parse with its
     * registered schema (dynamic map fallback otherwise), then per
     * (db, table) group resolve PKs/target and apply compacted changes.
+    * Records that fail decoding (corrupt JSON / unknown op) are
+    * appended to `dlqDir` when given (E1: isolate, never fail the
+    * stream, never silently lose the record either).
     */
   def applyBatch(batch: DataFrame, catalog: CdcCatalog,
-      registry: Map[String, StructType], sink: CdcSink): Unit = {
+      registry: Map[String, StructType], sink: CdcSink,
+      dlqDir: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val withTable = batch
       .withColumn("_topic_table", element_at(split(col("topic"), "\\."), -1))
@@ -51,6 +55,12 @@ object Materializer {
     topicTables.foreach { tt =>
       val sub = withTable.filter(col("_topic_table") === tt).drop("_topic_table")
       val rowSchema = registry.getOrElse(tt, Envelope.dynamicRowSchema)
+      dlqDir.foreach { d =>
+        Decode.rejects(sub, rowSchema)
+          .select(col("topic"), col("key"), col("partition"), col("offset"),
+            col("op"), col("corrupt"))
+          .write.mode("append").json(s"$d/$tt")
+      }
       val decoded = Decode.decode(sub, rowSchema).cache()
       try {
         val groups = decoded.select("db", "table").distinct().collect()

@@ -1,6 +1,7 @@
 package graft.cdc
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Path}
@@ -46,6 +47,47 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(st.keySet == Set(Seq(1), Seq(3)))
       assert(st(Seq(3))("email") == "ed.walker@walker.com")
     } finally q.stop()
+  }
+
+  test("undecodable records land in the DLQ; vacuum keeps newest versions") {
+    val in = Files.createTempDirectory("cdc-dlq-in")
+    val ckpt = Files.createTempDirectory("cdc-dlq-ckpt")
+    val store = Files.createTempDirectory("cdc-dlq-store")
+    val dlq = Files.createTempDirectory("cdc-dlq")
+    val catalog = CdcCatalog.fromPropertiesString("pk.customers=id\n")
+    val sink = new ParquetTableStore(spark, store.toString)
+
+    writeBatch(in, 0, Seq(
+      Fixtures.raw(Fixtures.customer("c", 1, "A", "B", "a@b"), 0),
+      Fixtures.raw("{corrupt!!", 1),
+      Fixtures.raw(Fixtures.customer("x", 9, "Bad", "Op", "bad@x"), 2)))
+    val q = CdcPipeline.start(CdcPipeline.fileSource(spark, in.toString),
+      catalog, Envelope.defaultRegistry, sink, ckpt.toString,
+      trigger = Trigger.ProcessingTime(0), dlqDir = Some(dlq.toString))
+    try {
+      q.processAllAvailable()
+      writeBatch(in, 1, Seq(
+        Fixtures.raw(Fixtures.customer("u", 1, "A2", "B", "a@b"), 3)))
+      q.processAllAvailable()
+      writeBatch(in, 2, Seq(
+        Fixtures.raw(Fixtures.customer("u", 1, "A3", "B", "a@b"), 4)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rejected = spark.read.json(s"$dlq/customers")
+    assert(rejected.count() == 2)
+    import spark.implicits._
+    val ops = rejected.select("op").as[String].collect().toSet
+    assert(ops.contains("x")) // unknown op recorded with its op code
+    // corrupt record recorded with the raw text
+    assert(rejected.filter(col("corrupt").isNotNull).count() == 1)
+
+    // 3 versions written; vacuum(keep=2) deletes the oldest only
+    assert(sink.versions("customers").size == 3)
+    val deleted = sink.vacuum("customers", keep = 2)
+    assert(deleted.size == 1 && sink.versions("customers").size == 2)
+    assert(sink.read("customers").get
+      .select("first_name").as[String].collect().toSeq == Seq("A3"))
   }
 
   test("restart from checkpoint resumes without reprocessing committed batches") {
