@@ -23,8 +23,11 @@ object Materializer {
     * prerequisite). PK values come from `after`, falling back to
     * `before` for deletes. */
   def lastPerKey(decoded: DataFrame, pks: Seq[String]): DataFrame = {
+    // getItem resolves on both struct images (registered schemas) and
+    // map images (dynamic fallback)
     val keyed = pks.foldLeft(decoded) { (df, p) =>
-      df.withColumn(s"_k_$p", coalesce(col(s"after.$p"), col(s"before.$p")))
+      df.withColumn(s"_k_$p",
+        coalesce(col("after").getItem(p), col("before").getItem(p)))
     }
     val w = Window
       .partitionBy(col("db") +: col("table") +: pks.map(p => col(s"_k_$p")): _*)
@@ -44,7 +47,8 @@ object Materializer {
     */
   def applyBatch(batch: DataFrame, catalog: CdcCatalog,
       registry: Map[String, StructType], sink: CdcSink,
-      dlqDir: Option[String] = None): Unit = {
+      dlqDir: Option[String] = None,
+      inferUnknown: Boolean = true): Unit = {
     if (batch.isEmpty) return
     val withTable = batch
       .withColumn("_topic_table", element_at(split(col("topic"), "\\."), -1))
@@ -54,7 +58,12 @@ object Materializer {
 
     topicTables.foreach { tt =>
       val sub = withTable.filter(col("_topic_table") === tt).drop("_topic_table")
-      val rowSchema = registry.getOrElse(tt, Envelope.dynamicRowSchema)
+      val rowSchema = registry.getOrElse(tt,
+        if (inferUnknown)
+          SchemaInference.inferRowSchema(batch.sparkSession,
+            SchemaInference.sampleValues(sub))
+            .getOrElse(Envelope.dynamicRowSchema)
+        else Envelope.dynamicRowSchema)
       dlqDir.foreach { d =>
         Decode.rejects(sub, rowSchema)
           .select(col("topic"), col("key"), col("partition"), col("offset"),
@@ -70,13 +79,18 @@ object Materializer {
           val target = catalog.targetFor(db, tbl)
           val g = lastPerKey(decoded.filter(col("db") === db && col("table") === tbl), pks)
           // M1: ops c/r/u with a non-null after-image upsert…
-          val upserts = g
+          val isStruct = rowSchema.isInstanceOf[StructType]
+          val ups = g
             .filter(col("op").isin(Envelope.UpsertOps: _*) && col("after").isNotNull)
-            .select(col("after.*"))
+          val upserts =
+            if (isStruct) ups.select(col("after.*"))
+            // dynamic map image: PKs extracted as columns + the raw map
+            else ups.select(pks.map(p => col("after").getItem(p).as(p))
+              :+ col("after"): _*)
           // …M3: op d with a non-null before-image deletes by PK.
           val deleteKeys = g
             .filter(col("op") === Envelope.DeleteOp && col("before").isNotNull)
-            .select(pks.map(p => col(s"before.$p").as(p)): _*)
+            .select(pks.map(p => col("before").getItem(p).as(p)): _*)
           sink.applyChanges(target, pks, upserts, deleteKeys)
         }
       } finally decoded.unpersist()

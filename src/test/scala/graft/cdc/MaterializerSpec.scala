@@ -74,6 +74,34 @@ class MaterializerSpec extends AnyFunSuite {
     assert(rows == Map(1 -> "Sally2"))
   }
 
+  test("unknown tables get inferred typed schemas (not all-strings)") {
+    val sink = new InMemorySink
+    val product =
+      """{"before": null, "after": {"id": 7, "name": "gizmo", "price": 9.99,
+        |"in_stock": true}, "source": {"db": "app", "table": "products",
+        |"ts_ms": 1}, "op": "c", "ts_ms": 1}""".stripMargin.replaceAll("\n", " ")
+    val rows = Seq(Fixtures.raw(product, 0, topic = "mysql.app.products"))
+    Materializer.applyBatch(toDf(rows), catalog, Envelope.defaultRegistry, sink)
+    val row = sink.state("products")(Seq(7L))
+    assert(row("id") == 7L)            // JSON number → long, not "7"
+    assert(row("price") == 9.99)       // → double
+    assert(row("in_stock") == true)    // → boolean
+    assert(row("name") == "gizmo")
+  }
+
+  test("inference off → dynamic string-map fallback still applies") {
+    val sink = new InMemorySink
+    val product =
+      """{"before": null, "after": {"id": 7, "name": "gizmo"},
+        |"source": {"db": "app", "table": "widgets", "ts_ms": 1},
+        |"op": "c", "ts_ms": 1}""".stripMargin.replaceAll("\n", " ")
+    val rows = Seq(Fixtures.raw(product, 0, topic = "mysql.app.widgets"))
+    Materializer.applyBatch(toDf(rows), catalog, Envelope.defaultRegistry, sink,
+      inferUnknown = false)
+    val row = sink.state("widgets")(Seq("7"))
+    assert(row("after") == Map("id" -> "7", "name" -> "gizmo"))
+  }
+
   test("multi-table batch routes by topic and applies per-table PKs") {
     val cat = CdcCatalog.fromPropertiesString(
       "pk.customers=id\npk.orders=id\nmap.orders=orders_sink\n")
