@@ -1,0 +1,86 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.LongAdder
+
+/** CDC throughput microbenchmark: synthesize N Debezium envelopes,
+  * run the full decode → route → compact → sink pipeline, report
+  * records/second as one JSON line.
+  *
+  * Comparison basis (BASELINE.md): the reference consumer is one
+  * thread issuing one autocommitted JDBC statement per record
+  * (DebeziumToPostgresConsumer.java:101,213-218) — its ceiling is
+  * 1/RTT records/s (≈1k/s at 1 ms RTT) regardless of CPU. This
+  * pipeline is bounded by parse+shuffle CPU across all cores, and the
+  * sink sees only the compacted last-writer-wins rows.
+  *
+  * Usage: runMain graft.cdc.CdcThroughput [nRecords] [mode]
+  *   mode: count (measure pipeline, discard at sink) | store (parquet)
+  */
+object CdcThroughput {
+
+  /** Sink that forces full materialization of the changes but writes
+    * nothing — isolates pipeline cost from sink IO. */
+  class CountingSink extends CdcSink {
+    val upserts = new LongAdder
+    val deletes = new LongAdder
+    def applyChanges(target: String, pks: Seq[String],
+        ups: org.apache.spark.sql.DataFrame,
+        dels: org.apache.spark.sql.DataFrame): Unit = {
+      upserts.add(ups.count())
+      deletes.add(dels.count())
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val mode = args.lift(1).getOrElse("count")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cdc-throughput")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 2× changes per key on average (updates overwrite creates), 10%
+    // deletes — exercises compaction, not just parse.
+    val keys = math.max(n / 2, 1)
+    val raw = spark.range(n).select(
+      lit("mysql.app.customers").as("topic"),
+      format_string("""{"id": %d}""", col("id") % keys).as("key"),
+      format_string(
+        """{"before": null, "after": {"id": %d, "first_name": "fn%d",
+          | "last_name": "ln%d", "email": "u%d@example.com",
+          | "created_at": "2026-01-28T00:00:00Z"}, "source":
+          | {"db": "app", "table": "customers", "ts_ms": %d},
+          | "op": "%s", "ts_ms": %d}""".stripMargin.replaceAll("\n", ""),
+        col("id") % keys, col("id"), col("id"), col("id") % keys,
+        col("id"), when(col("id") % 10 === 9, "d").otherwise("c"), col("id"))
+        .as("value"),
+      lit(0).as("partition"),
+      col("id").as("offset"))
+
+    val catalog = CdcCatalog.fromPropertiesString("pk.customers=id\n")
+    // warmup (plans + codegen)
+    Materializer.applyBatch(raw.limit(1000), catalog,
+      Envelope.defaultRegistry, new CountingSink)
+
+    val sink: CdcSink = mode match {
+      case "store" => new ParquetTableStore(spark,
+        java.nio.file.Files.createTempDirectory("cdc-tp").toString)
+      case _ => new CountingSink
+    }
+    val t0 = System.nanoTime()
+    Materializer.applyBatch(raw, catalog, Envelope.defaultRegistry, sink)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rps = n / sec
+    println(f"""{"metric":"cdc_throughput","records":$n,"mode":"$mode","seconds":$sec%.2f,"records_per_sec":$rps%.0f}""")
+    spark.stop()
+  }
+}
