@@ -51,6 +51,41 @@ object Advanced {
         |FROM nation
         |""".stripMargin),
 
+    // Null-aware anti join (NOT IN rewrites differently from NOT EXISTS
+    // when the subquery can yield NULLs — exercised here on the
+    // rewrite path Catalyst uses for NOT IN).
+    both("q_subq_not_in", Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |""".stripMargin),
+
+    // TPC-H Q2 shape: correlated aggregate equality.
+    both("q_subq_corr_max", Seq("customer"),
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |""".stripMargin),
+
+    // Multiset set operations (bag semantics).
+    QDef("q_except_all",
+      """SELECT l_suppkey AS k FROM lineitem
+        |EXCEPT ALL
+        |SELECT s_suppkey FROM supplier
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+        .exceptAll(table(s, dir, "supplier").select(col("s_suppkey").as("k")))
+    },
+
+    QDef("q_intersect_all",
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT ALL
+        |SELECT n_nationkey FROM nation
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .intersectAll(table(s, dir, "nation").select(col("n_nationkey").as("k")))
+    },
+
     // TPC-H Q5 shape: six-table join, dims broadcastable.
     QDef("q_tpch_q5",
       """SELECT n_name,
