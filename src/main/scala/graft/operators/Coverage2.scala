@@ -106,6 +106,37 @@ object Coverage2 {
           Array(col("c_acctbal"), col("c_nationkey")), "metric", "value")
     },
 
+    // Sketch percentiles — mergeable fixed-size state, the 100 TB
+    // variant of q_agg_percentiles. Approximate → rows-only driver
+    // check; the spec bounds the error against the exact percentile.
+    QDef.noOracle("q_agg_approx_percentile") { (s, dir) =>
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+          .as("price_p50_p90"))
+    },
+
+    // Funnel: signup → first purchase conversion per user.
+    QDef("q_funnel",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+        |    min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(first_signup AS TIMESTAMP) AS first_signup,
+        |  CAST(first_purchase AS TIMESTAMP) AS first_purchase,
+        |  first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_purchase > first_signup AS converted
+        |FROM f
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "events").groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .select(col("user_id"), col("first_signup"), col("first_purchase"),
+          (col("first_signup").isNotNull && col("first_purchase").isNotNull
+            && col("first_purchase") > col("first_signup")).as("converted"))
+    },
+
     QDef("q_date_parts",
       """SELECT o_orderkey,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,

@@ -29,7 +29,21 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // operators whose semantics aren't concisely ANSI-SQL-expressible;
     // each has a dedicated spec verifying it against an exact baseline.
     val exempt = Set("q_agg_approx_distinct", "q_text_rollhash",
-      "q_dedup_minhash_lsh", "q_dedup_simhash", "q_sim_ann_ivf")
+      "q_dedup_minhash_lsh", "q_dedup_simhash", "q_sim_ann_ivf",
+      "q_agg_approx_percentile")
     assert((noOracle -- exempt).isEmpty, s"missing oracle: ${noOracle -- exempt}")
+  }
+
+  test("approx percentiles land within tolerance of the exact values") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sfDir)
+      .select(col("l_returnflag"), col("price_p50_p90").getItem(0).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.table(spark, sfDir, "lineitem").groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) / v < 0.05, s"$k: ${approx(k)} vs $v")
+    }
   }
 }
