@@ -180,7 +180,11 @@ class ParquetTableStore(spark: SparkSession, root: String) extends CdcSink {
     val changedKeys = upserts.select(pks.map(col): _*)
       .unionByName(deleteKeys.select(pks.map(col): _*)).distinct()
     val next = read(target) match {
-      case Some(cur) => cur.join(changedKeys, pks, "left_anti").unionByName(upserts)
+      // allowMissingColumns: schema evolution — a column added (or
+      // dropped) by later source DDL widens the table with nulls
+      // instead of failing the merge
+      case Some(cur) => cur.join(changedKeys, pks, "left_anti")
+        .unionByName(upserts, allowMissingColumns = true)
       case None => upserts
     }
     val version = s"v${System.currentTimeMillis()}"

@@ -67,18 +67,24 @@ object DedupOps {
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.withColumn("sig", call_function("minhash_sig", col("shingles"), lit(numHashes)))
 
-  /** LSH banding over signature arrays: candidate pairs = docs sharing
-    * any band bucket. Only this self-join shuffles, keyed on 8-byte
-    * bucket hashes. */
-  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** (doc_id, band, bucket) rows from a signature column — the LSH
+    * index representation (persisted by streaming.IncrementalDedup). */
+  def bandTable(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
     }: _*)
-    val exploded = sig.select(col("doc_id"), explode(bands).as("bb"))
+    sig.select(col("doc_id"), explode(bands).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** LSH banding over signature arrays: candidate pairs = docs sharing
+    * any band bucket. Only this self-join shuffles, keyed on 8-byte
+    * bucket hashes. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val exploded = bandTable(sig, numHashes, rowsPerBand)
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")

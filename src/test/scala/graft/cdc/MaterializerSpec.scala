@@ -102,6 +102,29 @@ class MaterializerSpec extends AnyFunSuite {
     assert(row("after") == Map("id" -> "7", "name" -> "gizmo"))
   }
 
+  test("schema evolution: a column added in a later batch widens the table") {
+    val sink = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-evolve").toString)
+    def ev(id: Int, extra: String): String =
+      (s"""{"before": null, "after": {"id": $id, "name": "n$id"$extra},
+         |"source": {"db": "app", "table": "gadgets", "ts_ms": 1},
+         |"op": "c", "ts_ms": 1}""").stripMargin.replaceAll("\n", " ")
+    val cat = CdcCatalog.fromPropertiesString("pk.gadgets=id\n")
+    // batch 1: two columns; batch 2: adds a `color` column (source DDL)
+    Materializer.applyBatch(
+      toDf(Seq(Fixtures.raw(ev(1, ""), 0, topic = "mysql.app.gadgets"))),
+      cat, Map.empty, sink)
+    Materializer.applyBatch(
+      toDf(Seq(Fixtures.raw(ev(2, """, "color": "red""""), 1,
+        topic = "mysql.app.gadgets"))),
+      cat, Map.empty, sink)
+    val out = sink.read("gadgets").get
+    assert(out.columns.toSet == Set("id", "name", "color"))
+    val rows = out.select("id", "color").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some("red")))
+  }
+
   test("multi-table batch routes by topic and applies per-table PKs") {
     val cat = CdcCatalog.fromPropertiesString(
       "pk.customers=id\npk.orders=id\nmap.orders=orders_sink\n")
