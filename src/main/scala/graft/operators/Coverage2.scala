@@ -137,6 +137,37 @@ object Coverage2 {
             && col("first_purchase") > col("first_signup")).as("converted"))
     },
 
+    QDef("q_array_funcs2",
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+        |SELECT p_partkey,
+        |  list_contains(w, 'widget') AS has_widget,
+        |  list_slice(w, 1, 1) AS first1,
+        |  coalesce(CAST(list_position(w, 'widget') AS BIGINT), 0) AS widget_pos,
+        |  list_sort(list_distinct(list_concat(w, ['bolt']))) AS extended,
+        |  array_to_string(w, '_') AS joined,
+        |  flatten([w, ['x']]) AS flat
+        |FROM t
+        |""".stripMargin) { (s, dir) =>
+      val w = split(col("p_name"), " ")
+      table(s, dir, "part").select(
+        col("p_partkey"),
+        array_contains(w, "widget").as("has_widget"),
+        slice(w, 1, 1).as("first1"),
+        array_position(w, "widget").as("widget_pos"),
+        array_sort(array_union(w, array(lit("bolt")))).as("extended"),
+        array_join(w, "_").as("joined"),
+        flatten(array(w, array(lit("x")))).as("flat"))
+    },
+
+    QDef("q_struct_nested",
+      """SELECT n_nationkey, {'name': n_name, 'region': n_regionkey} AS info
+        |FROM nation
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "nation").select(
+        col("n_nationkey"),
+        struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("info"))
+    },
+
     QDef("q_date_parts",
       """SELECT o_orderkey,
         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,

@@ -9,6 +9,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private val metricsPath =
+    Files.createTempDirectory("dedup-metrics").resolve("metrics.jsonl").toString
+  private lazy val listener = Metrics.install(spark, metricsPath)
+
+  private def metricsCheck(): Unit = {
+    // listener events are async; wait briefly for the progress lines
+    val deadline = System.currentTimeMillis() + 10000
+    var lines = Seq.empty[String]
+    while (System.currentTimeMillis() < deadline &&
+      !lines.exists(_.contains("\"event\":\"progress\""))) {
+      Thread.sleep(200)
+      val p = java.nio.file.Paths.get(metricsPath)
+      lines = if (java.nio.file.Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+      else Seq.empty
+    }
+    assert(lines.exists(_.contains("\"event\":\"started\"")), lines.take(3))
+    assert(lines.exists(l => l.contains("\"event\":\"progress\"")
+      && l.contains("numInputRows")), "no progress metrics recorded")
+    spark.streams.removeListener(listener)
+  }
+
   private val baseText =
     "the quick brown fox jumps over the lazy dog while seven wizards " +
       "brew quartz potions under a pale winter moon beside the river"
@@ -18,6 +41,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val dupDir = Files.createTempDirectory("dedup-out").toString
     val ckpt = Files.createTempDirectory("dedup-ckpt").toString
 
+    listener // install the metrics listener before the stream starts
     val ms = MemoryStream[(Long, String)](spark)
     // threshold 0.7: a single interior word change in a 22-word doc
     // yields Jaccard ≈ 0.74 (3 of 20 shingles replaced)
@@ -42,6 +66,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
     val pairs = spark.read.parquet(dupDir)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
+    metricsCheck()
     assert(pairs.contains((1L, 2L)), s"in-batch dup missing: $pairs")
     assert(pairs.contains((1L, 10L)), s"cross-batch dup missing: $pairs")
     // (2,10) differ in two words (Jaccard ≈ 0.54) — correctly below
