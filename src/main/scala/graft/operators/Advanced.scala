@@ -57,7 +57,7 @@ object Advanced {
     both("q_subq_not_in", Seq("customer", "orders"),
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (
-        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         |""".stripMargin),
 
     // TPC-H Q2 shape: correlated aggregate equality.

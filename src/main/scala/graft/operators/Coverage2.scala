@@ -137,6 +137,26 @@ object Coverage2 {
             && col("first_purchase") > col("first_signup")).as("converted"))
     },
 
+    // Bivariate statistics + argmin/argmax + boolean aggregates.
+    QDef("q_agg_stats2",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
+        |  max_by(l_orderkey, l_extendedprice) AS priciest_order,
+        |  min_by(l_orderkey, l_extendedprice) AS cheapest_order,
+        |  bool_or(l_quantity > 49.9) AS any_huge,
+        |  bool_and(l_quantity > 0) AS all_positive
+        |FROM lineitem GROUP BY l_returnflag
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"),
+          max_by(col("l_orderkey"), col("l_extendedprice")).as("priciest_order"),
+          min_by(col("l_orderkey"), col("l_extendedprice")).as("cheapest_order"),
+          bool_or(col("l_quantity") > 49.9).as("any_huge"),
+          bool_and(col("l_quantity") > 0).as("all_positive"))
+    },
+
     QDef("q_array_funcs2",
       """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
         |SELECT p_partkey,

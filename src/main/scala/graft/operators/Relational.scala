@@ -104,12 +104,17 @@ object Relational {
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // threshold chosen so the anti side is non-empty at every scale
+    // factor (a trivially-empty result would make the oracle check
+    // vacuous)
     QDef("q_join_anti",
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "customer")
-        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(table(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
     },
 

@@ -10,7 +10,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.001"
 
   // Queries whose correct result can be empty at tiny scale.
-  val mayBeEmpty: Set[String] = Set("q_except", "q_join_anti", "q_subq_not_in")
+  val mayBeEmpty: Set[String] = Set("q_except")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes") {
