@@ -129,7 +129,8 @@ class InMemorySink extends CdcSink {
   * flips a pointer file, so readers never see a half-written table and a
   * replayed batch (at-least-once) simply rewrites the same content.
   */
-class ParquetTableStore(spark: SparkSession, root: String) extends CdcSink {
+class ParquetTableStore(spark: SparkSession, root: String,
+    partitioning: Map[String, Seq[String]] = Map.empty) extends CdcSink {
   import org.apache.spark.sql.functions.col
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -189,7 +190,14 @@ class ParquetTableStore(spark: SparkSession, root: String) extends CdcSink {
     }
     val version = s"v${System.currentTimeMillis()}"
     Files.createDirectories(dir(target))
-    next.write.mode("overwrite").parquet(dir(target).resolve(version).toString)
+    // configured layout (e.g. by tenant/date): partition pruning on
+    // reads of the materialized table at scale
+    val writer = partitioning.get(target) match {
+      case Some(cols) if cols.nonEmpty =>
+        next.write.mode("overwrite").partitionBy(cols: _*)
+      case _ => next.write.mode("overwrite")
+    }
+    writer.parquet(dir(target).resolve(version).toString)
     val tmp = dir(target).resolve("_LATEST.tmp")
     Files.write(tmp, version.getBytes)
     Files.move(tmp, pointer(target), StandardCopyOption.ATOMIC_MOVE,

@@ -31,8 +31,12 @@ object DedupOps {
 
   /** Exact pairwise Jaccard over shared shingles (only pairs that share
     * at least one shingle are ever materialized — the join key IS the
-    * shingle, so disjoint documents never meet). */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    * shingle, so disjoint documents never meet). The join/distinct key
+    * is the shingle's 64-bit hash, not the string: same counts (a
+    * collision needs ~2^32 distinct shingles to become likely), much
+    * cheaper shuffle. */
+  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val sh = shRaw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -102,6 +102,21 @@ class MaterializerSpec extends AnyFunSuite {
     assert(row("after") == Map("id" -> "7", "name" -> "gizmo"))
   }
 
+  test("configured partitioning lays the table out by the given columns") {
+    val root = java.nio.file.Files.createTempDirectory("graft-partstore").toString
+    val sink = new ParquetTableStore(spark, root,
+      partitioning = Map("customers" -> Seq("last_name")))
+    Materializer.applyBatch(toDf(Fixtures.goldenSequence), catalog,
+      Envelope.defaultRegistry, sink)
+    val v = sink.versions("customers").last
+    val dirs = new java.io.File(s"$root/customers/$v").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("last_name=Thomas", "last_name=Walker"))
+    // reads reconstruct the partition column
+    val ids = sink.read("customers").get.select("id").as[Int].collect().toSet
+    assert(ids == Set(1, 3))
+  }
+
   test("schema evolution: a column added in a later batch widens the table") {
     val sink = new ParquetTableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-evolve").toString)
