@@ -21,4 +21,18 @@ object Graft {
       .getOrCreate()
     s
   }
+
+  /** Register every corpus table of an sf directory as a temp view, so
+    * `spark.sql` answers ad-hoc queries over them. */
+  def registerCorpus(spark: SparkSession, dir: String): Unit =
+    views(spark, dir, "region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register the current state of CDC-materialized tables as temp
+    * views — the engine's replacement for the reference's "psql into
+    * the Postgres mirror" read path (e.g. the verification query
+    * /root/reference/README.md:131-134 runs verbatim via spark.sql). */
+  def registerMirror(spark: SparkSession, store: graft.cdc.ParquetTableStore,
+      tables: Seq[String]): Unit =
+    tables.foreach(t => store.read(t).foreach(_.createOrReplaceTempView(t)))
 }

@@ -16,9 +16,14 @@ import org.apache.spark.sql.streaming.Trigger
 object CdcReplay {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--stateful")) { statefulReplay(args(1)); return }
-    val inDir = args(0)
-    val storeDir = args(1)
-    val catalog = args.lift(2) match {
+    // positional args = everything before/outside the --sql flag pair
+    val sqlIdx = args.indexOf("--sql")
+    val positional =
+      if (sqlIdx < 0) args.toSeq
+      else args.toSeq.patch(sqlIdx, Nil, 2)
+    val inDir = positional(0)
+    val storeDir = positional(1)
+    val catalog = positional.lift(2) match {
       case Some(path) =>
         CdcCatalog.fromPropertiesString(
           new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
@@ -59,6 +64,15 @@ object CdcReplay {
     dlqTables.filter(_.isDirectory).foreach { t =>
       println(s"=== DLQ ${t.getName} ===")
       spark.read.json(t.toString).show(20, truncate = false)
+    }
+    // --sql "<query>": the read path — mirror tables as SQL views (the
+    // engine's psql-into-the-sink equivalent, README.md:131-134).
+    args.indexOf("--sql") match {
+      case i if i >= 0 && args.length > i + 1 =>
+        graft.Graft.registerMirror(spark, sink, tables.toSeq)
+        println(s"=== sql: ${args(i + 1)} ===")
+        spark.sql(args(i + 1)).show(100, truncate = false)
+      case _ => ()
     }
     spark.stop()
   }

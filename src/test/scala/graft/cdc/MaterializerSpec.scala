@@ -102,6 +102,21 @@ class MaterializerSpec extends AnyFunSuite {
     assert(row("after") == Map("id" -> "7", "name" -> "gizmo"))
   }
 
+  test("the reference's own verification query runs over the mirror via SQL") {
+    val sink = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlview").toString)
+    Materializer.applyBatch(toDf(Fixtures.goldenSequence), catalog,
+      Envelope.defaultRegistry, sink)
+    graft.Graft.registerMirror(spark, sink, Seq("customers"))
+    // /root/reference/README.md:131-134 — verbatim
+    val rows = spark.sql(
+      "SELECT id, first_name, last_name, email FROM customers ORDER BY id")
+      .as[(Int, String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      (1, "Sally", "Thomas", "sally.thomas@acme.com"),
+      (3, "Edward", "Walker", "ed.walker@walker.com")))
+  }
+
   test("configured partitioning lays the table out by the given columns") {
     val root = java.nio.file.Files.createTempDirectory("graft-partstore").toString
     val sink = new ParquetTableStore(spark, root,

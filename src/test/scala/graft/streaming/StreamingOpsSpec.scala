@@ -48,6 +48,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed sliding agg equals batch sliding aggregation") {
+    val got = runStream(StreamingOps.slidingAgg(_), "complete")
+      .select("ws", "n").as[(Timestamp, Long)].collect().toSet
+    val expected = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("ws"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Timestamp, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("streamed session windows match gap semantics across batches") {
     val batches = Seq(evs.take(3), evs.drop(3))
     val got = runStream(StreamingOps.sessionAgg(_), "complete", batches)
