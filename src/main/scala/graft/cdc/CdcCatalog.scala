@@ -18,7 +18,14 @@ import scala.jdk.CollectionConverters._
   */
 final case class CdcCatalog(
     pk: Map[String, Seq[String]],
-    rename: Map[String, String]) extends Serializable {
+    rename: Map[String, String],
+    topicsRegex: Option[String] = None) extends Serializable {
+
+  /** Kafka subscription pattern: `topics.regex` from the config
+    * (consumer config.properties:6), defaulting to the reference's
+    * two-table pattern shape. */
+  def subscribePattern: String =
+    topicsRegex.getOrElse("^[^.]+\\.[^.]+\\..+$")
 
   /** `pk.<db>.<table>` > `pk.<table>` > ["id"]. */
   def pkFor(db: String, table: String): Seq[String] = {
@@ -51,7 +58,7 @@ object CdcCatalog {
     val rename = entries.collect { case (k, v) if k.startsWith("map.") =>
       k.stripPrefix("map.").toLowerCase -> v.trim.toLowerCase
     }
-    CdcCatalog(pk, rename)
+    CdcCatalog(pk, rename, entries.get("topics.regex").map(_.trim))
   }
 
   def fromPropertiesString(content: String): CdcCatalog = {

@@ -45,6 +45,17 @@ class CdcCatalogSpec extends AnyFunSuite {
   test("non-pk/map keys ignored") {
     assert(!cat.pk.contains("other.key") && !cat.rename.contains("other.key"))
   }
+
+  test("topics.regex parsed; sensible default otherwise") {
+    val withRegex = CdcCatalog.fromPropertiesString(
+      """topics.regex=^[^.]+\.[^.]+\.(customers|orders)$""" + "\n")
+    // java.util.Properties consumes the backslash escapes — the same
+    // thing happens in the reference consumer, and the resulting
+    // pattern still matches the topics (an unescaped dot matches '.').
+    assert(withRegex.subscribePattern == """^[^.]+.[^.]+.(customers|orders)$""")
+    assert("mysql.app.customers".matches(withRegex.subscribePattern))
+    assert(cat.subscribePattern.nonEmpty) // default for configs without it
+  }
 }
 
 class UpsertSqlSpec extends AnyFunSuite {
