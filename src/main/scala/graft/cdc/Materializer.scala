@@ -1,7 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -10,12 +9,12 @@ import org.apache.spark.sql.types.StructType
   *
   * The reference gets ordering for free from single-threaded consumption
   * of one partition (SURVEY.md §2-A C2); Spark processes a whole
-  * micro-batch at once, so last-writer-wins must be made explicit: one
-  * window per (db, table, pk) ordered by Kafka offset descending, keep
-  * row 1. Debezium keys records by PK, so a key is sticky to one Kafka
-  * partition and offset order IS the key's change order — the compaction
-  * is exact, not heuristic, and it shuffles each batch once by the same
-  * key the sink merges on.
+  * micro-batch at once, so last-writer-wins must be made explicit: a
+  * max_by(offset) aggregation per (db, table, pk). Debezium keys
+  * records by PK, so a key is sticky to one Kafka partition and offset
+  * order IS the key's change order — the compaction is exact, not
+  * heuristic, and it shuffles each batch once by the same key the sink
+  * merges on.
   */
 object Materializer {
 
