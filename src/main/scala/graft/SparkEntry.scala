@@ -15,7 +15,7 @@ object SparkEntry {
   private def modules: Seq[QDef] =
     Relational.defs ++ Windows.defs ++ Scalars.defs ++
       TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++ Temporal.defs ++
-      Multimodal.defs ++ UdfSurface.defs ++ Advanced.defs ++ PointInTime.defs ++
+      Multimodal.defs ++ UdfSurface.defs ++ Advanced.defs ++ PointInTime.defs ++ PipelineOps.defs ++
       Coverage2.defs
 
   /** Flagship query (TPC-H Q3 shape) on sf=0.001; driver smoke-checks rows>0. */
