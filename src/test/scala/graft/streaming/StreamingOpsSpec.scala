@@ -124,6 +124,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streamed sessions over the real corpus equal batch sessionization") {
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = graft.table(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val (first, second) = corpus.splitAt(corpus.length / 2)
+    val got = runStream(StreamingOps.sessionAgg(_), "complete",
+      Seq(first.toSeq, second.toSeq))
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val expected = corpus.toSeq.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.size > 100) // real corpus: many sessions
+  }
+
   test("running counts update across micro-batches") {
     val got = runStream(StreamingOps.runningCounts(_), "complete",
       Seq(evs.take(3), evs.drop(3)))
