@@ -122,5 +122,43 @@ object TextOps {
       table(s, dir, "documents").select(
         col("doc_id"), expr(rollingHashExpr).as("roll_hash"))
     },
+
+    // Corpus token-frequency table (top 100): tokenize → count → top-k.
+    QDef("q_text_wordcount",
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(100)
+    },
+
+    // Redaction/scrubbing pass: mask email-shaped and long-digit tokens
+    // (the PII-scrub step of a training pipeline; patterns chosen to be
+    // regex-dialect-portable).
+    QDef("q_text_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("scrubbed"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z0-9._]+@[a-z0-9.-]+"), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit("[0-9]{6,}"), lit(0))).cast("long").as("n_longnums"))
+    },
   )
 }
