@@ -35,7 +35,7 @@ object Materializer {
       df.withColumn(s"_k_$p",
         coalesce(col("after").getItem(p), col("before").getItem(p)))
     }
-    val payload = struct(decoded.columns.map(col): _*)
+    val payload = struct(decoded.columns.toIndexedSeq.map(col): _*)
     keyed
       .groupBy(col("db") +: col("table") +: pks.map(p => col(s"_k_$p")): _*)
       .agg(max_by(payload, col("offset")).as("_r"))

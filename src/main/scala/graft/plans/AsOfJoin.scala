@@ -35,7 +35,7 @@ object AsOfJoin {
     import org.apache.spark.sql.expressions.Window
     val joined = left.join(right,
       left(leftKey) === right(rightKey) && right(rightTime) <= left(leftTime))
-    val w = Window.partitionBy(left.columns.map(left(_)): _*)
+    val w = Window.partitionBy(left.columns.toIndexedSeq.map(left(_)): _*)
       .orderBy(right(rightTime).desc, right(tieBreak).desc)
     joined.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
@@ -55,13 +55,13 @@ object AsOfJoin {
     val l = left.select(
       col(leftKey).cast("long").as("_k"), col(leftTime).as("_t"),
       lit(1).as("_tag"), lit(0L).as("_tie"),
-      struct(left.columns.map(col): _*).as("_lp"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_lp"),
       lit(null).cast(StructType(rightCols)).as("_rp"))
     val r = right.select(
       col(rightKey).cast("long").as("_k"), col(rightTime).as("_t"),
       lit(0).as("_tag"), col(tieBreak).cast("long").as("_tie"),
       lit(null).cast(StructType(leftCols)).as("_lp"),
-      struct(right.columns.map(col): _*).as("_rp"))
+      struct(right.columns.toIndexedSeq.map(col): _*).as("_rp"))
 
     val swept = l.unionByName(r)
       .repartition(col("_k"))
