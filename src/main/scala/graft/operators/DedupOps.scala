@@ -106,6 +106,39 @@ object DedupOps {
       call_function("simhash64", split(trim(col("text")), " ")).as("simhash"))
   }
 
+  /** Connected components over duplicate pairs by iterative min-label
+    * propagation: each iteration is one join + one aggregation (both
+    * keyed shuffles), converging in O(component diameter) rounds —
+    * near-dup components are shallow (dozens of docs), so 3-5 rounds
+    * in practice. The DataFrame-only CC that works at corpus scale;
+    * at very large scale add checkpointing every few rounds to cut
+    * lineage. Returns (doc_id, canonical) with canonical = min doc_id
+    * of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("canonical", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("canonical"))
+      val next = labels.unionByName(propagated)
+        .groupBy("id").agg(min(col("canonical")).as("canonical"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("canonical", "prev"), "id")
+        .filter(col("canonical") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("canonical"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup: keep the lowest doc_id per normalized-content hash.
@@ -181,6 +214,14 @@ object DedupOps {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
+    },
+
+    // Duplicate clusters: pairs → connected components → canonical doc
+    // per component (the "keep one per cluster" step after pair
+    // finding). Iterative fixpoint → rows-only check; DedupSimSpec
+    // verifies against a union-find reference.
+    QDef.noOracle("q_dedup_clusters") { (s, dir) =>
+      connectedComponents(jaccardPairs(shingles(table(s, dir, "documents")), 0.8))
     },
 
     // Embedding-cosine near-dup over bounded id-bands (oracle anchor;

@@ -60,6 +60,38 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@10 $recall too low")
   }
 
+  test("connected components: chains collapse to the min-id canonical") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("d1", "d2")
+    val cc = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters on the corpus match a union-find reference") {
+    val pairs = SparkEntry_jaccardPairs()
+    val got = graft.SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // union-find reference over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+      .map { case (k, _) => k -> find(k) }
+    assert(got == expected)
+  }
+
+  private def SparkEntry_jaccardPairs(): Seq[(Long, Long)] =
+    graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+
   test("rolling hash matches a sequential reference implementation") {
     val got = graft.SparkEntry.queries("q_text_rollhash")(spark, sfDir)
       .filter(col("doc_id") < 5).as[(Long, Long)].collect().toMap
