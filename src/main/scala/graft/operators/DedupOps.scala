@@ -115,13 +115,20 @@ object DedupOps {
     * lineage. Returns (doc_id, canonical) with canonical = min doc_id
     * of the component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // cache the pair source first: both branches of the edge union read
+    // it, and pair-finding is the expensive part of the composition
+    val p = pairs.cache()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("canonical", col("id")).cache()
     var iter = 0
     var converged = false
+    // convergence via Σ canonical: min-label propagation only ever
+    // lowers labels, so an unchanged sum IS the fixpoint — one cheap
+    // aggregation per round instead of a full label-diff join
+    var prevSum = Long.MinValue
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
@@ -129,13 +136,15 @@ object DedupOps {
       val next = labels.unionByName(propagated)
         .groupBy("id").agg(min(col("canonical")).as("canonical"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("canonical", "prev"), "id")
-        .filter(col("canonical") =!= col("prev")).isEmpty
+      val s = next.agg(sum(col("canonical"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as("doc_id"), col("canonical"))
   }
 
