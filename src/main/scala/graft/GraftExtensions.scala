@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{MinHashSignature, SimHash64, VectorDot}
 
-/** Session extension point: `SparkSession.builder()
+/** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
   * `--conf spark.sql.extensions=graft.GraftExtensions`) registers the
   * engine's native expressions in every session — no per-session

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Per-row text-hashing expressions.
+/** Per-row text-hashing expressions (SURVEY.md §2-B text/dedup rows).
   *
   * SimHash and MinHash are pure functions of one document's token
   * array, so they belong in the scan, not in an explode + 64-column

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for the similarity hot path.
+/** Native Catalyst expression for the similarity hot path (SURVEY.md §4
+  * names cosine similarity as the one perf-justified custom expression).
   *
   * Spark's higher-order functions (`zip_with`, `aggregate`) are
   * CodegenFallback: the lambda is interpreted per element and an

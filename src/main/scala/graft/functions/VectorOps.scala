@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType(FloatType)` embedding columns, backed by
+/** Vector math (SURVEY.md §2-B similarity row) over `ArrayType(FloatType)` embedding columns, backed by
   * the codegen'd `vec_dot` Catalyst expression (VectorExpressions) — a
   * tight primitive loop inside whole-stage codegen, no UDF and no
   * interpreted higher-order function in the hot path.

@@ -3,7 +3,9 @@ package graft.operators
 import graft._
 import org.apache.spark.sql.functions._
 
-/** Advanced relational surface: subqueries (scalar, IN, correlated
+/** Advanced relational surface (SURVEY.md §2-B joins/aggregations rows;
+  * the reference's own read path is plain SQL over its mirror,
+  * /root/reference/README.md:131-134): subqueries (scalar, IN, correlated
   * EXISTS — Catalyst rewrites them into joins), percentiles, ordered
   * string/list aggregation, pivot, NULL-handling functions, and two
   * classic TPC-H-shaped multi-join aggregations.

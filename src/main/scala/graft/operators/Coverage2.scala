@@ -4,7 +4,7 @@ import graft._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Second coverage wave: string functions II, analytic window
+/** Second coverage wave (SURVEY.md §2-B scalar/window rows): string functions II, analytic window
   * functions, fixed-width histograms, bitwise ops, unpivot, and date
   * parts — still all codegen'd built-ins.
   */

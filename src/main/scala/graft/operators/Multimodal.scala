@@ -3,7 +3,8 @@ package graft.operators
 import graft._
 import org.apache.spark.sql.functions._
 
-/** Multimodal columns: image/audio/video as opaque BINARY columns with
+/** Multimodal columns (training-data extension surface, SURVEY.md §2-B
+  * adjacency): image/audio/video as opaque BINARY columns with
   * typed metadata, processed by a pluggable decoder over
   * `Dataset.mapPartitions` (the Scala analogue of `mapInPandas`: one
   * decoder instance per partition, streaming batches of rows, never a

@@ -3,7 +3,8 @@ package graft.operators
 import graft._
 import org.apache.spark.sql.functions._
 
-/** Dataset-preparation operators a training pipeline runs between raw
+/** Dataset-preparation operators (the training-data extension surface
+  * declared alongside SURVEY.md §2-B) a training pipeline runs between raw
   * corpus and model input: quality filtering, deterministic train/test
   * splitting, label-distribution statistics, referential integrity
   * checks, and stratified sampling.
