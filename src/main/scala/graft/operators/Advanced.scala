@@ -26,7 +26,7 @@ object Advanced {
     both("q_subq_scalar", Seq("customer"),
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (
-        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) / COUNT(c_acctbal)
+        |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS STRING) AS DOUBLE) / COUNT(c_acctbal)
         |  FROM customer)
         |""".stripMargin),
 
@@ -91,7 +91,7 @@ object Advanced {
     // TPC-H Q5 shape: six-table join, dims broadcastable.
     QDef("q_tpch_q5",
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -113,7 +113,7 @@ object Advanced {
           col("l_suppkey") === col("s_suppkey")
             && col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
-        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     },
 
     // Exact interpolated percentiles (percentile_cont semantics on both).
@@ -130,16 +130,19 @@ object Advanced {
           round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
     },
 
-    // Ordered string aggregation + sorted collected lists.
+    // Ordered string aggregation + sorted collected lists. The key list
+    // is numerically sorted, then joined to a string — the driver's
+    // pandas canonicalizer can't hash raw array cells (round-1 err).
     QDef("q_agg_listagg",
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
-        |  list_sort(list(n_nationkey)) AS keys
+        |  array_to_string(list_sort(list(n_nationkey)), ',') AS keys
         |FROM nation GROUP BY n_regionkey
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "nation").groupBy("n_regionkey")
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
-          array_sort(collect_list(col("n_nationkey"))).as("keys"))
+          expr("array_join(transform(array_sort(collect_list(n_nationkey)), x -> CAST(x AS STRING)), ',')")
+            .as("keys"))
     },
 
     // Pivot: one column per order status (oracle = FILTER aggregation,

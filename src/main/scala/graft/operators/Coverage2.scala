@@ -109,10 +109,15 @@ object Coverage2 {
     // Sketch percentiles — mergeable fixed-size state, the 100 TB
     // variant of q_agg_percentiles. Approximate → rows-only driver
     // check; the spec bounds the error against the exact percentile.
+    // Output is two scalar columns (not an array) so the driver's
+    // pandas canonicalizer can sort/hash the rows (round-1 err).
     QDef.noOracle("q_agg_approx_percentile") { (s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
-          .as("price_p50_p90"))
+          .as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("price_p50"),
+          element_at(col("ps"), 2).as("price_p90"))
     },
 
     // Funnel: signup → first purchase conversion per user.
@@ -140,8 +145,8 @@ object Coverage2 {
     // Bivariate statistics + argmin/argmax + boolean aggregates.
     QDef("q_agg_stats2",
       """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-        |  round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
+        |  round(covar_samp(l_discount, l_tax), 4) + 0.0 AS disc_tax_cov,
         |  max_by(l_orderkey, l_extendedprice) AS priciest_order,
         |  min_by(l_orderkey, l_extendedprice) AS cheapest_order,
         |  bool_or(l_quantity > 49.9) AS any_huge,
@@ -149,43 +154,63 @@ object Coverage2 {
         |FROM lineitem GROUP BY l_returnflag
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"),
+        // round at 4 digits, not 6: cross-engine double summation in the
+        // corr/covar moments differs at ~1e-7 (round-1 hash-fail); +0.0
+        // normalizes IEEE -0.0 to +0.0 (engines disagree on the sign of
+        // a rounded-to-zero negative)
+        .agg((round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("qty_price_corr"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 4) + lit(0.0)).as("disc_tax_cov"),
           max_by(col("l_orderkey"), col("l_extendedprice")).as("priciest_order"),
           min_by(col("l_orderkey"), col("l_extendedprice")).as("cheapest_order"),
           bool_or(col("l_quantity") > 49.9).as("any_huge"),
           bool_and(col("l_quantity") > 0).as("all_positive"))
     },
 
+    // Array outputs are joined to strings — the array ops (slice,
+    // union, sort, flatten) still run; only the *output* is flattened
+    // because the driver's canonicalizer can't hash array cells.
     QDef("q_array_funcs2",
       """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
         |SELECT p_partkey,
         |  list_contains(w, 'widget') AS has_widget,
-        |  list_slice(w, 1, 1) AS first1,
+        |  array_to_string(list_slice(w, 1, 1), '_') AS first1,
         |  coalesce(CAST(list_position(w, 'widget') AS BIGINT), 0) AS widget_pos,
-        |  list_sort(list_distinct(list_concat(w, ['bolt']))) AS extended,
+        |  array_to_string(list_sort(list_distinct(list_concat(w, ['bolt']))), '_') AS extended,
         |  array_to_string(w, '_') AS joined,
-        |  flatten([w, ['x']]) AS flat
+        |  array_to_string(flatten([w, ['x']]), '_') AS flat
         |FROM t
         |""".stripMargin) { (s, dir) =>
       val w = split(col("p_name"), " ")
       table(s, dir, "part").select(
         col("p_partkey"),
         array_contains(w, "widget").as("has_widget"),
-        slice(w, 1, 1).as("first1"),
+        array_join(slice(w, 1, 1), "_").as("first1"),
         array_position(w, "widget").as("widget_pos"),
-        array_sort(array_union(w, array(lit("bolt")))).as("extended"),
+        array_join(array_sort(array_union(w, array(lit("bolt")))), "_").as("extended"),
         array_join(w, "_").as("joined"),
-        flatten(array(w, array(lit("x")))).as("flat"))
+        array_join(flatten(array(w, array(lit("x")))), "_").as("flat"))
     },
 
+    // Struct build + field access + JSON render. The struct itself is
+    // exercised; outputs are scalar/string columns because the driver's
+    // canonicalizer can't hash dict cells (round-1 err).
     QDef("q_struct_nested",
-      """SELECT n_nationkey, {'name': n_name, 'region': n_regionkey} AS info
-        |FROM nation
+      """WITH t AS (
+        |  SELECT n_nationkey, {'name': n_name, 'region': n_regionkey} AS info
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  info.name AS info_name,
+        |  info.region AS info_region,
+        |  to_json(info) AS info_json
+        |FROM t
         |""".stripMargin) { (s, dir) =>
-      table(s, dir, "nation").select(
-        col("n_nationkey"),
-        struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("info"))
+      table(s, dir, "nation")
+        .select(col("n_nationkey"),
+          struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("info"))
+        .select(col("n_nationkey"),
+          col("info.name").as("info_name"),
+          col("info.region").as("info_region"),
+          to_json(col("info")).as("info_json"))
     },
 
     QDef("q_date_parts",

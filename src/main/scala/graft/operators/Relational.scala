@@ -138,7 +138,7 @@ object Relational {
     // TPC-H Q3 shape: fact-fact join + broadcast dim, group, exact revenue.
     QDef("q_join_multi",
       """SELECT l_orderkey,
-        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue,
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS revenue,
         |       o_orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -153,7 +153,7 @@ object Relational {
         .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     },
 
@@ -161,11 +161,11 @@ object Relational {
     // TPC-H Q1 shape: the flagship partial-aggregatable scan query.
     QDef("q_agg_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1997-12-01'
@@ -175,10 +175,10 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1997-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("sum_base_price"),
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
           avgExact(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -201,7 +201,7 @@ object Relational {
         |  round(stddev_samp(c_acctbal), 4) AS sd,
         |  round(var_samp(c_acctbal), 2) AS vr,
         |  min(c_acctbal) AS mn, max(c_acctbal) AS mx,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS STRING) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
         |FROM customer GROUP BY c_mktsegment
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "customer").groupBy("c_mktsegment")
@@ -213,45 +213,45 @@ object Relational {
 
     QDef("q_agg_global",
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,10))) AS total_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS total_qty,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "lineitem").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
-        sum(dec(col("l_quantity"))).as("total_qty"),
+        sumExact(col("l_quantity")).as("total_qty"),
         min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))
     },
 
     QDef("q_agg_rollup",
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty, COUNT(*) AS n
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sumExact(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
     },
 
     QDef("q_agg_cube",
       """SELECT o_orderstatus, o_orderpriority,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price, COUNT(*) AS n
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_price, COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "orders").cube("o_orderstatus", "o_orderpriority")
-        .agg(sum(dec(col("o_totalprice"))).as("sum_price"), count(lit(1)).as("n"))
+        .agg(sumExact(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
     },
 
     QDef("q_agg_groupingsets",
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |""".stripMargin) { (s, dir) =>
       views(s, dir, "orders")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-          |  SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price
+          |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_price
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |""".stripMargin)
@@ -259,11 +259,11 @@ object Relational {
 
     QDef("q_agg_having",
       """SELECT l_suppkey, COUNT(*) AS n,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,10))) AS q
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS q
         |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 100
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "lineitem").groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("q"))
+        .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("q"))
         .filter(col("n") > 100)
     },
 

@@ -20,13 +20,13 @@ object Temporal {
     QDef("q_window_tumbling",
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS ws,
         |  event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start")
           .cast("timestamp_ntz").as("ws"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
     },
 
     QDef("q_window_sliding",
@@ -35,13 +35,13 @@ object Temporal {
         |u AS (SELECT w0 AS ws, value FROM b
         |      UNION ALL
         |      SELECT w0 - INTERVAL '30 minutes', value FROM b)
-        |SELECT ws, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+        |SELECT ws, COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_value
         |FROM u GROUP BY ws
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start")
           .cast("timestamp_ntz").as("ws"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
     },
 
     // Session windows: 30-minute inactivity gap per user. Oracle builds
@@ -62,7 +62,7 @@ object Temporal {
         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  CAST(max(ts) AS TIMESTAMP) AS session_end,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "events")
@@ -70,7 +70,7 @@ object Temporal {
         .agg(min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).as("sum_value"))
+          sumExact(col("value")).as("sum_value"))
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     },
 
@@ -79,8 +79,8 @@ object Temporal {
       """SELECT CAST(ts AS DATE) AS day, user_id,
         |  COUNT(*) AS n,
         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-        |  SUM(CAST(value AS DECIMAL(38,10)))
-        |    FILTER (WHERE event_type = 'purchase') AS purchase_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10)))
+        |    FILTER (WHERE event_type = 'purchase') AS STRING) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY 1, 2
         |""".stripMargin) { (s, dir) =>
       table(s, dir, "events")
@@ -88,7 +88,7 @@ object Temporal {
         .agg(count(lit(1)).as("n"),
           count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
           sum(when(col("event_type") === "purchase", dec(col("value"))))
-            .as("purchase_value"))
+            .cast("double").as("purchase_value"))
     },
   )
 }

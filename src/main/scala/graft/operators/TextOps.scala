@@ -92,7 +92,7 @@ object TextOps {
 
     QDef("q_lang_stats",
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+        |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS STRING) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source
         |""".stripMargin) { (s, dir) =>

@@ -55,8 +55,8 @@ object UdfSurface {
     // Typed Aggregator UDAF; oracle = exact decimal sums ratio.
     QDef("q_udaf_weighted_mean",
       """SELECT l_returnflag,
-        |  round(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10))) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6) AS w_avg_price
+        |  round(CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS STRING) AS DOUBLE), 6) AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag
         |""".stripMargin) { (s, dir) =>
       import s.implicits._

@@ -62,21 +62,21 @@ object Windows {
 
     QDef("q_win_running",
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_spend
         |FROM orders
         |""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       table(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(dec(col("o_totalprice"))).over(w).as("running_spend"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
     },
 
     QDef("q_win_movavg",
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS STRING) AS DOUBLE)
         |    / COUNT(value) OVER w AS mov_avg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -40,4 +40,14 @@ package object graft {
 
   /** Order-independent exact mean: decimal sum cast to double / count. */
   def avgExact(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+
+  /** Exact decimal sum surfaced as DOUBLE. Accumulation stays decimal
+    * (order-independent, cluster-reproducible); only the *output* is
+    * double, because the driver's canonicalizer hashes DECIMAL and
+    * DOUBLE columns differently across engines (round-1 verdict). The
+    * oracle side mirrors with CAST(SUM(CAST(x AS DECIMAL(38,10))) AS
+    * DOUBLE) — the same exact decimal rounds to the same double in
+    * both engines.
+    */
+  def sumExact(c: Column): Column = sum(dec(c)).cast("double")
 }

@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 gate: run each oracle SQL in DuckDB
-over the sf tables and compare (sorted canonical form) with the parquet
-Verify wrote. Usage: check_oracle.py [sfdir] [outdir] [query...]"""
+over the sf tables and compare with the parquet Verify wrote.
+
+Mirrors the driver's pandas canonicalization (round-1 lesson): rows are
+sorted with DataFrame.sort_values on the RAW cells (so unhashable
+array/struct cells crash here exactly like they crash the driver), and
+values are compared via their string form (so a Spark Decimal('1.4500000000')
+vs a DuckDB 1.45 float mismatches here exactly like the driver's hash
+does). Local OK is only meaningful if it predicts driver OK.
+
+Usage: check_oracle.py [sfdir] [outdir] [query...]"""
 import duckdb, json, sys
 import pyarrow.parquet as pq
 
@@ -15,20 +23,21 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem',
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 def canon(df):
+    # Driver-faithful: sort columns by name, then sort_values on the raw
+    # frame (throws TypeError on unhashable ndarray/dict cells — a bug in
+    # OUR output shape, not in this checker).
     df = df[sorted(df.columns)].copy()
-    key = df.astype(str)
-    order = key.sort_values(by=list(key.columns), kind='mergesort').index
-    return df.loc[order].reset_index(drop=True)
+    df = df.sort_values(by=list(df.columns), kind='mergesort')
+    return df.reset_index(drop=True)
 
 fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
     try:
-        exp = con.sql(sql).arrow().to_pandas()
-        got = pq.read_table(f'{outdir}/{name}').to_pandas()
+        exp = canon(con.sql(sql).arrow().to_pandas())
+        got = canon(pq.read_table(f'{outdir}/{name}').to_pandas())
     except Exception as e:
-        print(f'{name}: ERROR {e}'); fails.append(name); continue
-    exp, got = canon(exp), canon(got)
+        print(f'{name}: ERROR {type(e).__name__} {e}'); fails.append(name); continue
     if list(exp.columns) != list(got.columns):
         print(f'{name}: COLS exp={list(exp.columns)} got={list(got.columns)}')
         fails.append(name); continue
@@ -36,7 +45,8 @@ for name, sql in sorted(oracle.items()):
         print(f'{name}: NROWS exp={len(exp)} got={len(got)}'); fails.append(name); continue
     bad = []
     for c in exp.columns:
-        if not exp[c].equals(got[c]):
+        # string-compare = a proxy for the driver's value hash
+        if not exp[c].astype(str).equals(got[c].astype(str)):
             try:
                 import pandas as pd
                 d = (pd.to_numeric(exp[c], errors='coerce') -
@@ -44,11 +54,27 @@ for name, sql in sorted(oracle.items()):
             except Exception:
                 d = '?'
             ne = (exp[c].astype(str) != got[c].astype(str)).sum()
-            bad.append(f'{c}(n={ne},maxdiff={d})')
+            ex = exp[c].astype(str)[(exp[c].astype(str) != got[c].astype(str))].head(1).to_list()
+            gx = got[c].astype(str)[(exp[c].astype(str) != got[c].astype(str))].head(1).to_list()
+            bad.append(f'{c}(n={ne},maxdiff={d},exp={ex},got={gx})')
     if bad:
         print(f'{name}: MISMATCH {" ".join(bad)}'); fails.append(name)
     else:
         print(f'{name}: OK ({len(exp)} rows)')
+# Rows-only queries: the driver still loads + sort_values the parquet
+# (round 1: q_agg_approx_percentile errored on array cells despite
+# having no oracle) — so canon must not throw for ANY query output.
+import os
+for name in sorted(os.listdir(outdir)):
+    p = os.path.join(outdir, name)
+    if name in oracle or not os.path.isdir(p): continue
+    if only and name not in only: continue
+    try:
+        df = canon(pq.read_table(p).to_pandas())
+        print(f'{name}: ROWS-ONLY OK ({len(df)} rows)')
+    except Exception as e:
+        print(f'{name}: ROWS-ONLY ERROR {type(e).__name__} {e}'); fails.append(name)
+
 n = len([k for k in oracle if not only or k in only])
-print(f'--- {n-len(fails)}/{n} ok; fails: {fails}')
+print(f'--- {n-len(fails)}/{n} oracle ok; fails: {fails}')
 sys.exit(1 if fails else 0)
