@@ -35,15 +35,35 @@ object Bench {
       .foreach(t => table(spark, sfDir, t).limit(1).count())
     SparkEntry.queries.get("q_agg_pricing").foreach(_(spark, sfDir).count())
 
+    // SPARK_GRAFT_BENCH_RUNS>1 → per-query median over N runs (dedup
+    // heavies show ±2s JIT variance on a single run; medians make
+    // round-over-round comparisons meaningful).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val timings = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val median = timings.map(_._1).sorted.apply(timings.size / 2)
+      (name, median, timings.forall(_._2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a crashed query must be visible in the bench JSON, not silently
+    // folded into a small wall-time (round-1 advice)
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture upstream truncates long lines; keep the full JSON
+    // on disk next to the repo for round-over-round diffing
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      line.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -72,26 +72,38 @@ object JdbcUpsertSink {
     try { conn.setAutoCommit(false); f(conn) } finally conn.close()
   }
 
+  // Identifier whitelist: values are parameterized but identifiers are
+  // interpolated, and with schema inference enabled column names come
+  // from untrusted CDC JSON keys — a crafted envelope key must fail
+  // fast here, never reach the sink database as SQL.
+  private val Ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  private def ident(name: String): String = {
+    val lc = name.toLowerCase
+    require(Ident.matches(lc), s"illegal SQL identifier: '$name'")
+    lc
+  }
+
   /** `INSERT INTO t (cols) VALUES (?…) ON CONFLICT (pks) DO UPDATE SET
     * col=EXCLUDED.col…`; all-PK tables degenerate to a no-op
     * self-assignment (reference :222-232). Identifiers lowercased
-    * (reference :210). */
+    * (reference :210) and validated against `[A-Za-z_][A-Za-z0-9_]*`. */
   def upsertSql(target: String, cols: Seq[String], pks: Seq[String]): String = {
-    val lc = cols.map(_.toLowerCase)
-    val lpk = pks.map(_.toLowerCase)
+    val lc = cols.map(ident)
+    val lpk = pks.map(ident)
     val nonPk = lc.filterNot(lpk.contains)
     val sets =
       if (nonPk.isEmpty) lpk.map(c => s"$c = EXCLUDED.$c")
       else nonPk.map(c => s"$c = EXCLUDED.$c")
-    s"INSERT INTO ${target.toLowerCase} (${lc.mkString(", ")}) " +
+    s"INSERT INTO ${ident(target)} (${lc.mkString(", ")}) " +
       s"VALUES (${lc.map(_ => "?").mkString(", ")}) " +
       s"ON CONFLICT (${lpk.mkString(", ")}) DO UPDATE SET ${sets.mkString(", ")}"
   }
 
   /** `DELETE FROM t WHERE pk1 = ? AND pk2 = ?…` (reference :234-253). */
   def deleteSql(target: String, pks: Seq[String]): String =
-    s"DELETE FROM ${target.toLowerCase} WHERE " +
-      pks.map(p => s"${p.toLowerCase} = ?").mkString(" AND ")
+    s"DELETE FROM ${ident(target)} WHERE " +
+      pks.map(p => s"${ident(p)} = ?").mkString(" AND ")
 }
 
 /** Driver-memory sink for tests and interactive inspection: the

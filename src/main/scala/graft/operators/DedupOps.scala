@@ -110,11 +110,12 @@ object DedupOps {
     * propagation: each iteration is one join + one aggregation (both
     * keyed shuffles), converging in O(component diameter) rounds —
     * near-dup components are shallow (dozens of docs), so 3-5 rounds
-    * in practice. The DataFrame-only CC that works at corpus scale;
-    * at very large scale add checkpointing every few rounds to cut
-    * lineage. Returns (doc_id, canonical) with canonical = min doc_id
-    * of the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * in practice. Every third round the labels are localCheckpoint'd:
+    * without it the plan lineage doubles per round and Catalyst
+    * re-analysis dominates after ~10 rounds (long-chain components).
+    * Returns (doc_id, canonical) with canonical = min doc_id of the
+    * component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // cache the pair source first: both branches of the edge union read
     // it, and pair-finding is the expensive part of the composition
     val p = pairs.cache()
@@ -133,10 +134,13 @@ object DedupOps {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("canonical"))
-      val next = labels.unionByName(propagated)
+      val merged = labels.unionByName(propagated)
         .groupBy("id").agg(min(col("canonical")).as("canonical"))
-        .cache()
-      val s = next.agg(sum(col("canonical"))).head().getLong(0)
+      // truncate lineage every 3 rounds; plain cache in between
+      val next =
+        if (iter % 3 == 2) merged.localCheckpoint() else merged.cache()
+      // coalesce: an empty pair set yields sum(NULL) — converge, don't NPE
+      val s = next.agg(coalesce(sum(col("canonical")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       labels.unpersist()

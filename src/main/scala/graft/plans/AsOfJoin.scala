@@ -50,15 +50,24 @@ object AsOfJoin {
     val rightCols = right.schema.fields
     val outSchema = StructType(leftCols ++ rightCols.map(_.copy(nullable = true)))
 
+    // The join key keeps its native type through the shuffle/sort/sweep.
+    // A silent cast (e.g. to LONG) would turn a string key into NULL for
+    // every row and collapse all keys into one sweep group — fail fast
+    // on mismatched key types instead.
+    val lkt = left.schema(leftKey).dataType
+    val rkt = right.schema(rightKey).dataType
+    require(lkt == rkt,
+      s"as-of join key types differ: $leftKey is $lkt, $rightKey is $rkt")
+
     // Tagged union: key, time, tag (right=0 sorts before left=1 at equal
     // time → "time ≤ t" is inclusive), tie, then both payloads.
     val l = left.select(
-      col(leftKey).cast("long").as("_k"), col(leftTime).as("_t"),
+      col(leftKey).as("_k"), col(leftTime).as("_t"),
       lit(1).as("_tag"), lit(0L).as("_tie"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("_lp"),
       lit(null).cast(StructType(rightCols)).as("_rp"))
     val r = right.select(
-      col(rightKey).cast("long").as("_k"), col(rightTime).as("_t"),
+      col(rightKey).as("_k"), col(rightTime).as("_t"),
       lit(0).as("_tag"), col(tieBreak).cast("long").as("_tie"),
       lit(null).cast(StructType(leftCols)).as("_lp"),
       struct(right.columns.toIndexedSeq.map(col): _*).as("_rp"))

@@ -77,4 +77,18 @@ class UpsertSqlSpec extends AnyFunSuite {
     assert(JdbcUpsertSink.deleteSql("T", Seq("a", "B")) ==
       "DELETE FROM t WHERE a = ? AND b = ?")
   }
+
+  test("identifiers from untrusted envelope keys are validated, not interpolated") {
+    // with inferUnknown=true, column names come from CDC JSON keys — a
+    // crafted key must throw, never reach the sink DB as SQL
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.upsertSql("t", Seq("id", "x; DROP TABLE t; --"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.upsertSql("t\" (x) VALUES (1); --", Seq("id"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.deleteSql("t", Seq("id = 1 OR 1=1; --"))
+    }
+  }
 }

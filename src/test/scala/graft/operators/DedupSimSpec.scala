@@ -69,6 +69,21 @@ class DedupSimSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: empty pair set yields empty labels, no NPE") {
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(DedupOps.connectedComponents(pairs).count() == 0L)
+  }
+
+  test("connected components: 30-node chain converges (checkpointed lineage)") {
+    // diameter-29 path: single-step min-label propagation needs ~29
+    // rounds — catches both a too-small maxIter and lineage blowup
+    // (pre-checkpoint, planning time doubled per round)
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val cc = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 30 && cc.values.forall(_ == 1L))
+  }
+
   test("dedup clusters on the corpus match a union-find reference") {
     val pairs = SparkEntry_jaccardPairs()
     val got = graft.SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
