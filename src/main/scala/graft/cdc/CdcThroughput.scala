@@ -71,6 +71,35 @@ object CdcThroughput {
     Materializer.applyBatch(raw.limit(1000), catalog,
       Envelope.defaultRegistry, new CountingSink)
 
+    // incr: seed the store with the full corpus once, then time K small
+    // batches against it — the case the bucket-scoped merge exists for
+    // (a micro-batch touching few keys must not pay O(table)).
+    if (mode == "incr") {
+      // 1024 buckets: a 100-key micro-batch touches ≤100 buckets, so
+      // the merge reads/rewrites ≤10% of the table instead of all of
+      // it — the per-batch-cost-∝-batch property the store exists for.
+      val store = new ParquetTableStore(spark,
+        java.nio.file.Files.createTempDirectory("cdc-tp-incr").toString,
+        nBuckets = 1024)
+      Materializer.applyBatch(raw, catalog, Envelope.defaultRegistry, store)
+      val batches = 10
+      val perBatch = 100
+      // pre-materialize the micro-batches so timing measures the store
+      // merge, not re-generation of the 2M-row synthetic source
+      val smalls = (0 until batches).map { i =>
+        val rows = raw.filter(col("offset") >= i.toLong * perBatch &&
+          col("offset") < (i + 1).toLong * perBatch).collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 4), raw.schema)
+      }
+      val t0 = System.nanoTime()
+      smalls.foreach(small =>
+        Materializer.applyBatch(small, catalog, Envelope.defaultRegistry, store))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"cdc_incr_batch","table_rows":$n,"batches":$batches,"changes_per_batch":$perBatch,"sec_per_batch":${sec / batches}%.2f}""")
+      spark.stop(); return
+    }
+
     val sink: CdcSink = mode match {
       case "store" => new ParquetTableStore(spark,
         java.nio.file.Files.createTempDirectory("cdc-tp").toString)

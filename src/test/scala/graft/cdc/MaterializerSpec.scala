@@ -123,13 +123,47 @@ class MaterializerSpec extends AnyFunSuite {
       partitioning = Map("customers" -> Seq("last_name")))
     Materializer.applyBatch(toDf(Fixtures.goldenSequence), catalog,
       Envelope.defaultRegistry, sink)
+    // configured columns nest inside the key-hash buckets
     val v = sink.versions("customers").last
-    val dirs = new java.io.File(s"$root/customers/$v").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+    val dirs = sink.manifest("customers", v).values
+      .flatMap(p => new java.io.File(p).listFiles()
+        .filter(_.isDirectory).map(_.getName)).toSet
     assert(dirs == Set("last_name=Thomas", "last_name=Walker"))
     // reads reconstruct the partition column
     val ids = sink.read("customers").get.select("id").as[Int].collect().toSet
     assert(ids == Set(1, 3))
+  }
+
+  test("bucket-scoped merge: a batch rewrites only buckets containing changed keys") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketmerge").toString
+    val sink = new ParquetTableStore(spark, root, nBuckets = 16)
+    // seed 40 keys so most of the 16 buckets are populated
+    val seed = (1 to 40).map(i =>
+      Fixtures.raw(Fixtures.customer("r", i, s"F$i", s"L$i", s"u$i@x"), i.toLong))
+    Materializer.applyBatch(toDf(seed), catalog, Envelope.defaultRegistry, sink)
+    val v1 = sink.versions("customers").last
+    val m1 = sink.manifest("customers", v1)
+    assert(m1.size > 4, s"seed should span several buckets, got ${m1.size}")
+    // update one key, delete one key
+    val b2 = Seq(
+      Fixtures.raw(Fixtures.customer("u", 1, "F1b", "L1", "u1@x"), 100L),
+      Fixtures.raw(Fixtures.customer("d", 2, "F2", "L2", "u2@x",
+        before = Some((2, "F2", "L2", "u2@x"))), 101L))
+    Materializer.applyBatch(toDf(b2), catalog, Envelope.defaultRegistry, sink)
+    val v2 = sink.versions("customers").last
+    val m2 = sink.manifest("customers", v2)
+    val changed = m2.keySet.filter(b => m1.get(b) != m2.get(b)) ++
+      (m1.keySet -- m2.keySet)
+    assert(changed.size <= 2,
+      s"only the ≤2 touched buckets may change, got $changed")
+    // untouched buckets carry their exact data paths forward (file reuse)
+    (m1.keySet -- changed).foreach(b => assert(m1(b) == m2(b)))
+    // and the merge semantics still hold
+    val rows = sink.read("customers").get
+      .select("id", "first_name").as[(Int, String)].collect().toMap
+    assert(rows.size == 39 && rows(1) == "F1b" && !rows.contains(2))
+    // old version still reads complete (time travel over shared files)
+    assert(sink.readVersion("customers", v1).count() == 40)
   }
 
   test("schema evolution: a column added in a later batch widens the table") {
