@@ -191,9 +191,27 @@ object DedupOps {
 
     // MinHash(32 hashes) + LSH(16 bands × 2) candidates, then exact
     // verification — the scale path: no all-pairs comparison exists.
-    // Probabilistic candidate generation → rows-only driver check; the
-    // spec asserts it recovers the exact-Jaccard pairs at sf0.001.
-    QDef.noOracle("q_dedup_minhash_lsh") { (s, dir) =>
+    // Deterministic oracle: the verified output is exactly the ≥0.8
+    // exact-Jaccard pair set whenever banding recall is total, and with
+    // fixed permutation seeds recall on a given corpus is a
+    // deterministic fact, not a per-run coin flip — ~0.99-Jaccard
+    // planted dups collide in some band with probability 1-(1-0.98)^16
+    // per pair (miss odds ~1e-27). DedupSimSpec separately asserts the
+    // exact ⊆ candidates direction.
+    QDef("q_dedup_minhash_lsh",
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM idx WHERE i <= len(w) - 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
+        |""".stripMargin) { (s, dir) =>
       val sh = shingleArrays(table(s, dir, "documents")).cache()
       val cand = lshCandidates(minhashSignatures(sh, 32), 32, 2)
       // exact verification per candidate pair: one array_intersect —
@@ -231,9 +249,29 @@ object DedupOps {
 
     // Duplicate clusters: pairs → connected components → canonical doc
     // per component (the "keep one per cluster" step after pair
-    // finding). Iterative fixpoint → rows-only check; DedupSimSpec
-    // verifies against a union-find reference.
-    QDef.noOracle("q_dedup_clusters") { (s, dir) =>
+    // finding). The fixpoint is deterministic, so the oracle recomputes
+    // reachability with a recursive CTE and takes min(reachable id) per
+    // node; DedupSimSpec additionally verifies a union-find reference.
+    QDef("q_dedup_clusters",
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM idx WHERE i <= len(w) - 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |          GROUP BY 1, 2),
+        |dup AS (SELECT d1, d2
+        |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |        WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id
+        |""".stripMargin) { (s, dir) =>
       connectedComponents(jaccardPairs(shingles(table(s, dir, "documents")), 0.8))
     },
 
