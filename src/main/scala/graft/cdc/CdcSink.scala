@@ -14,6 +14,48 @@ trait CdcSink extends Serializable {
       upserts: DataFrame, deleteKeys: DataFrame): Unit
 }
 
+/** How one upsert row becomes SQL. A dialect yields (sql, row-column
+  * indices bound as its parameters) pairs, executed in order per row
+  * with shared batching. */
+trait UpsertDialect extends Serializable {
+  def upsert(target: String, cols: Seq[String], pks: Seq[String]): Seq[(String, Seq[Int])]
+}
+
+/** The reference's Postgres dialect: one `INSERT … ON CONFLICT` per row
+  * (DebeziumToPostgresConsumer.java:197-232). */
+object PostgresUpsertDialect extends UpsertDialect {
+  def upsert(target: String, cols: Seq[String], pks: Seq[String]): Seq[(String, Seq[Int])] =
+    Seq(JdbcUpsertSink.upsertSql(target, cols, pks) -> cols.indices.toSeq)
+}
+
+/** ANSI-portable dialect: DELETE by PK then INSERT. Row-level result is
+  * identical to ON CONFLICT because batches arrive pre-compacted — at
+  * most one change per key — so the delete can never swallow a
+  * same-batch sibling. Lets the identical sink path run against any
+  * JDBC database (exercised live on embedded Derby in tests). */
+object PortableUpsertDialect extends UpsertDialect {
+  def upsert(target: String, cols: Seq[String], pks: Seq[String]): Seq[(String, Seq[Int])] = {
+    val lc = cols.map(_.toLowerCase)
+    val pkIdx = pks.map(p => lc.indexOf(p.toLowerCase))
+    require(pkIdx.forall(_ >= 0), s"pks $pks not all present in $cols")
+    Seq(
+      JdbcUpsertSink.deleteSql(target, pks) -> pkIdx,
+      s"INSERT INTO ${target.toLowerCase} (${lc.mkString(", ")}) " +
+        s"VALUES (${lc.map(_ => "?").mkString(", ")})" -> cols.indices.toSeq)
+  }
+}
+
+/** Opens connections on executors; swap in tests to observe the wire. */
+trait ConnectionFactory extends Serializable {
+  def connect(): java.sql.Connection
+}
+
+case class DriverManagerFactory(url: String, user: String, password: String)
+    extends ConnectionFactory {
+  def connect(): java.sql.Connection =
+    java.sql.DriverManager.getConnection(url, user, password)
+}
+
 /** JDBC sink with the reference's UPSERT/DELETE semantics
   * (DebeziumToPostgresConsumer.java:197-253): dynamic
   * `INSERT … ON CONFLICT (pks) DO UPDATE SET col=EXCLUDED.col`,
@@ -26,49 +68,48 @@ trait CdcSink extends Serializable {
   * one commit per partition instead of autocommit per statement. At
   * cluster scale each executor core streams its partition into the DB.
   */
-class JdbcUpsertSink(url: String, user: String, password: String,
-    batchSize: Int = 500) extends CdcSink {
+class JdbcUpsertSink(factory: ConnectionFactory, batchSize: Int = 500,
+    dialect: UpsertDialect = PostgresUpsertDialect) extends CdcSink {
+
+  def this(url: String, user: String, password: String, batchSize: Int) =
+    this(DriverManagerFactory(url, user, password), batchSize)
+  def this(url: String, user: String, password: String) =
+    this(url, user, password, 500)
+
+  private def run(df: DataFrame, units: Seq[(String, Seq[Int])]): Unit = {
+    val (f, bs) = (factory, batchSize)
+    df.foreachPartition { rows: Iterator[Row] =>
+      JdbcUpsertSink.withConnection(f) { conn =>
+        val sts = units.map { case (sql, idx) => conn.prepareStatement(sql) -> idx }
+        var n = 0
+        def flush(): Unit = sts.foreach(_._1.executeBatch())
+        rows.foreach { r =>
+          sts.foreach { case (st, idx) =>
+            idx.zipWithIndex.foreach { case (ri, pi) => st.setObject(pi + 1, r.get(ri)) }
+            st.addBatch()
+          }
+          n += 1
+          if (n % bs == 0) flush()
+        }
+        flush(); conn.commit()
+      }
+    }
+  }
 
   def applyChanges(target: String, pks: Seq[String],
       upserts: DataFrame, deleteKeys: DataFrame): Unit = {
     val upCols = upserts.columns.toSeq.map(_.toLowerCase)
-    val upSql = JdbcUpsertSink.upsertSql(target, upCols, pks)
-    val delSql = JdbcUpsertSink.deleteSql(target, pks)
-    val (u, p, bs) = (user, password, batchSize)
-    val jdbcUrl = url
-
-    upserts.foreachPartition { rows: Iterator[Row] =>
-      JdbcUpsertSink.withConnection(jdbcUrl, u, p) { conn =>
-        val st = conn.prepareStatement(upSql)
-        var n = 0
-        rows.foreach { r =>
-          (0 until r.length).foreach(i => st.setObject(i + 1, r.get(i)))
-          st.addBatch(); n += 1
-          if (n % bs == 0) st.executeBatch()
-        }
-        st.executeBatch(); conn.commit()
-      }
-    }
-    deleteKeys.foreachPartition { rows: Iterator[Row] =>
-      JdbcUpsertSink.withConnection(jdbcUrl, u, p) { conn =>
-        val st = conn.prepareStatement(delSql)
-        var n = 0
-        rows.foreach { r =>
-          (0 until r.length).foreach(i => st.setObject(i + 1, r.get(i)))
-          st.addBatch(); n += 1
-          if (n % bs == 0) st.executeBatch()
-        }
-        st.executeBatch(); conn.commit()
-      }
-    }
+    run(upserts, dialect.upsert(target, upCols, pks))
+    run(deleteKeys,
+      Seq(JdbcUpsertSink.deleteSql(target, pks) -> deleteKeys.columns.indices.toSeq))
   }
 }
 
 object JdbcUpsertSink {
 
-  private def withConnection(url: String, user: String, password: String)
+  private[cdc] def withConnection(factory: ConnectionFactory)
       (f: java.sql.Connection => Unit): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    val conn = factory.connect()
     try { conn.setAutoCommit(false); f(conn) } finally conn.close()
   }
 
