@@ -115,5 +115,22 @@ object PipelineOps {
         .stat.sampleBy("lang", fractions, seed = 42L)
         .select("doc_id", "lang")
     },
+
+    // Deterministic stratified sample: membership = md5(lang:doc_id)
+    // below the fraction threshold, compared on the fixed-width hex
+    // prefix (uniform, so lexicographic = numeric). This is the
+    // scale-correct sampler — seeded sampleBy draws per-row randoms
+    // whose assignment shifts with partitioning, while a key-hash
+    // filter picks the same rows on any cluster, any engine — which is
+    // also why it is fully oracle-checkable.
+    QDef("q_sample_stratified_det",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccd'
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .filter(substring(md5(concat_ws(":", col("lang"),
+          col("doc_id").cast("string")).cast("binary")), 1, 8) < "4ccccccd")
+        .select("doc_id", "lang")
+    },
   )
 }

@@ -29,8 +29,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // operators whose semantics aren't concisely ANSI-SQL-expressible;
     // each has a dedicated spec verifying it against an exact baseline.
     val exempt = Set("q_agg_approx_distinct", "q_text_rollhash", "q_sample_stratified",
-      "q_dedup_minhash_lsh", "q_dedup_simhash", "q_sim_ann_ivf", "q_dedup_clusters",
-      "q_agg_approx_percentile")
+      "q_dedup_simhash", "q_sim_ann_ivf", "q_agg_approx_percentile")
     assert((noOracle -- exempt).isEmpty, s"missing oracle: ${noOracle -- exempt}")
   }
 
