@@ -155,18 +155,17 @@ object DedupOps {
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup: keep the lowest doc_id per normalized-content hash.
+    // min-per-group, not row_number-over-window: the aggregate partial-
+    // combines map-side so only (hash, min_id) pairs shuffle — at
+    // 100 TB that's the difference between shuffling a fingerprint per
+    // duplicate *group* and sorting every row within its hash partition.
     QDef("q_dedup_docs_exact",
-      """SELECT doc_id FROM (
-        |  SELECT doc_id, ROW_NUMBER() OVER (
-        |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
-        |  FROM documents) t
-        |WHERE rn = 1
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(lower(trim(text)))
         |""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(md5(lower(trim(col("text"))).cast("binary")))
-        .orderBy(col("doc_id"))
       table(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(md5(lower(trim(col("text"))).cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
     },
 

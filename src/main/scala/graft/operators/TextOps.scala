@@ -116,9 +116,19 @@ object TextOps {
           .cast("binary")).as("bag_fp"))
     },
 
-    // Rolling content hash — no concise ANSI-SQL equivalent (verified in
-    // TextOpsSpec against a Scala reference implementation instead).
-    QDef.noOracle("q_text_rollhash") { (s, dir) =>
+    // Rolling content hash. Oracle mirrors the fold with DuckDB's
+    // list_reduce (0 prepended as the init value); both engines keep
+    // the accumulator in BIGINT range by reducing mod 1e9+7 each step,
+    // and both operands stay positive so % == pmod. TextOpsSpec
+    // additionally checks a Scala reference implementation.
+    QDef("q_text_rollhash",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) for c in split(text, '')]),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"), expr(rollingHashExpr).as("roll_hash"))
     },

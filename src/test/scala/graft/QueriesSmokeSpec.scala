@@ -28,7 +28,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // rows-only checks are reserved for sketch/probabilistic/bit-level
     // operators whose semantics aren't concisely ANSI-SQL-expressible;
     // each has a dedicated spec verifying it against an exact baseline.
-    val exempt = Set("q_agg_approx_distinct", "q_text_rollhash", "q_sample_stratified",
+    val exempt = Set("q_agg_approx_distinct", "q_sample_stratified",
       "q_dedup_simhash", "q_sim_ann_ivf", "q_agg_approx_percentile")
     assert((noOracle -- exempt).isEmpty, s"missing oracle: ${noOracle -- exempt}")
   }
