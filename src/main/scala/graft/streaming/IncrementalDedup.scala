@@ -23,17 +23,27 @@ object IncrementalDedup {
   final case class Config(numHashes: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8)
 
-  /** Persistent LSH index: `bands/` (doc_id, band, bucket) and
-    * `shingles/` (doc_id, shingles, nsh), both append-only parquet. */
-  final class DedupIndex(spark: SparkSession, dir: String) {
+  /** Persistent LSH index: `bands/` (doc_id, band, bucket) partitioned
+    * by `bp = pmod(bucket, prefixes)` and `shingles/` (doc_id,
+    * shingles, nsh), both append-only parquet. The bp layout is what
+    * keeps history lookups sublinear as the index grows: a micro-batch
+    * only opens the band partitions its own buckets hash into, instead
+    * of scanning every historical band row. */
+  final class DedupIndex(spark: SparkSession, dir: String,
+      val prefixes: Int = 256) {
     private def readOpt(sub: String): Option[DataFrame] = {
       val p = new java.io.File(s"$dir/$sub")
       if (p.exists()) Some(spark.read.parquet(p.toString)) else None
     }
     def bands: Option[DataFrame] = readOpt("bands")
+    /** History bands restricted to the given bucket prefixes —
+      * partition-pruned at the file level, never a full index scan. */
+    def bandsForPrefixes(bps: Seq[Int]): Option[DataFrame] =
+      bands.map(_.filter(col("bp").isin(bps: _*)))
     def shingles: Option[DataFrame] = readOpt("shingles")
     def append(bands: DataFrame, shingles: DataFrame): Unit = {
-      bands.write.mode("append").parquet(s"$dir/bands")
+      bands.withColumn("bp", pmod(col("bucket"), lit(prefixes)))
+        .write.mode("append").partitionBy("bp").parquet(s"$dir/bands")
       shingles.write.mode("append").parquet(s"$dir/shingles")
     }
   }
@@ -47,7 +57,13 @@ object IncrementalDedup {
     val sig = DedupOps.minhashSignatures(sh, cfg.numHashes)
     val newBands = DedupOps.bandTable(sig, cfg.numHashes, cfg.rowsPerBand).cache()
 
-    val histBands = index.bands
+    // the batch's bucket-prefix set is ≤ min(16·docs, prefixes) ints —
+    // bounded driver-side by construction; history is read pruned to it
+    import batch.sparkSession.implicits._
+    val bps = newBands
+      .select(pmod(col("bucket"), lit(index.prefixes)).cast("int").as("bp"))
+      .distinct().as[Int].collect().toSeq
+    val histBands = index.bandsForPrefixes(bps).map(_.drop("bp"))
     val searchBands = histBands.map(newBands.unionByName(_)).getOrElse(newBands)
     // candidates: at least one side is new (new×new or new×hist)
     val cand = newBands.as("a")

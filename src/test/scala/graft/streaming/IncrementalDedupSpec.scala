@@ -73,5 +73,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(!pairs.contains((2L, 10L)), s"under-threshold pair leaked: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 11L || p._2 == 11L),
       s"false positive: $pairs")
+
+    // the persisted band index is laid out by bucket prefix, so history
+    // lookups are partition-pruned (Spark skips non-matching bp= dirs)
+    val bandDirs = new java.io.File(s"$indexDir/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("bp=")),
+      s"bands not prefix-partitioned: $bandDirs")
+    val idx = new IncrementalDedup.DedupIndex(spark, indexDir)
+    val somePrefix = bandDirs.head.stripPrefix("bp=").toInt
+    val pruned = idx.bandsForPrefixes(Seq(somePrefix)).get
+    assert(pruned.count() > 0)
+    assert(pruned.select("bp").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(somePrefix))
   }
 }
