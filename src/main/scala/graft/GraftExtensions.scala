@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSignature, SimHash64, VectorDot}
+import graft.functions.{MinHashSignature, RollingHash, SimHash64, VectorDot}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSignature(children(0),
         children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("rollhash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rollhash"),
+      (children: Seq[Expression]) => RollingHash(children.head)))
   }
 }

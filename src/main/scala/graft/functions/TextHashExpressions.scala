@@ -104,8 +104,46 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Modular polynomial rolling hash over a string's UTF-16 code units:
+  * h = (h·31 + unit) mod 1e9+7, h₀ = 0. One compiled pass per document;
+  * the HOF formulation (`aggregate(split(text,''), …)`) interprets its
+  * lambda per character AND materializes a one-string-per-char array —
+  * both disappear here. Matches the reference fold in TextOpsSpec and
+  * DuckDB's list_reduce oracle (identical for BMP text, which is all
+  * the corpus contains). */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rollhash expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      h = (h * 31 + s.charAt(i)) % 1000000007L // operands stay positive
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
 object TextHashExpressions {
-  /** Register simhash64 / minhash_sig in the session (idempotent). */
+  /** Register simhash64 / minhash_sig / rollhash in the session
+    * (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
@@ -113,5 +151,7 @@ object TextHashExpressions {
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("rollhash",
+      exprs => RollingHash(exprs.head), "built-in")
   }
 }

@@ -17,7 +17,7 @@ object TextOps {
     * Expressed with `aggregate` over the char array so it stays inside
     * codegen; mod applied each step keeps the accumulator in long range
     * (required under ANSI overflow checking). */
-  private val rollingHashExpr =
+  private[operators] val rollingHashExpr =
     "aggregate(split(text, ''), 0L, (acc, ch) -> pmod(acc * 31 + ascii(ch), 1000000007))"
 
   val defs: Seq[QDef] = Seq(
@@ -129,8 +129,12 @@ object TextOps {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
         |FROM documents
         |""".stripMargin) { (s, dir) =>
+      // the codegen'd RollingHash expression, not the HOF fold: the HOF
+      // interprets its lambda per character and materializes a
+      // one-string-per-char array (TextOpsSpec asserts parity)
+      graft.functions.TextHashExpressions.register(s)
       table(s, dir, "documents").select(
-        col("doc_id"), expr(rollingHashExpr).as("roll_hash"))
+        col("doc_id"), call_function("rollhash", col("text")).as("roll_hash"))
     },
 
     // Corpus token-frequency table (top 100): tokenize → count → top-k.

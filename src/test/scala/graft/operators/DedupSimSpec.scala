@@ -107,6 +107,15 @@ class DedupSimSpec extends AnyFunSuite {
     graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
       .select("d1", "d2").as[(Long, Long)].collect().toSeq
 
+  test("rolling hash expression matches the HOF fold formulation") {
+    val expr2 = graft.SparkEntry.queries("q_text_rollhash")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val hof = graft.table(spark, sfDir, "documents").select(
+      col("doc_id"), expr(TextOps.rollingHashExpr).as("roll_hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(expr2 == hof)
+  }
+
   test("rolling hash matches a sequential reference implementation") {
     val got = graft.SparkEntry.queries("q_text_rollhash")(spark, sfDir)
       .filter(col("doc_id") < 5).as[(Long, Long)].collect().toMap
