@@ -132,6 +132,15 @@ class MaterializerSpec extends AnyFunSuite {
     // reads reconstruct the partition column
     val ids = sink.read("customers").get.select("id").as[Int].collect().toSet
     assert(ids == Set(1, 3))
+
+    // a second batch merges through the per-root union read path (the
+    // fallback nested `key=value` layouts require) and keeps the layout
+    Materializer.applyBatch(toDf(Seq(
+      Fixtures.raw(Fixtures.customer("u", 1, "Sal", "Thomas", "sal@acme"), 50))),
+      catalog, Envelope.defaultRegistry, sink)
+    val after = sink.read("customers").get
+      .select("id", "first_name").as[(Int, String)].collect().toMap
+    assert(after == Map(1 -> "Sal", 3 -> "Edward"))
   }
 
   test("bucket-scoped merge: a batch rewrites only buckets containing changed keys") {
