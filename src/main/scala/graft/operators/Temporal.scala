@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing as batch queries (the streaming package runs the
@@ -72,6 +73,30 @@ object Temporal {
           count(lit(1)).as("n_events"),
           sumExact(col("value")).as("sum_value"))
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    },
+
+    // SCD Type 2 view of the change stream: each change row becomes a
+    // validity interval [ts, next change ts) per key, open-ended for
+    // the current image. The reference's Postgres mirror is SCD Type 1
+    // (overwrite in place, DebeziumToPostgresConsumer.java:197-232);
+    // this is the other standard CDC materialization — history kept,
+    // one window pass partitioned by the key.
+    QDef("q_scd2",
+      """SELECT user_id,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  CAST(LEAD(ts) OVER w AS TIMESTAMP) AS valid_to,
+        |  event_type, value,
+        |  LEAD(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events").select(
+        col("user_id"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        col("event_type"), col("value"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
     },
 
     // Daily user activity rollup (date bucketing + conditional aggs).
