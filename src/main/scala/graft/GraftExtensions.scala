@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSignature, RollingHash, SimHash64, VectorDot}
+import graft.functions.{ArgMaxBy, MinHashSignature, RollingHash, SimHash64, TopKBy, VectorDot}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -30,5 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rollhash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rollhash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (children: Seq[Expression]) => TopKBy(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("argmax_by"),
+      new ExpressionInfo(classOf[ArgMaxBy].getName, "argmax_by"),
+      (children: Seq[Expression]) => ArgMaxBy(children(0), children(1), children(2))))
   }
 }

@@ -1,9 +1,8 @@
 package graft.operators
 
 import graft._
-import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{TopKBy, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embedding column:
@@ -11,61 +10,84 @@ import org.apache.spark.sql.functions._
   * (inverted-file) probing as the scale path.
   *
   * Scale design: brute force is O(N) per query but embarrassingly
-  * parallel (scan + per-row dot + top-k partial agg — Spark's sort-limit
-  * does per-partition top-k before the single-row merge). IVF cuts the
+  * parallel (scan + per-row dot + bounded top-k aggregate). IVF cuts the
   * scanned fraction to nprobe/ncentroids: centroids are a broadcast-side
   * table, assignment is one narrow scan, and each query only reads its
   * probed buckets — at 100 TB the bucket assignment would be the
   * partitioning key so a probe touches only matching files.
+  *
+  * Every per-group ranking here is a map-side-combinable aggregate, not
+  * a `row_number` window: assignment argmax is `max_by` (one row per
+  * vector crosses the exchange instead of N·C scored rows) and top-k is
+  * the bounded `topk_by` heap aggregate (≤k rows per group per map
+  * partition cross the exchange, no sort planned). docs/PLANS.md shows
+  * the resulting partial HashAggregate / ObjectHashAggregate plans.
   */
 object SimilarityOps {
 
+  private def ensure(df: DataFrame): Unit = {
+    VectorOps.ensure(df.sparkSession)
+    TopKBy.register(df.sparkSession)
+  }
+
+  private def topkBy(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by", score, id, lit(k))
+
+  /** Explode a `topk_by` result array back to ranked rows
+    * (qid, vec_id, cos, rn) — rn is the 1-based rank. */
+  private def explodeRanked(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rn"))
+
   /** All-pairs cosine of `queries` × `corpus`, top-k per query. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    VectorOps.ensure(corpus.sparkSession)
+    ensure(corpus)
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("qv")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select("qid", "vec_id", "cos", "rn")
+    explodeRanked(
+      scored.groupBy(col("qid")).agg(topkBy(col("cos"), col("vec_id"), k).as("top")))
   }
 
   /** IVF index: deterministic centroid sample (vec_id % modulus == 0),
-    * every vector assigned to its nearest centroid. Returns
-    * (vec_id, embedding, centroid_id). */
+    * every vector assigned to its nearest centroid via the map-side
+    * `argmax_by` aggregate — ties broken toward the smallest cid,
+    * matching the old window's (d DESC, cid) sort. One ObjectHashAggregate
+    * pair, no sort: only one row per vector crosses the exchange.
+    * Returns (vec_id, embedding, centroid_id). */
   def ivfAssign(corpus: DataFrame, modulus: Int): DataFrame = {
-    VectorOps.ensure(corpus.sparkSession)
+    ensure(corpus)
     val centroids = corpus.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("cid"))
     corpus.crossJoin(broadcast(centroids))
       .withColumn("d", VectorOps.cosine(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(call_function("argmax_by",
+        struct(col("cid"), col("embedding")), col("d"), col("cid")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("centroid_id"))
   }
 
-  /** ANN search: probe the `nprobe` nearest centroids per query, exact
-    * cosine only within those buckets. */
+  /** ANN search: probe the `nprobe` nearest centroids per query (bounded
+    * `topk_by` aggregate), exact cosine only within those buckets. */
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    VectorOps.ensure(assigned.sparkSession)
-    val wq = Window.partitionBy("qid").orderBy(col("cd").desc, col("cid"))
+    ensure(assigned)
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("cd", VectorOps.cosine(col("qv"), col("cv")))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, assigned("centroid_id") === probes("cid"))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        topkBy(col("cd"), col("cid"), nprobe).as("pr"))
+      .select(col("qid"), col("qv"), explode(col("pr.id")).as("cid"))
+    // probes is #queries × nprobe rows — broadcast so bucket lookup is a
+    // map-side hash join (no shuffle/sort of the assigned corpus).
+    val scored = assigned.join(broadcast(probes), assigned("centroid_id") === probes("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("qv")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select("qid", "vec_id", "cos", "rn")
+    explodeRanked(
+      scored.groupBy(col("qid")).agg(topkBy(col("cos"), col("vec_id"), k).as("top")))
   }
 
   val defs: Seq[QDef] = Seq(
