@@ -210,28 +210,46 @@ class ParquetTableStore(spark: SparkSession, root: String,
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim) else None
   }
 
-  /** bucket -> data directory (absolute), as recorded by `version`. */
+  /** bucket -> data directory (absolute), as recorded by `version`.
+    * Manifests persist paths RELATIVE to the table dir so a store root
+    * can be moved or renamed wholesale without invalidating retained
+    * versions; absolute entries (older manifests) pass through as-is. */
   def manifest(target: String, version: String): Map[Int, String] =
     Files.readAllLines(dir(target).resolve(version)).asScala
       .filter(_.nonEmpty)
       .map { line =>
         val Array(b, path) = line.split("\t", 2)
-        b.toInt -> path
+        val p = Paths.get(path)
+        b.toInt -> (if (p.isAbsolute) p else dir(target).resolve(p)).toString
       }.toMap
 
-  // Bucket roots are plain dirs (`bN`), so a table without configured
-  // sub-partitioning reads as ONE multi-path scan (mergeSchema nulls in
-  // columns a bucket predates). With nested `key=value` layout dirs
-  // Spark's partition discovery rejects sibling roots, so those tables
-  // fall back to one scan per root unioned by name — linear planning in
-  // nBuckets, acceptable locally; a production deployment would put
-  // Delta/Iceberg behind this trait and get manifest-native scans.
+  /** Directory children, with the JDK stream closed (Files.list leaks a
+    * file descriptor per call otherwise). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  // Every table reads as ONE multi-path scan — planning is constant in
+  // nBuckets (mergeSchema nulls in columns a bucket predates). Tables
+  // with a configured layout keep those columns IN the data files and
+  // lay directories out by `_p_<col>=v` copies: Hive-style partition
+  // discovery is never involved, so sibling bucket roots from different
+  // batch dirs can't trip its single-table-root requirement
+  // (CONFLICTING_DIRECTORY_STRUCTURES — discovery demands one common
+  // non-partition prefix, which manifest-carried batch dirs never
+  // have). File pruning comes from the manifest (bucket level) and the
+  // `_p_` dirs stay glob-able for external path-level pruning; a
+  // production deployment would put Delta/Iceberg behind this trait
+  // and get manifest-native scans with stats-based pruning.
   private def readPaths(target: String, paths: Seq[String]): Option[DataFrame] =
     if (paths.isEmpty) None
     else if (partitioning.getOrElse(target, Seq.empty).isEmpty)
       Some(spark.read.option("mergeSchema", "true").parquet(paths.sorted: _*))
-    else paths.sorted.map(p => spark.read.parquet(p))
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    else
+      Some(spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(paths.sorted: _*))
 
   def read(target: String): Option[DataFrame] =
     currentVersion(target).flatMap(v =>
@@ -267,15 +285,17 @@ class ParquetTableStore(spark: SparkSession, root: String,
       .flatMap(v => manifest(target, v).values).toSet
     val dataRoot = dir(target).resolve("data")
     if (Files.exists(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toSeq.foreach { batchDir =>
-        Files.list(batchDir).iterator().asScala.toSeq
+      listDir(dataRoot).foreach { batchDir =>
+        listDir(batchDir)
           .filter(b => b.getFileName.toString.matches("b\\d+"))
           .filterNot(b => live.contains(b.toString))
           .foreach { b =>
-            Files.walk(b).sorted(java.util.Comparator.reverseOrder())
+            val walk = Files.walk(b)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
           }
-        if (!Files.list(batchDir).iterator().hasNext) Files.delete(batchDir)
+        if (listDir(batchDir).isEmpty) Files.delete(batchDir)
       }
     }
     doomed
@@ -323,12 +343,18 @@ class ParquetTableStore(spark: SparkSession, root: String,
       val batchDir = dir(target).resolve("data").resolve(batch)
       Files.createDirectories(dir(target).resolve("data"))
       // bucket layout first, then any configured layout (e.g. by
-      // tenant/date) nested inside each bucket for read-side pruning.
+      // tenant/date) nested inside each bucket for path-level pruning.
+      // Layout columns are written as `_p_<col>` COPIES so the data
+      // files keep the originals — reads stay plain recursive scans
+      // with no partition-column reconstruction (see readPaths).
       // repartition by bucket: without it each task writes a file per
       // bucket it happens to hold (tasks × buckets small files); with
       // it each bucket is one task's single file.
-      val parts = "_b" +: partitioning.getOrElse(target, Seq.empty)
-      next.withColumn("_b", bucketOf)
+      val layout = partitioning.getOrElse(target, Seq.empty)
+      val parts = "_b" +: layout.map("_p_" + _)
+      layout.foldLeft(next.withColumn("_b", bucketOf)) {
+          (df, c) => df.withColumn("_p_" + c, col(c))
+        }
         .repartition(col("_b"))
         .write.mode("overwrite").partitionBy(parts: _*)
         .parquet(batchDir.toString)
@@ -337,9 +363,9 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // drop out of the manifest; written dirs are renamed `_b=N` → `bN`
       // so manifest roots don't parse as partition directories on read
       // (Spark rejects sibling `key=value` roots as conflicting layouts)
-      val written = Files.list(batchDir).iterator().asScala
+      val written = listDir(batchDir)
         .map(_.getFileName.toString).filter(_.startsWith("_b="))
-        .map(_.stripPrefix("_b=").toInt).toSeq
+        .map(_.stripPrefix("_b=").toInt)
       val nextManifest = (prior -- changedBuckets) ++
         written.map { b =>
           val plain = batchDir.resolve(s"b$b")
@@ -350,8 +376,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // millis + padded nanos: two batches inside the same millisecond
       // still get distinct, lexicographically ordered version names
       val version = f"v${System.currentTimeMillis()}%d-${System.nanoTime() % 1000000}%06d.manifest"
+      // persisted relative to the table dir so the store is relocatable
       val body = nextManifest.toSeq.sorted
-        .map { case (b, p) => s"$b\t$p" }.mkString("\n")
+        .map { case (b, p) => s"$b\t${dir(target).relativize(Paths.get(p))}" }
+        .mkString("\n")
       Files.write(dir(target).resolve(version), body.getBytes)
       val tmp = dir(target).resolve("_LATEST.tmp")
       Files.write(tmp, version.getBytes)

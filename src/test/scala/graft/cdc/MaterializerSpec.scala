@@ -128,19 +128,48 @@ class MaterializerSpec extends AnyFunSuite {
     val dirs = sink.manifest("customers", v).values
       .flatMap(p => new java.io.File(p).listFiles()
         .filter(_.isDirectory).map(_.getName)).toSet
-    assert(dirs == Set("last_name=Thomas", "last_name=Walker"))
-    // reads reconstruct the partition column
+    assert(dirs == Set("_p_last_name=Thomas", "_p_last_name=Walker"))
+    // the layout column stays in the data files, so reads see it
     val ids = sink.read("customers").get.select("id").as[Int].collect().toSet
     assert(ids == Set(1, 3))
 
-    // a second batch merges through the per-root union read path (the
-    // fallback nested `key=value` layouts require) and keeps the layout
+    // a second batch merges across sibling bucket roots from different
+    // batch dirs and keeps the layout
     Materializer.applyBatch(toDf(Seq(
       Fixtures.raw(Fixtures.customer("u", 1, "Sal", "Thomas", "sal@acme"), 50))),
       catalog, Envelope.defaultRegistry, sink)
     val after = sink.read("customers").get
       .select("id", "first_name").as[(Int, String)].collect().toMap
     assert(after == Map(1 -> "Sal", 3 -> "Edward"))
+
+    // the multi-root read plans as ONE basePath-anchored scan, not a
+    // per-root union — planning stays constant in bucket count
+    val scans = sink.read("customers").get.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+  }
+
+  test("a relocated store root still reads every retained version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-move").toString
+    val sink = new ParquetTableStore(spark, root,
+      partitioning = Map("customers" -> Seq("last_name")))
+    Materializer.applyBatch(toDf(Fixtures.goldenSequence), catalog,
+      Envelope.defaultRegistry, sink)
+    Materializer.applyBatch(toDf(Seq(
+      Fixtures.raw(Fixtures.customer("u", 1, "Sal", "Thomas", "sal@acme"), 50))),
+      catalog, Envelope.defaultRegistry, sink)
+    val moved = java.nio.file.Paths.get(root + "-moved")
+    java.nio.file.Files.move(java.nio.file.Paths.get(root), moved)
+    val reopened = new ParquetTableStore(spark, moved.toString,
+      partitioning = Map("customers" -> Seq("last_name")))
+    val rows = reopened.read("customers").get
+      .select("id", "first_name").as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "Sal", 3 -> "Edward"))
+    // every retained manifest resolves under the new root (time travel)
+    reopened.versions("customers").foreach { v =>
+      assert(reopened.readVersion("customers", v).count() > 0)
+    }
   }
 
   test("bucket-scoped merge: a batch rewrites only buckets containing changed keys") {
