@@ -21,8 +21,20 @@ import org.apache.spark.sql.types._
   */
 
 /** 64-bit SimHash over a token array: bit b is the sign of
-  * Σ_tokens (±1 by token-hash bit b). */
-case class SimHash64(child: Expression)
+  * Σ_tokens (±1 by token-hash bit b).
+  *
+  * Two per-token hash strategies:
+  *  - default (xxhash64, seed 42): best avalanche, lines up with the
+  *    SQL `xxhash64` family;
+  *  - `portable = true`: a pair of modular polynomial hashes over the
+  *    token's UTF-16 code units packed as `(h31 << 31) | h131` — each
+  *    fold is expressible as a DuckDB `list_reduce`, so the WHOLE
+  *    simhash (votes, banding, hamming) can be recomputed by an
+  *    independent engine for cross-engine verification. Effective
+  *    width is 61 bits (both folds are < 2^30); the top bits vote
+  *    uniformly to 0 in every engine, so comparisons are unaffected.
+  */
+case class SimHash64(child: Expression, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -37,6 +49,20 @@ case class SimHash64(child: Expression)
           s"simhash64 expects array<string>, got $t")
     }
 
+  private def polyPair(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      h1 = (h1 * 31 + c) % 1000000007L
+      h2 = (h2 * 131 + c) % 998244353L
+      i += 1
+    }
+    (h1 << 31) | h2
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val counts = new Array[Int](64)
@@ -45,7 +71,8 @@ case class SimHash64(child: Expression)
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = XxHash64Function.hash(s, StringType, 42L)
+        val h = if (portable) polyPair(s)
+          else XxHash64Function.hash(s, StringType, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -60,7 +87,8 @@ case class SimHash64(child: Expression)
     java.lang.Long.valueOf(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
 }
 
 /** MinHash signature over a shingle array: element k is
@@ -147,7 +175,8 @@ object TextHashExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
+      exprs => SimHash64(exprs.head,
+        exprs.length > 1 && exprs(1).eval() == true), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")

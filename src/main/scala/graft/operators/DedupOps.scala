@@ -117,11 +117,17 @@ object DedupOps {
 
   /** 64-bit SimHash via the per-row SimHash64 expression (one compiled
     * pass over the token array per document; the first implementation
-    * exploded every token and ran a 64-column aggregation). */
-  def simhash(docs: DataFrame): DataFrame = {
+    * exploded every token and ran a 64-column aggregation). Empty
+    * tokens (doubled spaces) are dropped so both hash modes see the
+    * same token stream as the DuckDB oracle's `WHERE w <> ''`.
+    * `portable = true` switches the per-token hash to the
+    * engine-reproducible polynomial pair (see SimHash64 scaladoc). */
+  def simhash(docs: DataFrame, portable: Boolean = false): DataFrame = {
     graft.functions.TextHashExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      call_function("simhash64", split(trim(col("text")), " ")).as("simhash"))
+      call_function("simhash64",
+        filter(split(trim(col("text")), " "), t => t =!= ""),
+        lit(portable)).as("simhash"))
   }
 
   /** Connected components over duplicate pairs by iterative min-label
@@ -233,9 +239,41 @@ object DedupOps {
     },
 
     // SimHash near-dup: 4 bands × 16 bits block candidates, hamming ≤ 6
-    // confirms. Deterministic but bit-level — verified in DedupSpec.
-    QDef.noOracle("q_dedup_simhash") { (s, dir) =>
-      val sig = simhash(table(s, dir, "documents")).cache()
+    // confirms. Fully deterministic: the portable token-hash mode makes
+    // every stage (per-token polynomial pair, bit votes, banding,
+    // hamming) recomputable by DuckDB, so the driver hash-compares the
+    // whole pair set. Bits ≥ 61 never vote positive (both folds < 2^30,
+    // packed (h31<<31)|h131), so the oracle votes over 0..60 only.
+    QDef("q_dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(c) AS BIGINT) for c in split(w, '')]),
+        |       (a, x) -> (a * 31 + x) % 1000000007) << 31)
+        |    | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(c) AS BIGINT) for c in split(w, '')]),
+        |       (a, x) -> (a * 131 + x) % 998244353) AS h
+        |  FROM toks WHERE w <> ''),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |      THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 61)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, sum(bitval) AS simhash FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id > a.doc_id)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
+        |""".stripMargin) { (s, dir) =>
+      val sig = simhash(table(s, dir, "documents"), portable = true).cache()
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -246,7 +284,8 @@ object DedupOps {
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("b.doc_id") > col("a.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("bigint").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
     },
