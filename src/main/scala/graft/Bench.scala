@@ -37,9 +37,16 @@ object Bench {
 
     // SPARK_GRAFT_BENCH_RUNS>1 → per-query median over N runs (dedup
     // heavies show ±2s JIT variance on a single run; medians make
-    // round-over-round comparisons meaningful).
+    // round-over-round comparisons meaningful). For even N the two
+    // middle timings are averaged (a true median, not upper-middle).
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts to named queries for
+    // local iteration; the driver never sets it.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val timings = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -47,7 +54,10 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val median = timings.map(_._1).sorted.apply(timings.size / 2)
+      val sorted = timings.map(_._1).sorted
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
       (name, median, timings.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -56,14 +66,20 @@ object Bench {
     // folded into a small wall-time (round-1 advice)
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // "total" is a sum of per-query medians, not one wall-clock pass
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // stdout capture upstream truncates long lines; keep the full JSON
-    // on disk next to the repo for round-over-round diffing
+    // stdout capture upstream truncates long output and keeps the TAIL:
+    // end with a short self-contained summary line (total + slowest 5)
+    // so a truncated capture still closes with one parseable record.
+    // The full per-query JSON also lands on disk for round diffing.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       line.getBytes("UTF-8"))
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","runs":$runs,"slowest5":$slowest,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
