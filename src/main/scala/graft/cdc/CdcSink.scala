@@ -285,17 +285,23 @@ class ParquetTableStore(spark: SparkSession, root: String,
       .flatMap(v => manifest(target, v).values).toSet
     val dataRoot = dir(target).resolve("data")
     if (Files.exists(dataRoot)) {
+      def rmTree(p: java.nio.file.Path): Unit = {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
       listDir(dataRoot).foreach { batchDir =>
         listDir(batchDir)
           .filter(b => b.getFileName.toString.matches("b\\d+"))
           .filterNot(b => live.contains(b.toString))
-          .foreach { b =>
-            val walk = Files.walk(b)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
-            finally walk.close()
-          }
-        if (listDir(batchDir).isEmpty) Files.delete(batchDir)
+          .foreach(rmTree)
+        // a batch dir whose buckets are all gone holds only write
+        // markers (_SUCCESS) — drop it whole, or soaks accumulate one
+        // empty dir per micro-batch forever
+        if (!listDir(batchDir).exists(
+            _.getFileName.toString.matches("b\\d+")))
+          rmTree(batchDir)
       }
     }
     doomed

@@ -157,7 +157,15 @@ object DedupOps {
     * evicting it; only the edge table and labels are loop-owned.
     * Returns (doc_id, canonical) with canonical = min doc_id of the
     * component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** connectedComponents plus the number of propagation rounds run —
+    * rounds grow with component DIAMETER (label hops), not component or
+    * corpus size, which is the property that keeps the fixpoint cheap
+    * at 100 TB (ScaleStressSpec pins it). */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50)
+      : (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .cache()
@@ -187,7 +195,7 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("canonical"))
+    (labels.select(col("id").as("doc_id"), col("canonical")), iter)
   }
 
   val defs: Seq[QDef] = Seq(

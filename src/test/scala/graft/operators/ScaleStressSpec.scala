@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.cdc.ParquetTableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-stress properties for the dedup/CC/store family. Correctness
+  * at sf0.1 is verified by the oracle gate; these specs pin the SHAPES
+  * that keep each component viable at 100-1000x the test data:
+  *
+  *  - LSH candidate pairs grow ~linearly with corpus size (a quadratic
+  *    blowup in candidates is the classic near-dup scale killer);
+  *  - connected-components rounds track planted component DIAMETER,
+  *    not component or corpus size;
+  *  - ParquetTableStore micro-batch latency stays flat over a 500-batch
+  *    soak with periodic vacuum, and retained state (manifests, batch
+  *    dirs) stays bounded instead of accumulating per batch.
+  *
+  * Corpora are generated in-test (deterministic seeds) so the sizes can
+  * exceed the shipped testdata by 10-50x without new files.
+  */
+class ScaleStressSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** n docs of 40 words from a 5000-word vocabulary (seeded per doc);
+    * every 10th doc gets a planted near-dup (one word changed) with id
+    * offset by 10*n so ids never collide across the two populations. */
+  private def corpus(n: Int): DataFrame = {
+    val rows = (0 until n).flatMap { i =>
+      val rnd = new scala.util.Random(i * 2654435761L)
+      val words = Vector.fill(40)(s"w${rnd.nextInt(5000)}")
+      val doc = (i.toLong, words.mkString(" "))
+      if (i % 10 == 0) {
+        val nearDup = (words.dropRight(1) :+ "changed").mkString(" ")
+        Seq(doc, (10L * n + i, nearDup))
+      } else Seq(doc)
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def candidateCount(docs: DataFrame): Long =
+    DedupOps.lshCandidates(
+      DedupOps.minhashSignatures(DedupOps.shingleArrays(docs), 32), 32, 2).count()
+
+  test("LSH candidate pairs grow ~linearly in corpus size (no quadratic blowup)") {
+    val small = candidateCount(corpus(300))   // ~30 planted pairs
+    val large = candidateCount(corpus(3000))  // 10x docs, ~300 planted pairs
+    assert(small >= 30, s"planted pairs must surface, got $small")
+    // linear scaling: 10x the docs gives ~10x the candidates. A
+    // quadratic candidate set would be ~100x; allow wide noise margins.
+    val ratio = large.toDouble / small
+    assert(ratio >= 5 && ratio <= 20,
+      s"candidates should scale ~10x for 10x docs, got $small -> $large (${ratio}x)")
+    info(s"candidates: 300 docs -> $small, 3000 docs -> $large (${ratio}x)")
+  }
+
+  private def pairsDf(edges: Seq[(Long, Long)]): DataFrame =
+    edges.toDF("d1", "d2")
+
+  test("CC rounds track component diameter, not component size") {
+    // star: 0 at the center — diameter 2 regardless of leaf count
+    val (starSmallL, starSmall) = DedupOps.connectedComponentsWithRounds(
+      pairsDf((1L to 50L).map(i => (0L, i))))
+    val (starBigL, starBig) = DedupOps.connectedComponentsWithRounds(
+      pairsDf((1L to 500L).map(i => (0L, i))))
+    assert(starSmallL.select("canonical").distinct().count() == 1)
+    assert(starBigL.select("canonical").distinct().count() == 1)
+    assert(starBig <= starSmall + 1,
+      s"10x the leaves must not add rounds: $starSmall -> $starBig")
+    assert(starBig <= 4, s"shallow component should converge in <=4, got $starBig")
+
+    // chain: 0-1-2-...-16 — diameter 16, label 0 travels one hop/round
+    val (chainL, chain) = DedupOps.connectedComponentsWithRounds(
+      pairsDf((0L until 16L).map(i => (i, i + 1))))
+    assert(chainL.select("canonical").distinct().count() == 1)
+    assert(chain >= 14 && chain <= 19,
+      s"chain rounds should track its diameter (16), got $chain")
+    info(s"rounds: star50=$starSmall star500=$starBig chain17=$chain")
+  }
+
+  test("store soak: 500 micro-batches with periodic vacuum, flat latency, bounded state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val sink = new ParquetTableStore(spark, root, nBuckets = 4)
+    val nBatches = 500
+    val times = new Array[Long](nBatches)
+    (0 until nBatches).foreach { b =>
+      // 3 upserts cycling a 50-key space + 1 delete — the table stays
+      // ~50 rows while every batch exercises the merge path
+      val ups = Seq.tabulate(3)(k => ((b * 3 + k) % 50, s"v$b"))
+        .toDF("id", "payload").coalesce(1)
+      val dels = Seq(((b * 7) % 50)).toDF("id").coalesce(1)
+      val t0 = System.nanoTime()
+      sink.applyChanges("soak", Seq("id"), ups, dels)
+      if (b % 25 == 24) sink.vacuum("soak", keep = 2)
+      times(b) = (System.nanoTime() - t0) / 1000000
+    }
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val early = median(times.slice(100, 150).toSeq)
+    val late = median(times.slice(450, 500).toSeq)
+    // flat = the 500th batch costs what the 100th did (vacuum keeps the
+    // manifest chain and dead batch dirs from accumulating)
+    assert(late <= early * 3 + 50,
+      s"per-batch latency must stay flat: median(100-150)=${early}ms, median(450-500)=${late}ms")
+    // bounded state: >=498 of the 500 batch dirs are vacuumed away
+    assert(sink.versions("soak").size <= 27,
+      s"manifests must be vacuumed, got ${sink.versions("soak").size}")
+    val batchDirs = new java.io.File(root, "soak/data").listFiles().count(_.isDirectory)
+    assert(batchDirs <= 30, s"dead batch dirs must be GC'd, got $batchDirs")
+    // and the table still reads correctly after 500 merges
+    val n = sink.read("soak").get.count()
+    assert(n > 0 && n <= 50, s"soak table should hold <=50 live keys, got $n")
+    info(s"soak: median(100-150)=${early}ms median(450-500)=${late}ms " +
+      s"versions=${sink.versions("soak").size} batchDirs=$batchDirs rows=$n")
+  }
+}
