@@ -86,5 +86,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
     assert(pruned.select("bp").distinct().collect().map(_.getInt(0)).toSeq
       == Seq(somePrefix))
+
+    // the on-disk prefix count wins on reopen: a caller asking for a
+    // different layout would prune the wrong bp= partitions otherwise
+    val reopened = new IncrementalDedup.DedupIndex(spark, indexDir,
+      requestedPrefixes = 7)
+    assert(reopened.prefixes == idx.prefixes,
+      s"reopen must adopt the persisted prefix count, got ${reopened.prefixes}")
   }
 }

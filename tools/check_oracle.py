@@ -65,6 +65,7 @@ for name, sql in sorted(oracle.items()):
 # (round 1: q_agg_approx_percentile errored on array cells despite
 # having no oracle) — so canon must not throw for ANY query output.
 import os
+rows_only_fails = []
 for name in sorted(os.listdir(outdir)):
     p = os.path.join(outdir, name)
     if name in oracle or not os.path.isdir(p): continue
@@ -73,8 +74,12 @@ for name in sorted(os.listdir(outdir)):
         df = canon(pq.read_table(p).to_pandas())
         print(f'{name}: ROWS-ONLY OK ({len(df)} rows)')
     except Exception as e:
-        print(f'{name}: ROWS-ONLY ERROR {type(e).__name__} {e}'); fails.append(name)
+        print(f'{name}: ROWS-ONLY ERROR {type(e).__name__} {e}')
+        rows_only_fails.append(name)
 
+# rows-only failures are tracked separately so the oracle summary's
+# denominator counts only oracle-backed queries (and can't go negative)
 n = len([k for k in oracle if not only or k in only])
-print(f'--- {n-len(fails)}/{n} oracle ok; fails: {fails}')
-sys.exit(1 if fails else 0)
+print(f'--- {n-len(fails)}/{n} oracle ok; fails: {fails}; '
+      f'rows-only fails: {rows_only_fails}')
+sys.exit(1 if fails or rows_only_fails else 0)
