@@ -61,8 +61,11 @@ object SimilarityOps {
     ensure(corpus)
     val centroids = corpus.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // scores rounded to 6 before ranking (like every cosine output in
+    // the engine): cross-engine double sums agree at that scale, which
+    // is what lets DuckDB recompute the assignment exactly
     corpus.crossJoin(broadcast(centroids))
-      .withColumn("d", VectorOps.cosine(col("embedding"), col("cv")))
+      .withColumn("d", round(VectorOps.cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(call_function("argmax_by",
         struct(col("cid"), col("embedding")), col("d"), col("cid")).as("best"))
@@ -76,7 +79,7 @@ object SimilarityOps {
       k: Int, nprobe: Int): DataFrame = {
     ensure(assigned)
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cd", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cd", round(VectorOps.cosine(col("qv"), col("cv")), 6))
       .groupBy(col("qid"))
       .agg(first(col("qv")).as("qv"),
         topkBy(col("cd"), col("cid"), nprobe).as("pr"))
@@ -134,10 +137,48 @@ object SimilarityOps {
       bruteForceTopK(e, q, 3)
     },
 
-    // IVF-probed ANN (scale path). Approximate by construction →
-    // rows-only driver check; SimilaritySpec measures recall against
-    // the brute-force baseline.
-    QDef.noOracle("q_sim_ann_ivf") { (s, dir) =>
+    // IVF-probed ANN (scale path). Approximate relative to brute force
+    // (recall measured in DedupSimSpec) but fully DETERMINISTIC as a
+    // function of the corpus — centroid sample, argmax assignment,
+    // probe ranking, and final top-k all rank on 6-digit-rounded
+    // cosines with id tie-breaks — so DuckDB recomputes the entire
+    // index + search and the driver hash-compares it.
+    QDef("q_sim_ann_ivf",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+        |       FROM embeddings e CROSS JOIN c),
+        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM ax GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS rn
+        |        FROM ad),
+        |assigned AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
+        |px AS (SELECT q.qid, c.cid, unnest(q.qv) AS a, unnest(c.cv) AS b
+        |       FROM q CROSS JOIN c),
+        |pd AS (SELECT qid, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM px GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS pr
+        |    FROM pd) WHERE pr <= 8),
+        |cand AS (SELECT p.qid, a.vec_id FROM probes p
+        |         JOIN assigned a ON a.centroid_id = p.cid WHERE a.vec_id <> p.qid),
+        |cx AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+        |       JOIN q ON q.qid = cand.qid),
+        |cd AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM cx GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM cd),
+        |r AS (SELECT qid, vec_id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |      FROM sc)
+        |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 10
+        |""".stripMargin) { (s, dir) =>
       val e = table(s, dir, "embeddings")
       val centroids = e.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
