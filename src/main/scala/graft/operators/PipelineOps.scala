@@ -132,5 +132,72 @@ object PipelineOps {
           col("doc_id").cast("string")).cast("binary")), 1, 8) < "4ccccccd")
         .select("doc_id", "lang")
     },
+
+    // Benchmark decontamination: training docs sharing any word 8-gram
+    // with the held-out eval sample (doc_id % 10 == 0 — deterministic,
+    // engine-independent). The join is keyed on xxhash64 of the 8-gram
+    // (8-byte shuffle keys instead of ~50-byte strings; a false match
+    // needs a 64-bit collision INSIDE one gram's bucket — odds ~1e-19
+    // at any corpus size that fits a cluster). The oracle joins the raw
+    // strings. At 100 TB the eval side is tiny and broadcasts.
+    QDef("q_decontaminate",
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM toks WHERE len(w) >= 8),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM f),
+        |g AS (SELECT DISTINCT doc_id,
+        |        w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+        |      FROM idx WHERE i <= len(w) - 7),
+        |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id % 10 <> 0)
+        |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM tr JOIN ev USING (g) GROUP BY 1, 2
+        |""".stripMargin) { (s, dir) =>
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', " +
+            (0 until 8).map(k => s"w[i + $k]").mkString(", ") + "))"
+        ))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("gh"))
+      val tr = grams.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gh"))
+      tr.join(broadcast(ev), "gh")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("shared_ngrams"))
+    },
+
+    // Sequence packing: greedy token-budget binning of documents into
+    // training sequences. Docs are sharded (doc_id % 32 — hundreds of
+    // independent shards at scale, so the running sum parallelizes) and
+    // packed in id order within each shard: seq_no = floor(prior
+    // tokens / budget). The streaming-greedy shape every packing
+    // pipeline uses — a doc can straddle a boundary, which real packers
+    // handle by splitting at the consumer.
+    QDef("q_pack_sequences",
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT)
+        |    AS seq_no
+        |FROM d
+        |""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents").select(
+        col("doc_id"), (col("doc_id") % 32).as("shard"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 2048)
+          .cast("long").as("seq_no"))
+    },
   )
 }

@@ -174,5 +174,35 @@ object TextOps {
         size(regexp_extract_all(col("text"),
           lit("[0-9]{6,}"), lit(0))).cast("long").as("n_longnums"))
     },
+
+    // Repetition-ratio quality signal: share of a document's word
+    // 3-grams that are repeats (1 - distinct/total) — the standard
+    // degenerate-text detector a training pipeline runs next to
+    // stopword/length scoring. Per-row expression chain, no shuffle.
+    QDef("q_text_repetition",
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM f),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |      FROM idx WHERE i <= len(w) - 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |               CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+        |        FROM g GROUP BY 1)
+        |SELECT doc_id, total_ngrams, distinct_ngrams,
+        |  round(1 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams, 6) AS rep_ratio
+        |FROM agg
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          (size(col("w")) - 2).cast("long").as("total_ngrams"),
+          size(array_distinct(expr(
+            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+          ))).cast("long").as("distinct_ngrams"))
+        .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
+          round(lit(1) - col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+            .as("rep_ratio"))
+    },
   )
 }
