@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgMaxBy, MinHashSignature, RollingHash, SimHash64, TopKBy, VectorDot}
+import graft.functions.{ArgMaxBy, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VectorDot}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -39,5 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("argmax_by"),
       new ExpressionInfo(classOf[ArgMaxBy].getName, "argmax_by"),
       (children: Seq[Expression]) => ArgMaxBy(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_str_by"),
+      new ExpressionInfo(classOf[TopKStrBy].getName, "topk_str_by"),
+      (children: Seq[Expression]) => TopKStrBy(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_buckets"),
+      new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),
+      (children: Seq[Expression]) => SrpBuckets(children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -135,14 +135,158 @@ object TopKBy {
     }
   }
 
-  /** Register `topk_by` and `argmax_by` in the session (idempotent).
-    * The analyzer wraps the bare AggregateFunction in an
+  /** Register `topk_by`, `topk_str_by` and `argmax_by` in the session
+    * (idempotent). The analyzer wraps the bare AggregateFunction in an
     * AggregateExpression. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by", exprs => TopKBy(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_str_by", exprs => TopKStrBy(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "argmax_by", exprs => ArgMaxBy(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+}
+
+/** [[TopKBy]] with a string payload that is also the tie-break:
+  * `topk_str_by(score, term, k)` keeps the k best `(score, term)`
+  * pairs — score DESC, term ASC (binary) on ties — and returns them
+  * best-first as `array<struct<score: double, term: string>>`.
+  *
+  * Exists for per-group "top terms/labels" pipelines (TF-IDF top
+  * terms): the tie-break is the term's binary byte order, which is the
+  * same total order an independent SQL engine applies with default
+  * (binary) collation, so results stay cross-engine deterministic
+  * without inventing a portable numeric id per term. Same bounded-heap
+  * scale argument as [[TopKBy]]: map-side combinable, ≤k elements per
+  * (group × partition) on the exchange, no sort in the plan.
+  */
+case class TopKStrBy(
+    scoreExpr: Expression,
+    strExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, org.apache.spark.unsafe.types.UTF8String)]] {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  private def worstFirst: Ordering[(Double, UTF8String)] = TopKStrBy.WorstFirst
+
+  override def children: Seq[Expression] = Seq(scoreExpr, strExpr, kExpr)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("term", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_str_by score must be double, got ${scoreExpr.dataType}")
+    else if (strExpr.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_str_by term must be string, got ${strExpr.dataType}")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("topk_str_by k must be an int literal")
+    else if (kExpr.eval().asInstanceOf[Number].intValue() <= 0)
+      TypeCheckResult.TypeCheckFailure("topk_str_by k must be positive")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, UTF8String)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def insert(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      cand: (Double, UTF8String)): Boolean = {
+    if (buf.size < k) { buf.enqueue(cand); true }
+    else if (worstFirst.lt(cand, buf.head)) { buf.dequeue(); buf.enqueue(cand); true }
+    else false
+  }
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      input: InternalRow): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val s = scoreExpr.eval(input)
+    val t = strExpr.eval(input)
+    if (s != null && t != null) {
+      // Clone lazily: only a candidate that actually enters the heap
+      // needs to escape the reused row buffer.
+      val cand = (s.asInstanceOf[Double], t.asInstanceOf[UTF8String])
+      if (buf.size < k || worstFirst.lt(cand, buf.head))
+        insert(buf, (cand._1, cand._2.clone()))
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Double, UTF8String)],
+      other: mutable.PriorityQueue[(Double, UTF8String)])
+      : mutable.PriorityQueue[(Double, UTF8String)] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, UTF8String)]): Any = {
+    val sorted = buf.toArray.sorted(worstFirst) // best first
+    new GenericArrayData(sorted.map { case (s, t) => InternalRow(s, t) })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, UTF8String)]): Array[Byte] = {
+    val items = buf.toArray
+    val total = 4 + items.map(it => 12 + it._2.numBytes()).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(items.length)
+    items.foreach { case (s, t) =>
+      bb.putDouble(s); bb.putInt(t.numBytes()); bb.put(t.getBytes)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.enqueue((s, UTF8String.fromBytes(b)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrBy =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStrBy =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStrBy =
+    copy(scoreExpr = newChildren(0), strExpr = newChildren(1), kExpr = newChildren(2))
+
+  override def prettyName: String = "topk_str_by"
+}
+
+object TopKStrBy {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Lower score ⇒ worse; on score ties, binary-larger term ⇒ worse. */
+  val WorstFirst: Ordering[(Double, UTF8String)] = new Ordering[(Double, UTF8String)] {
+    override def compare(a: (Double, UTF8String), b: (Double, UTF8String)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else a._2.compareTo(b._2)
+    }
   }
 }
 

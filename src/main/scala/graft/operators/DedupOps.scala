@@ -382,5 +382,76 @@ object DedupOps {
         .filter(col("cos") >= 0.4)
         .select("v1", "v2", "cos")
     },
+
+    // Embedding near-dup, SRP-LSH scale path: signed-random-projection
+    // buckets (16 bands × 8 bits, codegen'd `srp_buckets`) turn cosine
+    // proximity into an equi-join key — the same anchor/scale pairing
+    // as exact-Jaccard vs MinHash+LSH on text. The hyperplanes are
+    // pure integer arithmetic (no RNG state), so DuckDB recomputes the
+    // identical buckets, candidates, and verified pairs from the same
+    // parquet bytes: the oracle is exact, not statistical. Candidates
+    // are verified with the exact cosine at the same 0.4 threshold as
+    // q_dedup_embedding; `SrpSpec` additionally demonstrates ≥99%
+    // recall on a planted high-cosine corpus, where LSH actually earns
+    // its keep.
+    QDef("q_dedup_embedding_lsh",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |x AS (SELECT vec_id, len(embedding) AS d,
+        |        generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS v FROM e),
+        |pl AS (SELECT unnest(range(0, 128)) AS p),
+        |kx AS (SELECT x.vec_id, pl.p, x.i, x.v,
+        |        ((pl.p * x.d + x.i) * 2654435761) % 4294967296 AS h1
+        |       FROM x CROSS JOIN pl),
+        |hx AS (SELECT vec_id, p, i, v,
+        |        (xor(h1, h1 >> 16) * 40503) % 4294967296 AS h2 FROM kx),
+        |sx AS (SELECT vec_id, p, i,
+        |        CASE WHEN (xor(h2, h2 >> 15) & 1) = 1
+        |          THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END AS t
+        |       FROM hx),
+        |proj AS (SELECT vec_id, p,
+        |        list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, b) -> a + b) AS proj
+        |       FROM sx GROUP BY vec_id, p),
+        |buck AS (SELECT vec_id, p // 8 AS band,
+        |        sum(CASE WHEN proj >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
+        |       FROM proj GROUP BY vec_id, p // 8),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |       FROM buck a JOIN buck b
+        |         ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id > a.vec_id),
+        |pe AS (SELECT c.v1, c.v2, ea.embedding AS e1, eb.embedding AS e2
+        |       FROM cand c JOIN e ea ON ea.vec_id = c.v1 JOIN e eb ON eb.vec_id = c.v2),
+        |xx AS (SELECT v1, v2, unnest(e1) AS a, unnest(e2) AS b FROM pe),
+        |dd AS (SELECT v1, v2, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |        sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM xx GROUP BY v1, v2)
+        |SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+        |FROM dd WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.{SrpExpressions, VectorOps}
+      VectorOps.ensure(s); SrpExpressions.register(s)
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // Bands carry only (vec_id, band, bucket): the 16×-duplicated rows
+      // that hit the exchange are 3 small ints wide, never the vector.
+      val banded = e.select(col("vec_id"),
+          posexplode(call_function("srp_buckets", col("embedding"), lit(16), lit(8))))
+        .toDF("vec_id", "band", "bucket")
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("b.vec_id") > col("a.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .distinct()
+      // Verify: join the vectors back by id (shuffle on vec_id) and run
+      // the exact codegen'd cosine only on surviving candidates.
+      val withN = e.withColumn("nsq", VectorOps.normSq(col("embedding")))
+      cand
+        .join(withN.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+          col("nsq").as("n1")), "v1")
+        .join(withN.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+          col("nsq").as("n2")), "v2")
+        .withColumn("cos", round(
+          VectorOps.dot(col("e1"), col("e2")) / (sqrt(col("n1")) * sqrt(col("n2"))), 6))
+        .filter(col("cos") >= 0.4)
+        .select("v1", "v2", "cos")
+    },
   )
 }

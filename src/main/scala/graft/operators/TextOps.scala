@@ -204,5 +204,47 @@ object TextOps {
           round(lit(1) - col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
             .as("rep_ratio"))
     },
+
+    // TF-IDF top-3 terms per document (keyword extraction for corpus
+    // triage). Shape: tokenize → tf per (doc, term) → df per term →
+    // score join keyed on term → per-doc top-3 via the bounded-heap
+    // `topk_str_by` aggregate — k rows per (doc × partition) cross the
+    // final exchange, no Window sort of the full scored table. The
+    // idf factor is the raw N/df ratio (not its log): both engines
+    // compute tf·N first (exact small integers in double) then one
+    // correctly-rounded IEEE division, so scores are bit-identical
+    // cross-engine — a libm log would not be.
+    QDef("q_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, term,
+        |        round(CAST(tf AS DOUBLE) * n.n / df, 6) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |      FROM s)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score FROM r WHERE rnk <= 3
+        |""".stripMargin) { (s, dir) =>
+      graft.functions.TopKBy.register(s)
+      val docs = table(s, dir, "documents")
+      val n = docs.count() // bounded scalar (corpus size), like PipelineOps cutoffs
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df_, "term")
+        .withColumn("score",
+          round(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
+        .groupBy("doc_id")
+        .agg(expr("topk_str_by(score, term, 3)").as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.term").as("term"), col("col.score").as("score"))
+    },
   )
 }

@@ -94,4 +94,58 @@ class TopKAggregateSpec extends AnyFunSuite {
       .collect()
     assert(r.length == 1 && r(0).isNullAt(1))
   }
+
+  // ---- topk_str_by (string payload + binary-order tie-break) ----
+
+  // 4 groups × 250 terms; every score repeats so the string tie-break
+  // decides most of the ranking.
+  private lazy val terms = {
+    TopKBy.register(spark)
+    (0 until 1000).map { i =>
+      (i % 4L, f"term${i % 37}%03d-${i % 5}", (i % 6).toDouble)
+    }.toDF("g", "term", "score")
+  }
+
+  test("topk_str_by matches the row_number window formulation, string ties included") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("term"))
+    val expected = terms.distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 6)
+      .select("g", "term", "score", "rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+    val got = terms.distinct().groupBy("g")
+      .agg(call_function("topk_str_by", col("score"), col("term"), lit(6)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.term"), col("col.score"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+    assert(got == expected)
+  }
+
+  test("topk_str_by is partitioning-independent and survives shuffle serialization") {
+    def run(parts: Int) = terms.repartition(parts).distinct().groupBy("g")
+      .agg(call_function("topk_str_by", col("score"), col("term"), lit(9)).as("top"))
+      .select(col("g"), col("top").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(run(1) == run(13))
+  }
+
+  test("topk_str_by clones strings out of reused row buffers") {
+    // Long strings (off-heap UTF8String backing) in a wide scan: if the
+    // aggregate kept references into the reused row, results would be
+    // garbage after the buffer advances.
+    val df = (0 until 300).map { i =>
+      (i % 2L, ("x" * 50) + f"$i%04d", i.toDouble)
+    }.toDF("g", "term", "score")
+    val got = df.groupBy("g")
+      .agg(call_function("topk_str_by", col("score"), col("term"), lit(2)).as("t"))
+      .select(col("g"), col("t.term"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    assert(got(0L) == List(("x" * 50) + "0298", ("x" * 50) + "0296"))
+    assert(got(1L) == List(("x" * 50) + "0299", ("x" * 50) + "0297"))
+  }
 }
