@@ -199,5 +199,56 @@ object PipelineOps {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 2048)
           .cast("long").as("seq_no"))
     },
+
+    // Training-mixture sampling: per-language keep rates (downsample the
+    // dominant language, keep low-resource ones) applied with the same
+    // deterministic md5-prefix coin as q_sample_stratified_det — the
+    // thresholds are rate·2^32 as 8 hex digits, the coin is a pure
+    // function of (lang, doc_id), so the sample is reproducible on any
+    // partitioning and any engine. Plan: a codegen'd filter on the
+    // scan, no shuffle — the mixture costs one pass at any scale.
+    QDef("q_sample_mixture",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '59999999' WHEN 'zh' THEN 'f3333333'
+        |    ELSE 'cccccccc' END
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .filter(substring(md5(concat_ws(":", lit("mix"), col("lang"),
+          col("doc_id").cast("string")).cast("binary")), 1, 8) <
+          when(col("lang") === "en", "59999999")
+            .when(col("lang") === "zh", "f3333333")
+            .otherwise("cccccccc"))
+        .select("doc_id", "lang")
+    },
+
+    // Symmetric int8 quantization of the embedding column (the storage/
+    // bandwidth prep step before ANN serving): per-vector scale =
+    // 127/max|xᵢ|, qᵢ = floor(xᵢ·scale + 0.5). floor(x+0.5) instead of
+    // round(): floor of a double is exact in every engine, while
+    // half-even/half-up conventions differ. max|xᵢ| and the division
+    // are order-independent IEEE ops, so the quantized bytes are
+    // engine-identical. Per-row expressions only — no shuffle.
+    QDef("q_embed_quantize",
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id, round(127.0 / maxabs, 6) AS scale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT)
+        |      AS VARCHAR)), ',') AS q
+        |FROM m WHERE maxabs > 0
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "embeddings")
+        .withColumn("maxabs", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+        .filter(col("maxabs") > 0)
+        .withColumn("sc", lit(127.0) / col("maxabs"))
+        .select(col("vec_id"), round(col("sc"), 6).as("scale"),
+          array_join(expr(
+            "transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * sc + 0.5D) AS BIGINT) AS STRING))"),
+            ",").as("q"))
+    },
   )
 }

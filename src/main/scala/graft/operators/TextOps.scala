@@ -246,5 +246,32 @@ object TextOps {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
           col("col.term").as("term"), col("col.score").as("score"))
     },
+
+    // Context-window chunking: split each document into 32-token chunks
+    // on a 24-token stride (8-token overlap) — the fixed-window chunker
+    // a training/RAG pipeline runs before tokenization-to-ids. Chunk k
+    // starts at token k·24 while k·24 < n_tokens, so every token lands
+    // in ≥1 chunk and consecutive chunks share the overlap. Per-row
+    // explode, no shuffle; chunk boundaries are pure arithmetic so both
+    // engines emit identical rows.
+    QDef("q_chunk_docs",
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |k AS (SELECT doc_id, w,
+        |        unnest(range(0, CAST(floor((len(w) - 1) / 24) AS BIGINT) + 1)) AS k
+        |      FROM t)
+        |SELECT doc_id, k AS chunk_idx,
+        |  CAST(len(w[k*24 + 1 : k*24 + 32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
+        |FROM k
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, int(floor((size(w) - 1) / 24))), k -> slice(w, k * 24 + 1, 32))")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          size(col("col")).cast("long").as("n_tokens"),
+          array_join(col("col"), " ").as("chunk_text"))
+    },
   )
 }
