@@ -18,9 +18,15 @@ import org.apache.spark.sql.types._
   * `j` of its band's bucket: the sign of the projection of the vector
   * onto a pseudo-random ±1 (Rademacher) hyperplane. Vectors whose
   * angle is small agree on most signs, so near-duplicates collide in
-  * at least one band w.h.p. while the candidate set stays ~linear —
-  * the band bucket becomes an equi-join key, never an all-pairs
-  * comparison.
+  * at least one band w.h.p. — the band bucket becomes an equi-join
+  * key, never an all-pairs comparison.
+  *
+  * Sizing rule: an UNCORRELATED pair still collides in a band with
+  * probability ~2^-bitsPerBand, so expected random candidates are
+  * ~bands·n²/2^(bitsPerBand+1). Keep `bitsPerBand ≈ log2(n) + margin`
+  * (up to 30 supported) so random collisions per vector stay O(1);
+  * near-dup recall degrades only geometrically with the extra bits and
+  * is recovered by adding bands (ScaleStressSpec pins both effects).
   *
   * Determinism is the whole design: hyperplane signs are derived from
   * `k = p*dims + i` by integer arithmetic that stays inside signed

@@ -426,32 +426,49 @@ object DedupOps {
         |SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM dd WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
         |""".stripMargin) { (s, dir) =>
-      import graft.functions.{SrpExpressions, VectorOps}
-      VectorOps.ensure(s); SrpExpressions.register(s)
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      // Bands carry only (vec_id, band, bucket): the 16×-duplicated rows
-      // that hit the exchange are 3 small ints wide, never the vector.
-      val banded = e.select(col("vec_id"),
-          posexplode(call_function("srp_buckets", col("embedding"), lit(16), lit(8))))
-        .toDF("vec_id", "band", "bucket")
+      val banded = srpBands(e)
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("b.vec_id") > col("a.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
         .distinct()
-      // Verify: join the vectors back by id (shuffle on vec_id) and run
-      // the exact codegen'd cosine only on surviving candidates.
-      val withN = e.withColumn("nsq", VectorOps.normSq(col("embedding")))
-      cand
-        .join(withN.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-          col("nsq").as("n1")), "v1")
-        .join(withN.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-          col("nsq").as("n2")), "v2")
-        .withColumn("cos", round(
-          VectorOps.dot(col("e1"), col("e2")) / (sqrt(col("n1")) * sqrt(col("n2"))), 6))
-        .filter(col("cos") >= 0.4)
-        .select("v1", "v2", "cos")
+      cosineVerify(cand, withNormSq(e), 0.4)
     },
   )
+
+  /** vec_id → exploded SRP (band, bucket) rows. Bands carry only three
+    * small ints — the 16×-duplicated rows that hit an exchange never
+    * carry the vector itself. */
+  def srpBands(vectors: DataFrame, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    graft.functions.SrpExpressions.register(vectors.sparkSession)
+    vectors.select(col("vec_id"),
+      posexplode(call_function("srp_buckets", col("embedding"),
+        lit(bands), lit(bitsPerBand))))
+      .toDF("vec_id", "band", "bucket")
+  }
+
+  /** (vec_id, embedding) plus the precomputed squared norm. */
+  def withNormSq(vectors: DataFrame): DataFrame = {
+    graft.functions.VectorOps.ensure(vectors.sparkSession)
+    vectors.withColumn("nsq", graft.functions.VectorOps.normSq(col("embedding")))
+  }
+
+  /** Exact-cosine verification of candidate (v1, v2) pairs: join the
+    * vectors back by id (shuffle on vec_id, only candidates move) and
+    * keep pairs at or above the threshold. `vectors` must carry
+    * (vec_id, embedding, nsq) — see [[withNormSq]]. */
+  def cosineVerify(cand: DataFrame, vectors: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    cand
+      .join(vectors.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nsq").as("n1")), "v1")
+      .join(vectors.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nsq").as("n2")), "v2")
+      .withColumn("cos", round(
+        VectorOps.dot(col("e1"), col("e2")) / (sqrt(col("n1")) * sqrt(col("n2"))), 6))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+  }
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming embedding near-duplicate detection against history — the
+  * vector twin of [[IncrementalDedup]]: each micro-batch of
+  * (vec_id, embedding) rows is SRP-banded (`srp_buckets`), joined
+  * against the persisted band index (cross-batch candidates) and
+  * itself (in-batch candidates), candidates are exactly verified by
+  * cosine, duplicate pairs append to `dupDir`, and the batch's bands +
+  * vectors are appended to the index.
+  *
+  * Same 100 TB shape as the text version: the index holds `bands`
+  * (default 16) three-int rows per historical vector for candidate
+  * generation — history vectors themselves are touched only for the
+  * candidates that survive banding, via an id-keyed join. The band
+  * index is laid out by bucket prefix (`bp`), so a micro-batch opens
+  * only the partitions its own buckets hash into, keeping per-batch
+  * history reads sublinear in index size.
+  */
+object IncrementalEmbedDedup {
+
+  final case class Config(bands: Int = 16, bitsPerBand: Int = 8,
+      threshold: Double = 0.9)
+
+  /** Persistent SRP index: `bands/` (vec_id, band, bucket) partitioned
+    * by `bp = pmod(bucket, prefixes)` and `vectors/` (vec_id,
+    * embedding, nsq), both append-only parquet. As with
+    * [[IncrementalDedup.DedupIndex]], the prefix count is a property
+    * of the on-disk layout: recorded in `_PREFIXES` at first append
+    * and adopted on reopen. */
+  final class EmbedIndex(spark: SparkSession, dir: String,
+      requestedPrefixes: Int = 64) {
+    import java.nio.file.{Files, Paths}
+    private val metaPath = Paths.get(dir, "_PREFIXES")
+    val prefixes: Int =
+      if (Files.exists(metaPath))
+        new String(Files.readAllBytes(metaPath)).trim.toInt
+      else requestedPrefixes
+    private def readOpt(sub: String): Option[DataFrame] = {
+      val p = new java.io.File(s"$dir/$sub")
+      if (p.exists()) Some(spark.read.parquet(p.toString)) else None
+    }
+    def bands: Option[DataFrame] = readOpt("bands")
+    /** History bands restricted to the given bucket prefixes —
+      * partition-pruned at the file level, never a full index scan. */
+    def bandsForPrefixes(bps: Seq[Int]): Option[DataFrame] =
+      bands.map(_.filter(col("bp").isin(bps: _*)))
+    def vectors: Option[DataFrame] = readOpt("vectors")
+    def append(bands: DataFrame, vectors: DataFrame): Unit = {
+      if (!Files.exists(metaPath)) {
+        Files.createDirectories(Paths.get(dir))
+        Files.write(metaPath, prefixes.toString.getBytes)
+      }
+      bands.withColumn("bp", pmod(col("bucket"), lit(prefixes)))
+        .write.mode("append").partitionBy("bp").parquet(s"$dir/bands")
+      vectors.write.mode("append").parquet(s"$dir/vectors")
+    }
+  }
+
+  /** Process one batch of (vec_id, embedding): returns verified
+    * duplicate pairs (v1 < v2, in-batch and cross-batch), then indexes
+    * the batch. */
+  def processBatch(batch: DataFrame, index: EmbedIndex,
+      cfg: Config = Config()): DataFrame = {
+    val vecs = DedupOps.withNormSq(
+      batch.select(col("vec_id"), col("embedding"))).cache()
+    val newBands = DedupOps.srpBands(vecs, cfg.bands, cfg.bitsPerBand).cache()
+
+    // the batch's bucket-prefix set is ≤ min(bands·vecs, prefixes)
+    // ints — bounded driver-side by construction; history reads prune
+    // to it
+    import batch.sparkSession.implicits._
+    val bps = newBands
+      .select(pmod(col("bucket"), lit(index.prefixes)).cast("int").as("bp"))
+      .distinct().as[Int].collect().toSeq
+    val histBands = index.bandsForPrefixes(bps).map(_.drop("bp"))
+    val searchBands = histBands.map(newBands.unionByName(_)).getOrElse(newBands)
+    // candidates: at least one side is new (new×new or new×hist)
+    val cand = newBands.as("a")
+      .join(searchBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("v2"))
+      .distinct()
+
+    val allVecs = index.vectors.map(vecs.unionByName(_)).getOrElse(vecs)
+    val verified = DedupOps.cosineVerify(cand, allVecs, cfg.threshold).cache()
+    verified.count() // materialize before the index advances
+
+    index.append(newBands, vecs)
+    vecs.unpersist(); newBands.unpersist()
+    verified
+  }
+
+  /** Wire an embedding stream through per-batch incremental dedup;
+    * duplicate pairs append to `dupDir` as parquet. */
+  def start(vectors: DataFrame, indexDir: String, dupDir: String,
+      checkpointDir: String, cfg: Config = Config()): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index = new EmbedIndex(batch.sparkSession, indexDir)
+        processBatch(batch, index, cfg)
+          .write.mode("append").parquet(dupDir)
+      }
+      .start()
+}

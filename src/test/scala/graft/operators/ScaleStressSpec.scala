@@ -115,4 +115,61 @@ class ScaleStressSpec extends AnyFunSuite {
     info(s"soak: median(100-150)=${early}ms median(450-500)=${late}ms " +
       s"versions=${sink.versions("soak").size} batchDirs=$batchDirs rows=$n")
   }
+
+  // ---- SRP-LSH candidate scaling ----
+
+  private def randomVectors(n: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def srpCandidates(vecs: DataFrame, bits: Int): Long = {
+    val banded = DedupOps.srpBands(vecs, bands = 16, bitsPerBand = bits)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("b.vec_id") > col("a.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+  }
+
+  test("SRP candidates on uncorrelated vectors scale as n²/2^bits; bits are the knob") {
+    // For UNCORRELATED vectors every pair collides in a band with
+    // probability ~2^-bits, so candidates grow quadratically at fixed
+    // bits — the honest scale rule is bits ≈ log2(n) + margin, which
+    // keeps expected random collisions per vector O(1). This test pins
+    // both halves of that rule.
+    val c400 = srpCandidates(randomVectors(400, 7), bits = 8)
+    val c800 = srpCandidates(randomVectors(800, 7), bits = 8)
+    val growth = c800.toDouble / c400
+    assert(growth > 2.8 && growth < 5.5,
+      s"expected ~4x (quadratic) growth for random data at fixed bits, got $growth")
+
+    // +4 bits per band divides random collisions by ~2^4
+    val c800w = srpCandidates(randomVectors(800, 7), bits = 12)
+    val shrink = c800.toDouble / c800w
+    assert(shrink > 6 && shrink < 40,
+      s"expected ~16x candidate reduction from 8->12 bits, got $shrink")
+    info(s"candidates: n=400/8b=$c400 n=800/8b=$c800 (${growth}x) n=800/12b=$c800w")
+  }
+
+  test("wider SRP bands keep planted near-dup recall while shedding random candidates") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(300)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 60).map { i =>
+      (300L + i, base(i).map(v => v + 0.12f * rnd.nextGaussian().toFloat))
+    }
+    val all = (base.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq ++ dups)
+      .toDF("vec_id", "embedding")
+    val banded = DedupOps.srpBands(all, bands = 16, bitsPerBand = 12)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("b.vec_id") > col("a.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 60).map(i => (i.toLong, 300L + i)).toSet
+    val found = planted.intersect(cand).size
+    assert(found >= 58, s"12-bit bands lost planted recall: $found/60")
+  }
 }
