@@ -411,7 +411,7 @@ object DedupOps {
         |proj AS (SELECT vec_id, p,
         |        list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, b) -> a + b) AS proj
         |       FROM sx GROUP BY vec_id, p),
-        |buck AS (SELECT vec_id, p // 8 AS band,
+        |buck AS MATERIALIZED (SELECT vec_id, p // 8 AS band,
         |        sum(CASE WHEN proj >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
         |       FROM proj GROUP BY vec_id, p // 8),
         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
@@ -426,6 +426,70 @@ object DedupOps {
         |SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM dd WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
         |""".stripMargin) { (s, dir) =>
+      srpVerifiedPairsFor(s, dir, 0.4)
+    },
+
+    // Embedding duplicate clusters: connected components over the
+    // SRP-verified pair set — the embedding-side parallel of
+    // q_dedup_clusters (pairs → min-label fixpoint → canonical id per
+    // clustered vector). Shares the memoized pair table with
+    // q_dedup_embedding_lsh; the oracle re-derives the identical pairs
+    // (deterministic SRP) and recomputes reachability recursively.
+    QDef("q_dedup_embedding_clusters",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |x AS (SELECT vec_id, len(embedding) AS d,
+        |        generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS v FROM e),
+        |pl AS (SELECT unnest(range(0, 128)) AS p),
+        |kx AS (SELECT x.vec_id, pl.p, x.i, x.v,
+        |        ((pl.p * x.d + x.i) * 2654435761) % 4294967296 AS h1
+        |       FROM x CROSS JOIN pl),
+        |hx AS (SELECT vec_id, p, i, v,
+        |        (xor(h1, h1 >> 16) * 40503) % 4294967296 AS h2 FROM kx),
+        |sx AS (SELECT vec_id, p, i,
+        |        CASE WHEN (xor(h2, h2 >> 15) & 1) = 1
+        |          THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END AS t
+        |       FROM hx),
+        |proj AS (SELECT vec_id, p,
+        |        list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, b) -> a + b) AS proj
+        |       FROM sx GROUP BY vec_id, p),
+        |buck AS MATERIALIZED (SELECT vec_id, p // 8 AS band,
+        |        sum(CASE WHEN proj >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
+        |       FROM proj GROUP BY vec_id, p // 8),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |       FROM buck a JOIN buck b
+        |         ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id > a.vec_id),
+        |pe AS (SELECT c.v1, c.v2, ea.embedding AS e1, eb.embedding AS e2
+        |       FROM cand c JOIN e ea ON ea.vec_id = c.v1 JOIN e eb ON eb.vec_id = c.v2),
+        |xx AS (SELECT v1, v2, unnest(e1) AS a, unnest(e2) AS b FROM pe),
+        |dd AS (SELECT v1, v2, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |        sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM xx GROUP BY v1, v2),
+        |dup AS MATERIALIZED (SELECT v1, v2 FROM dd
+        |        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
+        |edges AS MATERIALIZED (
+        |  SELECT v1 AS a, v2 AS b FROM dup UNION SELECT v2, v1 FROM dup),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e2.b, r.r FROM reach r JOIN edges e2 ON e2.a = r.id)
+        |SELECT id AS vec_id, min(r) AS canonical FROM reach GROUP BY id
+        |""".stripMargin) { (s, dir) =>
+      connectedComponents(srpVerifiedPairsFor(s, dir, 0.4)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+        .select(col("doc_id").as("vec_id"), col("canonical"))
+    },
+  )
+
+  /** Memoized SRP-verified pair table per (session, corpus, threshold)
+    * — q_dedup_embedding_lsh and q_dedup_embedding_clusters consume
+    * the identical pair set, and banding + verification dominates
+    * both (same sharing rationale as [[verifiedPairsFor]]). */
+  private val srpPairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
+  def srpVerifiedPairsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    srpPairsMemo.getOrElseUpdate((s, dir, threshold), {
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val banded = srpBands(e)
       val cand = banded.as("a")
@@ -434,9 +498,8 @@ object DedupOps {
             && col("b.vec_id") > col("a.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
         .distinct()
-      cosineVerify(cand, withNormSq(e), 0.4)
-    },
-  )
+      cosineVerify(cand, withNormSq(e), threshold).cache()
+    })
 
   /** vec_id → exploded SRP (band, bucket) rows. Bands carry only three
     * small ints — the 16×-duplicated rows that hit an exchange never
