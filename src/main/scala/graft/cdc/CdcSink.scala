@@ -242,14 +242,44 @@ class ParquetTableStore(spark: SparkSession, root: String,
   // `_p_` dirs stay glob-able for external path-level pruning; a
   // production deployment would put Delta/Iceberg behind this trait
   // and get manifest-native scans with stats-based pruning.
-  private def readPaths(target: String, paths: Seq[String]): Option[DataFrame] =
+  private def readPaths(target: String, paths: Seq[String]): Option[DataFrame] = {
+    val layout = partitioning.getOrElse(target, Seq.empty)
     if (paths.isEmpty) None
-    else if (partitioning.getOrElse(target, Seq.empty).isEmpty)
+    else if (layout.isEmpty)
       Some(spark.read.option("mergeSchema", "true").parquet(paths.sorted: _*))
-    else
-      Some(spark.read.option("mergeSchema", "true")
-        .option("recursiveFileLookup", "true")
-        .parquet(paths.sorted: _*))
+    else {
+      // Back-compat: bucket roots written before layout columns were
+      // duplicated into the data files carry them ONLY as Hive
+      // `col=value` directory names — a recursive (discovery-free) scan
+      // would silently drop those columns. Detect per root with one FS
+      // listing; legacy roots get a per-root discovery read, while all
+      // current-layout roots still share ONE recursive multi-root scan
+      // (a bucket dir is written atomically by one writer version, so
+      // layouts never mix inside a root).
+      val (legacy, current) = paths.sorted.partition(isLegacyLayout(_, layout))
+      val scans =
+        (if (current.nonEmpty)
+          Seq(spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true").parquet(current: _*))
+        else Seq.empty) ++
+          legacy.map(p => spark.read.option("mergeSchema", "true").parquet(p))
+      Some(scans.reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
+  }
+
+  // A bucket root's layout never changes after it is written, so the
+  // one-FS-listing detection is memoized — repeated reads of a
+  // many-bucket table don't re-stat every root.
+  private val legacyLayoutMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def isLegacyLayout(root: String, layout: Seq[String]): Boolean =
+    legacyLayoutMemo.getOrElseUpdate(root, {
+      val p = Paths.get(root)
+      Files.isDirectory(p) && listDir(p).exists(c =>
+        Files.isDirectory(c) &&
+          layout.exists(col => c.getFileName.toString.startsWith(s"$col=")))
+    })
 
   def read(target: String): Option[DataFrame] =
     currentVersion(target).flatMap(v =>

@@ -54,11 +54,15 @@ case class SimHash64(child: Expression, portable: Boolean = false)
     var h1 = 0L; var h2 = 0L
     var i = 0
     val n = str.length
+    // Fold UNICODE CODE POINTS, not UTF-16 units: DuckDB's
+    // `split(w, '')` yields one element per code point (combining
+    // marks included, surrogate pairs joined), so folding charAt units
+    // would diverge from the oracle on any non-BMP character.
     while (i < n) {
-      val c = str.charAt(i)
-      h1 = (h1 * 31 + c) % 1000000007L
-      h2 = (h2 * 131 + c) % 998244353L
-      i += 1
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31 + cp) % 1000000007L
+      h2 = (h2 * 131 + cp) % 998244353L
+      i += Character.charCount(cp)
     }
     (h1 << 31) | h2
   }

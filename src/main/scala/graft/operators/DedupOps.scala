@@ -124,10 +124,15 @@ object DedupOps {
     * engine-reproducible polynomial pair (see SimHash64 scaladoc). */
   def simhash(docs: DataFrame, portable: Boolean = false): DataFrame = {
     graft.functions.TextHashExpressions.register(docs.sparkSession)
+    // Token-less documents are DROPPED, not hashed to 0: the oracle's
+    // per-token unnest makes them vanish before banding, and keeping
+    // them here would make every empty doc collide with every other in
+    // all bands (simhash 0) — a divergence AND a degenerate bucket.
     docs.select(col("doc_id"),
-      call_function("simhash64",
-        filter(split(trim(col("text")), " "), t => t =!= ""),
-        lit(portable)).as("simhash"))
+        filter(split(trim(col("text")), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        call_function("simhash64", col("toks"), lit(portable)).as("simhash"))
   }
 
   /** Process-level memo of the LSH-verified pair set, keyed by
@@ -137,7 +142,11 @@ object DedupOps {
     * signature → band join → Jaccard verify) dominates both — so it is
     * materialized once and shared, the same way a production pipeline
     * would persist the verified-pairs table between its dedup stages
-    * rather than recompute it per consumer. */
+    * rather than recompute it per consumer. The key is the PATH: the
+    * memo assumes the corpus at `dir` is immutable for the session's
+    * lifetime (true of the verify/bench harnesses and of immutable
+    * data-lake snapshots); a deployment over mutable paths would key
+    * on a snapshot/version id instead. */
   private val pairsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
 
@@ -197,6 +206,42 @@ object DedupOps {
     edges.unpersist()
     (labels.select(col("id").as("doc_id"), col("canonical")), iter)
   }
+
+  /** Shared oracle CTE chain deriving the SRP-verified candidate pairs
+    * (`dd` carries dot/norms per candidate) — interpolated into BOTH
+    * embedding-LSH oracles so the arithmetic can never drift between
+    * them. `buck` is referenced twice (the band self-join): MATERIALIZED
+    * keeps DuckDB from inlining — and re-running — the whole projection
+    * chain per reference (a long-session OOM otherwise). */
+  private val srpOracleCtes =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, len(embedding) AS d,
+      |        generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS v FROM e),
+      |pl AS (SELECT unnest(range(0, 128)) AS p),
+      |kx AS (SELECT x.vec_id, pl.p, x.i, x.v,
+      |        ((pl.p * x.d + x.i) * 2654435761) % 4294967296 AS h1
+      |       FROM x CROSS JOIN pl),
+      |hx AS (SELECT vec_id, p, i, v,
+      |        (xor(h1, h1 >> 16) * 40503) % 4294967296 AS h2 FROM kx),
+      |sx AS (SELECT vec_id, p, i,
+      |        CASE WHEN (xor(h2, h2 >> 15) & 1) = 1
+      |          THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END AS t
+      |       FROM hx),
+      |proj AS (SELECT vec_id, p,
+      |        list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, b) -> a + b) AS proj
+      |       FROM sx GROUP BY vec_id, p),
+      |buck AS MATERIALIZED (SELECT vec_id, p // 8 AS band,
+      |        sum(CASE WHEN proj >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
+      |       FROM proj GROUP BY vec_id, p // 8),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |       FROM buck a JOIN buck b
+      |         ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id > a.vec_id),
+      |pe AS (SELECT c.v1, c.v2, ea.embedding AS e1, eb.embedding AS e2
+      |       FROM cand c JOIN e ea ON ea.vec_id = c.v1 JOIN e eb ON eb.vec_id = c.v2),
+      |xx AS (SELECT v1, v2, unnest(e1) AS a, unnest(e2) AS b FROM pe),
+      |dd AS (SELECT v1, v2, sum(CAST(a AS DOUBLE) * b) AS dot,
+      |        sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+      |       FROM xx GROUP BY v1, v2)""".stripMargin
 
   val defs: Seq[QDef] = Seq(
 
@@ -395,34 +440,7 @@ object DedupOps {
     // recall on a planted high-cosine corpus, where LSH actually earns
     // its keep.
     QDef("q_dedup_embedding_lsh",
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |x AS (SELECT vec_id, len(embedding) AS d,
-        |        generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS v FROM e),
-        |pl AS (SELECT unnest(range(0, 128)) AS p),
-        |kx AS (SELECT x.vec_id, pl.p, x.i, x.v,
-        |        ((pl.p * x.d + x.i) * 2654435761) % 4294967296 AS h1
-        |       FROM x CROSS JOIN pl),
-        |hx AS (SELECT vec_id, p, i, v,
-        |        (xor(h1, h1 >> 16) * 40503) % 4294967296 AS h2 FROM kx),
-        |sx AS (SELECT vec_id, p, i,
-        |        CASE WHEN (xor(h2, h2 >> 15) & 1) = 1
-        |          THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END AS t
-        |       FROM hx),
-        |proj AS (SELECT vec_id, p,
-        |        list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, b) -> a + b) AS proj
-        |       FROM sx GROUP BY vec_id, p),
-        |buck AS MATERIALIZED (SELECT vec_id, p // 8 AS band,
-        |        sum(CASE WHEN proj >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
-        |       FROM proj GROUP BY vec_id, p // 8),
-        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-        |       FROM buck a JOIN buck b
-        |         ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id > a.vec_id),
-        |pe AS (SELECT c.v1, c.v2, ea.embedding AS e1, eb.embedding AS e2
-        |       FROM cand c JOIN e ea ON ea.vec_id = c.v1 JOIN e eb ON eb.vec_id = c.v2),
-        |xx AS (SELECT v1, v2, unnest(e1) AS a, unnest(e2) AS b FROM pe),
-        |dd AS (SELECT v1, v2, sum(CAST(a AS DOUBLE) * b) AS dot,
-        |        sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
-        |       FROM xx GROUP BY v1, v2)
+      s"""WITH $srpOracleCtes
         |SELECT v1, v2, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM dd WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
         |""".stripMargin) { (s, dir) =>
@@ -436,39 +454,11 @@ object DedupOps {
     // q_dedup_embedding_lsh; the oracle re-derives the identical pairs
     // (deterministic SRP) and recomputes reachability recursively.
     QDef("q_dedup_embedding_clusters",
-      """WITH RECURSIVE
-        |e AS (SELECT vec_id, embedding FROM embeddings),
-        |x AS (SELECT vec_id, len(embedding) AS d,
-        |        generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS v FROM e),
-        |pl AS (SELECT unnest(range(0, 128)) AS p),
-        |kx AS (SELECT x.vec_id, pl.p, x.i, x.v,
-        |        ((pl.p * x.d + x.i) * 2654435761) % 4294967296 AS h1
-        |       FROM x CROSS JOIN pl),
-        |hx AS (SELECT vec_id, p, i, v,
-        |        (xor(h1, h1 >> 16) * 40503) % 4294967296 AS h2 FROM kx),
-        |sx AS (SELECT vec_id, p, i,
-        |        CASE WHEN (xor(h2, h2 >> 15) & 1) = 1
-        |          THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END AS t
-        |       FROM hx),
-        |proj AS (SELECT vec_id, p,
-        |        list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a, b) -> a + b) AS proj
-        |       FROM sx GROUP BY vec_id, p),
-        |buck AS MATERIALIZED (SELECT vec_id, p // 8 AS band,
-        |        sum(CASE WHEN proj >= 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
-        |       FROM proj GROUP BY vec_id, p // 8),
-        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-        |       FROM buck a JOIN buck b
-        |         ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id > a.vec_id),
-        |pe AS (SELECT c.v1, c.v2, ea.embedding AS e1, eb.embedding AS e2
-        |       FROM cand c JOIN e ea ON ea.vec_id = c.v1 JOIN e eb ON eb.vec_id = c.v2),
-        |xx AS (SELECT v1, v2, unnest(e1) AS a, unnest(e2) AS b FROM pe),
-        |dd AS (SELECT v1, v2, sum(CAST(a AS DOUBLE) * b) AS dot,
-        |        sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
-        |       FROM xx GROUP BY v1, v2),
+      s"""WITH RECURSIVE
+        |$srpOracleCtes,
         |dup AS MATERIALIZED (SELECT v1, v2 FROM dd
         |        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
-        |edges AS MATERIALIZED (
-        |  SELECT v1 AS a, v2 AS b FROM dup UNION SELECT v2, v1 FROM dup),
+        |edges AS (SELECT v1 AS a, v2 AS b FROM dup UNION SELECT v2, v1 FROM dup),
         |reach(id, r) AS (
         |  SELECT a, a FROM edges
         |  UNION

@@ -165,7 +165,12 @@ object PipelineOps {
         .select(col("doc_id").as("eval_id"), col("gh"))
       val tr = grams.filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id").as("train_id"), col("gh"))
-      tr.join(broadcast(ev), "gh")
+      // No broadcast hint: a REAL eval suite is tiny and AQE will
+      // broadcast it from stats, but this demo slices 10% of the corpus
+      // as "eval" — forcing that side to broadcast would collect a
+      // corpus-proportional gram set at 100 TB. The hash-keyed shuffle
+      // join is the shape that holds at any eval-set size.
+      tr.join(ev, "gh")
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("shared_ngrams"))
     },
@@ -209,13 +214,19 @@ object PipelineOps {
     // scan, no shuffle — the mixture costs one pass at any scale.
     QDef("q_sample_mixture",
       """SELECT doc_id, lang FROM documents
-        |WHERE substring(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |WHERE lang IS NOT NULL
+        |  AND substring(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
         |  CASE lang WHEN 'en' THEN '59999999' WHEN 'zh' THEN 'f3333333'
         |    ELSE 'cccccccc' END
         |""".stripMargin) { (s, dir) =>
+      // lang IS NOT NULL is explicit on BOTH sides: DuckDB's `||`
+      // propagates NULL (excluding the row) while Spark's concat_ws
+      // skips null args — without the guard the two engines would
+      // sample null-lang rows differently.
       table(s, dir, "documents")
-        .filter(substring(md5(concat_ws(":", lit("mix"), col("lang"),
-          col("doc_id").cast("string")).cast("binary")), 1, 8) <
+        .filter(col("lang").isNotNull &&
+          substring(md5(concat_ws(":", lit("mix"), col("lang"),
+            col("doc_id").cast("string")).cast("binary")), 1, 8) <
           when(col("lang") === "en", "59999999")
             .when(col("lang") === "zh", "f3333333")
             .otherwise("cccccccc"))

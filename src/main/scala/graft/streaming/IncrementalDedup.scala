@@ -23,45 +23,13 @@ object IncrementalDedup {
   final case class Config(numHashes: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8)
 
-  /** Persistent LSH index: `bands/` (doc_id, band, bucket) partitioned
-    * by `bp = pmod(bucket, prefixes)` and `shingles/` (doc_id,
-    * shingles, nsh), both append-only parquet. The bp layout is what
-    * keeps history lookups sublinear as the index grows: a micro-batch
-    * only opens the band partitions its own buckets hash into, instead
-    * of scanning every historical band row.
-    *
-    * The prefix count is a property of the layout ON DISK: it is
-    * recorded in `_PREFIXES` at first append and ADOPTED when an
-    * existing index is reopened — a caller passing a different value
-    * would otherwise prune the wrong bp= partitions and silently drop
-    * historical duplicate matches. */
+  /** Persistent MinHash-LSH index: band rows + `shingles/` payload
+    * (doc_id, shingles, nsh) — see [[PrefixedBandIndex]] for the
+    * bp-prefix layout and `_PREFIXES` adopt-on-reopen contract. */
   final class DedupIndex(spark: SparkSession, dir: String,
-      requestedPrefixes: Int = 256) {
-    import java.nio.file.{Files, Paths}
-    private val metaPath = Paths.get(dir, "_PREFIXES")
-    val prefixes: Int =
-      if (Files.exists(metaPath))
-        new String(Files.readAllBytes(metaPath)).trim.toInt
-      else requestedPrefixes
-    private def readOpt(sub: String): Option[DataFrame] = {
-      val p = new java.io.File(s"$dir/$sub")
-      if (p.exists()) Some(spark.read.parquet(p.toString)) else None
-    }
-    def bands: Option[DataFrame] = readOpt("bands")
-    /** History bands restricted to the given bucket prefixes —
-      * partition-pruned at the file level, never a full index scan. */
-    def bandsForPrefixes(bps: Seq[Int]): Option[DataFrame] =
-      bands.map(_.filter(col("bp").isin(bps: _*)))
-    def shingles: Option[DataFrame] = readOpt("shingles")
-    def append(bands: DataFrame, shingles: DataFrame): Unit = {
-      if (!Files.exists(metaPath)) {
-        Files.createDirectories(Paths.get(dir))
-        Files.write(metaPath, prefixes.toString.getBytes)
-      }
-      bands.withColumn("bp", pmod(col("bucket"), lit(prefixes)))
-        .write.mode("append").partitionBy("bp").parquet(s"$dir/bands")
-      shingles.write.mode("append").parquet(s"$dir/shingles")
-    }
+      requestedPrefixes: Int = 256)
+    extends PrefixedBandIndex(spark, dir, "shingles", requestedPrefixes) {
+    def shingles: Option[DataFrame] = payload
   }
 
   /** Process one batch of (doc_id, text): returns verified duplicate

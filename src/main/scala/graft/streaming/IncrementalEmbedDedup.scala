@@ -26,39 +26,13 @@ object IncrementalEmbedDedup {
   final case class Config(bands: Int = 16, bitsPerBand: Int = 8,
       threshold: Double = 0.9)
 
-  /** Persistent SRP index: `bands/` (vec_id, band, bucket) partitioned
-    * by `bp = pmod(bucket, prefixes)` and `vectors/` (vec_id,
-    * embedding, nsq), both append-only parquet. As with
-    * [[IncrementalDedup.DedupIndex]], the prefix count is a property
-    * of the on-disk layout: recorded in `_PREFIXES` at first append
-    * and adopted on reopen. */
+  /** Persistent SRP index: band rows + `vectors/` payload (vec_id,
+    * embedding, nsq) — see [[PrefixedBandIndex]] for the bp-prefix
+    * layout and `_PREFIXES` adopt-on-reopen contract. */
   final class EmbedIndex(spark: SparkSession, dir: String,
-      requestedPrefixes: Int = 64) {
-    import java.nio.file.{Files, Paths}
-    private val metaPath = Paths.get(dir, "_PREFIXES")
-    val prefixes: Int =
-      if (Files.exists(metaPath))
-        new String(Files.readAllBytes(metaPath)).trim.toInt
-      else requestedPrefixes
-    private def readOpt(sub: String): Option[DataFrame] = {
-      val p = new java.io.File(s"$dir/$sub")
-      if (p.exists()) Some(spark.read.parquet(p.toString)) else None
-    }
-    def bands: Option[DataFrame] = readOpt("bands")
-    /** History bands restricted to the given bucket prefixes —
-      * partition-pruned at the file level, never a full index scan. */
-    def bandsForPrefixes(bps: Seq[Int]): Option[DataFrame] =
-      bands.map(_.filter(col("bp").isin(bps: _*)))
-    def vectors: Option[DataFrame] = readOpt("vectors")
-    def append(bands: DataFrame, vectors: DataFrame): Unit = {
-      if (!Files.exists(metaPath)) {
-        Files.createDirectories(Paths.get(dir))
-        Files.write(metaPath, prefixes.toString.getBytes)
-      }
-      bands.withColumn("bp", pmod(col("bucket"), lit(prefixes)))
-        .write.mode("append").partitionBy("bp").parquet(s"$dir/bands")
-      vectors.write.mode("append").parquet(s"$dir/vectors")
-    }
+      requestedPrefixes: Int = 64)
+    extends PrefixedBandIndex(spark, dir, "vectors", requestedPrefixes) {
+    def vectors: Option[DataFrame] = payload
   }
 
   /** Process one batch of (vec_id, embedding): returns verified

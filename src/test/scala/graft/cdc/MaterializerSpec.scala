@@ -150,6 +150,37 @@ class MaterializerSpec extends AnyFunSuite {
     assert(scans.size == 1, s"expected one scan, got ${scans.size}")
   }
 
+  test("legacy-layout bucket roots (column-stripping partitionBy) still read whole") {
+    // Stores written before layout columns were duplicated into the
+    // data files carry them only as Hive `col=value` dirs; the
+    // single-scan read path must detect those roots and give them a
+    // discovery read instead of silently dropping the column.
+    val root = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val sink = new ParquetTableStore(spark, root,
+      partitioning = Map("customers" -> Seq("last_name")))
+    Materializer.applyBatch(toDf(Fixtures.goldenSequence), catalog,
+      Envelope.defaultRegistry, sink)
+    val v = sink.versions("customers").last
+    // rewrite ONE bucket root into the legacy layout (mixed-store case)
+    val legacyRoot = sink.manifest("customers", v).values.toSeq.sorted.head
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(legacyRoot)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-legacy-tmp")
+      .resolve("out").toString
+    df.write.partitionBy("last_name").parquet(tmp)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete()
+    }
+    rmRf(new java.io.File(legacyRoot))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(legacyRoot))
+    // legacy files have NO last_name column on disk — reads must still
+    // reconstruct it alongside the untouched current-layout roots
+    val rows = sink.read("customers").get
+      .select("id", "last_name").as[(Int, String)].collect().toSet
+    assert(rows == Set((1, "Thomas"), (3, "Walker")), s"got $rows")
+  }
+
   test("a relocated store root still reads every retained version") {
     val root = java.nio.file.Files.createTempDirectory("graft-move").toString
     val sink = new ParquetTableStore(spark, root,
