@@ -390,6 +390,55 @@ object DedupOps {
       connectedComponents(verifiedPairsFor(s, dir, 0.8))
     },
 
+    // Survivor selection — the final step of the dedup story: within
+    // each duplicate cluster keep the highest-quality document (here
+    // token count; max score, smallest doc_id on ties) via the
+    // bounded `argmax_by` aggregate — one buffer per cluster per map
+    // partition crosses the exchange, no per-cluster sort. Shares the
+    // memoized pair set and CC labels' input with q_dedup_clusters.
+    QDef("q_dedup_survivors",
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM idx WHERE i <= len(w) - 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+        |          GROUP BY 1, 2),
+        |dup AS (SELECT d1, d2
+        |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |        WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+        |cc AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id),
+        |tok AS (SELECT doc_id,
+        |          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents),
+        |j AS (SELECT cc.doc_id, cc.canonical, tok.n_tokens
+        |      FROM cc JOIN tok USING (doc_id)),
+        |rk AS (SELECT canonical, doc_id, n_tokens,
+        |         row_number() OVER (PARTITION BY canonical
+        |           ORDER BY n_tokens DESC, doc_id) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_docs
+        |       FROM j)
+        |SELECT canonical, doc_id AS keep_id, n_tokens, n_docs FROM rk WHERE rk = 1
+        |""".stripMargin) { (s, dir) =>
+      graft.functions.TopKBy.register(s)
+      val cc = connectedComponents(verifiedPairsFor(s, dir, 0.8))
+      val tok = table(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      cc.join(tok, "doc_id")
+        .groupBy("canonical")
+        .agg(expr("argmax_by(struct(doc_id, n_tokens), CAST(n_tokens AS DOUBLE), doc_id)")
+          .as("best"), count(lit(1)).as("n_docs"))
+        .select(col("canonical"), col("best.doc_id").as("keep_id"),
+          col("best.n_tokens").as("n_tokens"), col("n_docs"))
+    },
+
     // Embedding-cosine near-dup over bounded id-bands (oracle anchor;
     // the unbounded version is LSH/IVF territory — see SimilarityOps).
     QDef("q_dedup_embedding",
