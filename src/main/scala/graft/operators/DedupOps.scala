@@ -154,6 +154,18 @@ object DedupOps {
     pairsMemo.getOrElseUpdate((s, dir, threshold),
       lshVerifiedPairs(table(s, dir, "documents"), threshold).cache())
 
+  /** Memoized cluster assignment over the shared pair set — the CC
+    * fixpoint is iterative (several jobs), and both q_dedup_clusters
+    * and q_dedup_survivors consume the identical labels; a production
+    * pipeline would persist the assignment table once per corpus
+    * snapshot. Same path-immutability assumption as [[verifiedPairsFor]]. */
+  private val labelsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
+  def clusterLabelsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    labelsMemo.getOrElseUpdate((s, dir, threshold),
+      connectedComponents(verifiedPairsFor(s, dir, threshold)).cache())
+
   /** Connected components over duplicate pairs by iterative min-label
     * propagation: each iteration is one join + one aggregation (both
     * keyed shuffles), converging in O(component diameter) rounds —
@@ -387,7 +399,7 @@ object DedupOps {
       // carries the exact-pairs oracle), and CC-over-LSH-verified-pairs
       // is the composition that actually runs at 100 TB — all-pairs
       // shingle joins don't.
-      connectedComponents(verifiedPairsFor(s, dir, 0.8))
+      clusterLabelsFor(s, dir, 0.8)
     },
 
     // Survivor selection — the final step of the dedup story: within
@@ -428,7 +440,7 @@ object DedupOps {
         |SELECT canonical, doc_id AS keep_id, n_tokens, n_docs FROM rk WHERE rk = 1
         |""".stripMargin) { (s, dir) =>
       graft.functions.TopKBy.register(s)
-      val cc = connectedComponents(verifiedPairsFor(s, dir, 0.8))
+      val cc = clusterLabelsFor(s, dir, 0.8)
       val tok = table(s, dir, "documents").select(col("doc_id"),
         size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
       cc.join(tok, "doc_id")
