@@ -20,20 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => {
-        // Require a literal boolean: a column or an int would otherwise
-        // be coerced to portable=false silently (or fail unhelpfully at
-        // plan time).
-        val portable = children.drop(1) match {
-          case Seq() => false
-          case Seq(p) if p.foldable &&
-              p.dataType == org.apache.spark.sql.types.BooleanType =>
-            p.eval().asInstanceOf[Boolean]
-          case _ => throw new IllegalArgumentException(
-            "simhash64's optional second argument must be a boolean literal")
-        }
-        SimHash64(children.head, portable)
-      }))
+      (children: Seq[Expression]) =>
+        // shared strict builder — TextHashExpressions.register installs
+        // the same one, so the argument contract can't fork between the
+        // extension and per-session registration paths
+        graft.functions.TextHashExpressions.simhash64Builder(children)))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),

@@ -257,13 +257,31 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // (a bucket dir is written atomically by one writer version, so
       // layouts never mix inside a root).
       val (legacy, current) = paths.sorted.partition(isLegacyLayout(_, layout))
-      val scans =
-        (if (current.nonEmpty)
-          Seq(spark.read.option("mergeSchema", "true")
-            .option("recursiveFileLookup", "true").parquet(current: _*))
-        else Seq.empty) ++
-          legacy.map(p => spark.read.option("mergeSchema", "true").parquet(p))
-      Some(scans.reduce(_.unionByName(_, allowMissingColumns = true)))
+      val currentScan =
+        if (current.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(current: _*))
+      // Hive partition-column TYPE INFERENCE re-types reconstructed
+      // layout columns from directory names ("01234" → int 1234,
+      // date-shaped strings → DATE) — cast them back to the type the
+      // current-layout data files carry so the union neither corrupts
+      // values nor fails on incompatible types. (Pure-legacy stores
+      // keep the inferred types: there is no authoritative schema left
+      // to prefer, and the pre-migration reader behaved identically.)
+      val legacyScans = legacy.map { p =>
+        val df = spark.read.option("mergeSchema", "true").parquet(p)
+        currentScan match {
+          case Some(cur) => layout.foldLeft(df) { (d, c) =>
+            cur.schema.find(_.name == c)
+              .filter(f => d.columns.contains(c) && d.schema(c).dataType != f.dataType)
+              .map(f => d.withColumn(c, col(c).cast(f.dataType)))
+              .getOrElse(d)
+          }
+          case None => df
+        }
+      }
+      Some((currentScan.toSeq ++ legacyScans)
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
     }
   }
 

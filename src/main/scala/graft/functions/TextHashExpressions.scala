@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   *  - default (xxhash64, seed 42): best avalanche, lines up with the
   *    SQL `xxhash64` family;
   *  - `portable = true`: a pair of modular polynomial hashes over the
-  *    token's UTF-16 code units packed as `(h31 << 31) | h131` — each
+  *    token's Unicode CODE POINTS packed as `(h31 << 31) | h131` — each
   *    fold is expressible as a DuckDB `list_reduce`, so the WHOLE
   *    simhash (votes, banding, hamming) can be recomputed by an
   *    independent engine for cross-engine verification. Effective
@@ -174,13 +174,30 @@ case class RollingHash(child: Expression)
 }
 
 object TextHashExpressions {
+  /** The ONE simhash64 builder (used by both `register` and
+    * GraftExtensions): the optional second argument must be a
+    * non-null literal boolean — a column, an int, or a NULL literal
+    * would otherwise be silently coerced to portable=false and the
+    * query would compute xxhash signatures while its oracle expects
+    * the portable fold. */
+  def simhash64Builder(exprs: Seq[Expression]): SimHash64 = {
+    val portable = exprs.drop(1) match {
+      case Seq() => false
+      case Seq(p) if p.foldable &&
+          p.dataType == org.apache.spark.sql.types.BooleanType &&
+          p.eval() != null =>
+        p.eval().asInstanceOf[Boolean]
+      case _ => throw new IllegalArgumentException(
+        "simhash64's optional second argument must be a non-null boolean literal")
+    }
+    SimHash64(exprs.head, portable)
+  }
+
   /** Register simhash64 / minhash_sig / rollhash in the session
     * (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head,
-        exprs.length > 1 && exprs(1).eval() == true), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", simhash64Builder, "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")

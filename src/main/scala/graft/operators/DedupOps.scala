@@ -255,6 +255,45 @@ object DedupOps {
       |        sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
       |       FROM xx GROUP BY v1, v2)""".stripMargin
 
+  /** Shared oracle CTE chain for the text-dedup family: distinct
+    * word-3-gram shingles per document, per-doc set sizes, and
+    * shared-shingle intersection counts per candidate pair. Factored so
+    * the four text-dedup oracles (pairs ×2, clusters, survivors) can
+    * never drift in their shingle/threshold arithmetic. */
+  private val shingleOracleCtes =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM idx WHERE i <= len(w) - 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  /** Exact-Jaccard pair listing at threshold 0.8 — the full oracle of
+    * BOTH q_dedup_ngram_jaccard and q_dedup_minhash_lsh (LSH with
+    * deterministic seeds + exact verification finds the identical set;
+    * sharing one string makes that claim structural). */
+  private val jaccardOracleSql =
+    s"""WITH $shingleOracleCtes
+      |SELECT d1, d2,
+      |       round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+      |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
+      |""".stripMargin
+
+  /** Duplicate edges at 0.8 + recursive reachability — shared by the
+    * clusters and survivors oracles. */
+  private val reachOracleCtes =
+    """dup AS (SELECT d1, d2
+      |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |        WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id)""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup: keep the lowest doc_id per normalized-content hash.
@@ -275,19 +314,7 @@ object DedupOps {
     // Exact n-gram Jaccard near-dup pairs (threshold 0.8). The corpus
     // contains planted near-duplicates (~0.99 Jaccard).
     QDef("q_dedup_ngram_jaccard",
-      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM idx WHERE i <= len(w) - 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT d1, d2,
-        |       round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
-        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
-        |""".stripMargin) { (s, dir) =>
+      jaccardOracleSql) { (s, dir) =>
       jaccardPairs(shingles(table(s, dir, "documents")), 0.8)
     },
 
@@ -301,19 +328,7 @@ object DedupOps {
     // per pair (miss odds ~1e-27). DedupSimSpec separately asserts the
     // exact ⊆ candidates direction.
     QDef("q_dedup_minhash_lsh",
-      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM idx WHERE i <= len(w) - 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT d1, d2,
-        |       round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
-        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
-        |""".stripMargin) { (s, dir) =>
+      jaccardOracleSql) { (s, dir) =>
       verifiedPairsFor(s, dir, 0.8)
     },
 
@@ -375,23 +390,9 @@ object DedupOps {
     // reachability with a recursive CTE and takes min(reachable id) per
     // node; DedupSimSpec additionally verifies a union-find reference.
     QDef("q_dedup_clusters",
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM idx WHERE i <= len(w) - 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
-        |          GROUP BY 1, 2),
-        |dup AS (SELECT d1, d2
-        |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-        |        WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id)
+      s"""WITH RECURSIVE
+        |$shingleOracleCtes,
+        |$reachOracleCtes
         |SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id
         |""".stripMargin) { (s, dir) =>
       // pairs come from the LSH pipeline, not exact all-pairs Jaccard:
@@ -409,23 +410,9 @@ object DedupOps {
     // partition crosses the exchange, no per-cluster sort. Shares the
     // memoized pair set and CC labels' input with q_dedup_clusters.
     QDef("q_dedup_survivors",
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM idx WHERE i <= len(w) - 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
-        |          GROUP BY 1, 2),
-        |dup AS (SELECT d1, d2
-        |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-        |        WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+      s"""WITH RECURSIVE
+        |$shingleOracleCtes,
+        |$reachOracleCtes,
         |cc AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id),
         |tok AS (SELECT doc_id,
         |          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
