@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index — the "build once, probe
+  * many" form of [[SimilarityOps.ivfAssign]]/[[SimilarityOps.ivfSearch]]:
+  * `centroids/` plus the assigned corpus laid out
+  * `partitionBy(centroid_id)`, so a probe reads ONLY the files of the
+  * buckets it probes (partition pruning at the file level — the same
+  * claim the inline query can only make about rows). At 100 TB the
+  * assignment pass runs once per corpus snapshot and every query
+  * afterwards touches nprobe/ncentroids of the data.
+  */
+final class IvfIndex(spark: SparkSession, dir: String) {
+
+  def centroids: DataFrame = spark.read.parquet(s"$dir/centroids")
+
+  /** The assigned corpus; `centroid_id` is the partition column. */
+  def assigned: DataFrame = spark.read.parquet(s"$dir/assigned")
+
+  /** ANN top-k for `queries` (qid, qv): probe selection against the
+    * broadcast centroid table, then exact cosine over ONLY the probed
+    * partitions. The probed bucket-id set is ≤ queries × nprobe —
+    * bounded driver-side by construction (same pattern as the dedup
+    * indexes' bucket-prefix pruning). */
+  def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorOps.ensure(spark)
+    graft.functions.TopKBy.register(spark)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cd", round(
+        graft.functions.VectorOps.cosine(col("qv"), col("cv")), 6))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        call_function("topk_by", col("cd"), col("cid"), lit(nprobe)).as("pr"))
+      .select(col("qid"), col("qv"), explode(col("pr.id")).as("cid"))
+      .cache()
+    val probedCids = probes.select("cid").distinct().as[Long].collect().toSeq
+    // partition filter → only the probed centroid_id= directories are
+    // listed and scanned
+    val pruned = assigned.filter(col("centroid_id").isin(probedCids: _*))
+    val scored = pruned
+      .join(broadcast(probes), pruned("centroid_id") === probes("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        graft.functions.VectorOps.cosine(col("embedding"), col("qv")), 6))
+    val out = scored.groupBy(col("qid"))
+      .agg(call_function("topk_by", col("cos"), col("vec_id"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rn"))
+    probes.unpersist()
+    out
+  }
+}
+
+object IvfIndex {
+  /** Build (or rebuild) the index from (vec_id, embedding): assign
+    * every vector to its nearest deterministic-sample centroid and
+    * persist the corpus bucketed by that assignment. */
+  def build(corpus: DataFrame, dir: String, modulus: Int): IvfIndex = {
+    val spark = corpus.sparkSession
+    SimilarityOps.ivfAssign(corpus, modulus)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/assigned")
+    corpus.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    new IvfIndex(spark, dir)
+  }
+}
