@@ -34,6 +34,22 @@ object Coverage2 {
         translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"))
     },
 
+    // ntile quartiles — the last analytic window form not already
+    // covered by q_win_analytic. The (o_totalprice, o_orderkey) order
+    // is total, so bucket boundaries are engine-independent.
+    QDef("q_win_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+
     QDef("q_win_analytic",
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  first_value(o_totalprice) OVER w AS first_price,

@@ -255,6 +255,19 @@ object DedupOps {
       |        sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
       |       FROM xx GROUP BY v1, v2)""".stripMargin
 
+  /** SRP duplicate edges at cos ≥ 0.4 + recursive reachability —
+    * shared by the embedding clusters and survivors oracles (dup is
+    * MATERIALIZED: it sits under the recursion and is referenced
+    * twice by `edges`). */
+  private val srpReachCtes =
+    """dup AS MATERIALIZED (SELECT v1, v2 FROM dd
+      |        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
+      |edges AS (SELECT v1 AS a, v2 AS b FROM dup UNION SELECT v2, v1 FROM dup),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e2.b, r.r FROM reach r JOIN edges e2 ON e2.a = r.id)""".stripMargin
+
   /** Shared oracle CTE chain for the text-dedup family: distinct
     * word-3-gram shingles per document, per-doc set sizes, and
     * shared-shingle intersection counts per candidate pair. Factored so
@@ -504,18 +517,43 @@ object DedupOps {
     QDef("q_dedup_embedding_clusters",
       s"""WITH RECURSIVE
         |$srpOracleCtes,
-        |dup AS MATERIALIZED (SELECT v1, v2 FROM dd
-        |        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
-        |edges AS (SELECT v1 AS a, v2 AS b FROM dup UNION SELECT v2, v1 FROM dup),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e2.b, r.r FROM reach r JOIN edges e2 ON e2.a = r.id)
+        |$srpReachCtes
         |SELECT id AS vec_id, min(r) AS canonical FROM reach GROUP BY id
         |""".stripMargin) { (s, dir) =>
-      connectedComponents(srpVerifiedPairsFor(s, dir, 0.4)
-        .select(col("v1").as("d1"), col("v2").as("d2")))
-        .select(col("doc_id").as("vec_id"), col("canonical"))
+      srpLabelsFor(s, dir, 0.4)
+    },
+
+    // Embedding survivor selection — the vector twin of
+    // q_dedup_survivors: within each embedding duplicate cluster keep
+    // the largest-norm vector (max rounded ‖x‖², smallest vec_id on
+    // ties) via the bounded argmax_by aggregate, over the memoized
+    // cluster labels.
+    QDef("q_dedup_embedding_survivors",
+      s"""WITH RECURSIVE
+        |$srpOracleCtes,
+        |$srpReachCtes,
+        |cc AS (SELECT id AS vec_id, min(r) AS canonical FROM reach GROUP BY id),
+        |nn AS (SELECT vec_id, round(sum(CAST(a AS DOUBLE) * a), 6) AS nsq
+        |       FROM (SELECT vec_id, unnest(embedding) AS a FROM e) u
+        |       GROUP BY vec_id),
+        |j AS (SELECT cc.vec_id, cc.canonical, nn.nsq
+        |      FROM cc JOIN nn USING (vec_id)),
+        |rk AS (SELECT canonical, vec_id, nsq,
+        |         row_number() OVER (PARTITION BY canonical
+        |           ORDER BY nsq DESC, vec_id) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_vecs
+        |       FROM j)
+        |SELECT canonical, vec_id AS keep_id, nsq, n_vecs FROM rk WHERE rk = 1
+        |""".stripMargin) { (s, dir) =>
+      graft.functions.TopKBy.register(s)
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val nn = withNormSq(e).select(col("vec_id"), round(col("nsq"), 6).as("nsq"))
+      srpLabelsFor(s, dir, 0.4).join(nn, "vec_id")
+        .groupBy("canonical")
+        .agg(expr("argmax_by(struct(vec_id, nsq), nsq, vec_id)").as("best"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("canonical"), col("best.vec_id").as("keep_id"),
+          col("best.nsq").as("nsq"), col("n_vecs"))
     },
   )
 
@@ -525,6 +563,17 @@ object DedupOps {
     * both (same sharing rationale as [[verifiedPairsFor]]). */
   private val srpPairsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
+
+  /** Memoized embedding cluster labels over the shared SRP pair set —
+    * same sharing rationale as [[clusterLabelsFor]]. */
+  private val srpLabelsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
+  def srpLabelsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    srpLabelsMemo.getOrElseUpdate((s, dir, threshold),
+      connectedComponents(srpVerifiedPairsFor(s, dir, threshold)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+        .select(col("doc_id").as("vec_id"), col("canonical")).cache())
 
   def srpVerifiedPairsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
     srpPairsMemo.getOrElseUpdate((s, dir, threshold), {
