@@ -46,19 +46,34 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val timings = (1 to runs).map { _ =>
+    // Run-major loop, clearing the process-level dedup memos at the top
+    // of every run (round-3 advice): with query-major repetition, runs
+    // 2..N of the pair-consuming queries served entirely from the memo
+    // populated by run 1, so their medians excluded the dominant
+    // pair-finding cost. Now every run pays it once, in the same
+    // (alphabetical, deterministic) place; queries that served from a
+    // memo populated EARLIER IN THE SAME RUN are listed in
+    // "memo_served" so the per-query numbers are interpretable.
+    val memoServed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val timings = (1 to runs).map { _ =>
+      graft.operators.DedupOps.clearMemos()
+      selected.map { case (name, fn) =>
+        graft.operators.DedupOps.drainMemoHits()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        if (graft.operators.DedupOps.drainMemoHits().nonEmpty) memoServed += name
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      val sorted = timings.map(_._1).sorted
+    }
+    val results = selected.map { case (name, _) =>
+      val perRun = timings.map(_.find(_._1 == name).get)
+      val sorted = perRun.map(_._2).sorted
       val median =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-      (name, median, timings.forall(_._2))
+      (name, median, perRun.forall(_._3))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -66,10 +81,11 @@ object Bench {
     // folded into a small wall-time (round-1 advice)
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val memoJson = memoServed.map(q => s"\"" + q + "\"").mkString("[", ",", "]")
     // "total" is a sum of per-query medians, not one wall-clock pass
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","runs":$runs,"memo_cleared_per_run":true,"memo_served":$memoJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout capture upstream truncates long output and keeps the TAIL:
     // end with a short self-contained summary line (total + slowest 5)
@@ -79,7 +95,7 @@ object Bench {
       line.getBytes("UTF-8"))
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":$total,"unit":"sec","runs":$runs,"slowest5":$slowest,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","runs":$runs,"slowest5":$slowest,"memo_served":$memoJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

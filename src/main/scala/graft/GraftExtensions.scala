@@ -28,8 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSignature(children(0),
-        children(1).eval().asInstanceOf[Int])))
+      (children: Seq[Expression]) =>
+        graft.functions.TextHashExpressions.minhashSigBuilder(children)))
     ext.injectFunction((
       new FunctionIdentifier("rollhash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rollhash"),
@@ -49,8 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("srp_buckets"),
       new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),
-      (children: Seq[Expression]) => SrpBuckets(children(0),
-        children(1).eval().asInstanceOf[Number].intValue(),
-        children(2).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) =>
+        graft.functions.SrpExpressions.bucketsBuilder(children)))
   }
 }

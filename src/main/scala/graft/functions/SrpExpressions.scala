@@ -139,12 +139,36 @@ case class SrpBuckets(child: Expression, bands: Int, bitsPerBand: Int)
 }
 
 object SrpExpressions {
+  /** Strict extraction of a foldable non-null integer literal — a
+    * column or NULL argument becomes a clear analysis-time error
+    * instead of an obscure runtime ClassCastException/NPE (same
+    * contract as [[TextHashExpressions.simhash64Builder]]). */
+  private[functions] def intLit(fn: String, arg: String, e: Expression): Int = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }) && e.eval() != null
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn's $arg argument must be a non-null integer literal, got $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Shared strict builder — both the per-session registration below
+    * and [[graft.GraftExtensions]] install this one, so the argument
+    * contract can't fork between the two paths. */
+  def bucketsBuilder(exprs: Seq[Expression]): SrpBuckets = {
+    if (exprs.length != 3) throw new IllegalArgumentException(
+      s"srp_buckets takes (embedding, bands, bitsPerBand), got ${exprs.length} args")
+    SrpBuckets(exprs(0),
+      intLit("srp_buckets", "bands", exprs(1)),
+      intLit("srp_buckets", "bitsPerBand", exprs(2)))
+  }
+
   /** Register `srp_buckets` in the session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "srp_buckets",
-      exprs => SrpBuckets(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      "srp_buckets", bucketsBuilder, "built-in")
 }

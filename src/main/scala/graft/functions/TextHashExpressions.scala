@@ -193,14 +193,22 @@ object TextHashExpressions {
     SimHash64(exprs.head, portable)
   }
 
+  /** Shared strict builder for `minhash_sig(tokens, n)` — validates the
+    * signature width the same way [[simhash64Builder]] validates its
+    * flag, and is installed by both registration paths. */
+  def minhashSigBuilder(exprs: Seq[Expression]): MinHashSignature = {
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"minhash_sig takes (tokens, n), got ${exprs.length} args")
+    MinHashSignature(exprs(0),
+      SrpExpressions.intLit("minhash_sig", "n", exprs(1)))
+  }
+
   /** Register simhash64 / minhash_sig / rollhash in the session
     * (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", simhash64Builder, "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig", minhashSigBuilder, "built-in")
     reg.createOrReplaceTempFunction("rollhash",
       exprs => RollingHash(exprs.head), "built-in")
   }

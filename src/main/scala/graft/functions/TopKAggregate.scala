@@ -24,8 +24,15 @@ import org.apache.spark.sql.types._
   * shuffling N·C scored rows and shuffling N (see SimilarityOps IVF).
   *
   * The heap orders worst-first so inserts against a full buffer are a
-  * single O(log k) root replacement. Determinism: the (score, id) total
-  * order has no ties, so the result is independent of partitioning.
+  * single O(log k) root replacement. Determinism holds for MULTISETS,
+  * duplicates included: the only tie the (score DESC, id ASC) order
+  * admits is an exact-duplicate (score, id) tuple, and when a full
+  * buffer rejects a candidate equal to its worst element the surviving
+  * multiset is identical either way — so the bounded heap maintains
+  * exactly the k-best multiset of the rows seen, merge-order- and
+  * partitioning-independent, matching the row_number window
+  * formulation row for row (TopKDuplicatesSpec pins this against the
+  * window under randomized duplication and repartitioning).
   */
 case class TopKBy(
     scoreExpr: Expression,

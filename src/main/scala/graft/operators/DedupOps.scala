@@ -150,8 +150,42 @@ object DedupOps {
   private val pairsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
 
+  /** Names of memo tables served from cache since the last [[drainMemoHits]]
+    * — the bench harness records these per query so a timing that
+    * excludes pair-finding (because an earlier query in the same run
+    * already paid it) is visibly marked in the bench JSON rather than
+    * silently folded into a small number (round-3 advice). */
+  private val memoHits = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private type MemoKey = (SparkSession, String, Double)
+
+  private def memoGet(memo: scala.collection.concurrent.TrieMap[MemoKey, DataFrame],
+      name: String, key: MemoKey)(build: => DataFrame): DataFrame = {
+    if (memo.contains(key)) memoHits.put(name, ())
+    memo.getOrElseUpdate(key, build)
+  }
+
+  /** Drain and return the memo tables hit since the last call. */
+  def drainMemoHits(): Set[String] = {
+    val hit = memoHits.keySet.toSet
+    memoHits.clear()
+    hit
+  }
+
+  /** Drop every process-level memoized table (unpersisting its cache).
+    * The bench harness calls this between runs so repeat runs pay the
+    * full pair-finding cost instead of serving from the previous run's
+    * memo — per-query medians stay comparable round over round. */
+  def clearMemos(): Unit = {
+    Seq(pairsMemo, labelsMemo, srpPairsMemo, srpLabelsMemo).foreach { m =>
+      m.values.foreach(_.unpersist(false))
+      m.clear()
+    }
+    memoHits.clear()
+  }
+
   def verifiedPairsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    pairsMemo.getOrElseUpdate((s, dir, threshold),
+    memoGet(pairsMemo, "pairs", (s, dir, threshold))(
       lshVerifiedPairs(table(s, dir, "documents"), threshold).cache())
 
   /** Memoized cluster assignment over the shared pair set — the CC
@@ -163,7 +197,7 @@ object DedupOps {
     .empty[(SparkSession, String, Double), DataFrame]
 
   def clusterLabelsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    labelsMemo.getOrElseUpdate((s, dir, threshold),
+    memoGet(labelsMemo, "labels", (s, dir, threshold))(
       connectedComponents(verifiedPairsFor(s, dir, threshold)).cache())
 
   /** Connected components over duplicate pairs by iterative min-label
@@ -570,13 +604,13 @@ object DedupOps {
     .empty[(SparkSession, String, Double), DataFrame]
 
   def srpLabelsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    srpLabelsMemo.getOrElseUpdate((s, dir, threshold),
+    memoGet(srpLabelsMemo, "srp_labels", (s, dir, threshold))(
       connectedComponents(srpVerifiedPairsFor(s, dir, threshold)
         .select(col("v1").as("d1"), col("v2").as("d2")))
         .select(col("doc_id").as("vec_id"), col("canonical")).cache())
 
   def srpVerifiedPairsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    srpPairsMemo.getOrElseUpdate((s, dir, threshold), {
+    memoGet(srpPairsMemo, "srp_pairs", (s, dir, threshold)) {
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val banded = srpBands(e)
       val cand = banded.as("a")
@@ -586,7 +620,7 @@ object DedupOps {
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
         .distinct()
       cosineVerify(cand, withNormSq(e), threshold).cache()
-    })
+    }
 
   /** vec_id → exploded SRP (band, bucket) rows. Bands carry only three
     * small ints — the 16×-duplicated rows that hit an exchange never

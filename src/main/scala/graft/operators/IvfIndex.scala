@@ -25,18 +25,25 @@ final class IvfIndex(spark: SparkSession, dir: String) {
     * bounded driver-side by construction (same pattern as the dedup
     * indexes' bucket-prefix pruning). */
   def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    import spark.implicits._
     graft.functions.VectorOps.ensure(spark)
     graft.functions.TopKBy.register(spark)
-    val probes = queries.crossJoin(broadcast(centroids))
+    // The probe table is ≤ queries × nprobe rows by construction, so it
+    // is materialized ONCE driver-side and rebuilt as a local relation:
+    // both downstream consumers (the distinct-cid partition filter here
+    // and the broadcast join below) then read the local copy instead of
+    // re-running the centroid crossJoin + topk_by subplan — no cache
+    // whose unpersist would have to outlive this method's laziness.
+    val probePlan = queries.crossJoin(broadcast(centroids))
       .withColumn("cd", round(
         graft.functions.VectorOps.cosine(col("qv"), col("cv")), 6))
       .groupBy(col("qid"))
       .agg(first(col("qv")).as("qv"),
         call_function("topk_by", col("cd"), col("cid"), lit(nprobe)).as("pr"))
       .select(col("qid"), col("qv"), explode(col("pr.id")).as("cid"))
-      .cache()
-    val probedCids = probes.select("cid").distinct().as[Long].collect().toSeq
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
     // partition filter → only the probed centroid_id= directories are
     // listed and scanned
     val pruned = assigned.filter(col("centroid_id").isin(probedCids: _*))
@@ -45,13 +52,11 @@ final class IvfIndex(spark: SparkSession, dir: String) {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(
         graft.functions.VectorOps.cosine(col("embedding"), col("qv")), 6))
-    val out = scored.groupBy(col("qid"))
+    scored.groupBy(col("qid"))
       .agg(call_function("topk_by", col("cos"), col("vec_id"), lit(k)).as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("vec_id"),
         col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rn"))
-    probes.unpersist()
-    out
   }
 }
 

@@ -86,8 +86,9 @@ object IncrementalDedup {
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val index = new DedupIndex(batch.sparkSession, indexDir)
-        processBatch(batch, index, cfg)
-          .write.mode("append").parquet(dupDir)
+        val verified = processBatch(batch, index, cfg)
+        try verified.write.mode("append").parquet(dupDir)
+        finally verified.unpersist() // per-batch cache must not outlive the batch
       }
       .start()
 }

@@ -63,6 +63,11 @@ object IncrementalEmbedDedup {
       .distinct()
 
     val allVecs = index.vectors.map(vecs.unionByName(_)).getOrElse(vecs)
+    // Cached because it must be materialized BEFORE index.append makes
+    // the batch's own vectors visible as history; the CALLER owns the
+    // unpersist once it has consumed the result (see start) — a
+    // long-running stream would otherwise accumulate one pinned
+    // DataFrame per micro-batch in executor storage.
     val verified = DedupOps.cosineVerify(cand, allVecs, cfg.threshold).cache()
     verified.count() // materialize before the index advances
 
@@ -80,8 +85,9 @@ object IncrementalEmbedDedup {
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val index = new EmbedIndex(batch.sparkSession, indexDir)
-        processBatch(batch, index, cfg)
-          .write.mode("append").parquet(dupDir)
+        val verified = processBatch(batch, index, cfg)
+        try verified.write.mode("append").parquet(dupDir)
+        finally verified.unpersist() // per-batch cache must not outlive the batch
       }
       .start()
 }
