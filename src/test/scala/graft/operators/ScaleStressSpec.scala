@@ -72,13 +72,21 @@ class ScaleStressSpec extends AnyFunSuite {
       s"10x the leaves must not add rounds: $starSmall -> $starBig")
     assert(starBig <= 4, s"shallow component should converge in <=4, got $starBig")
 
-    // chain: 0-1-2-...-16 — diameter 16, label 0 travels one hop/round
+    // chain: 0-1-2-...-16 — diameter 16; pointer doubling means label
+    // 0's reach doubles per round, so rounds ≈ log2(diameter) + the
+    // fixpoint-detection round, NOT the 16 hops plain propagation needs
     val (chainL, chain) = DedupOps.connectedComponentsWithRounds(
       pairsDf((0L until 16L).map(i => (i, i + 1))))
     assert(chainL.select("canonical").distinct().count() == 1)
-    assert(chain >= 14 && chain <= 19,
-      s"chain rounds should track its diameter (16), got $chain")
-    info(s"rounds: star50=$starSmall star500=$starBig chain17=$chain")
+    assert(chain >= 3 && chain <= 8,
+      s"chain rounds should track log2(diameter 16) ~ 4-6, got $chain")
+    // a 4x longer chain must cost at most ~2 more (doubling) rounds
+    val (chain4L, chain4) = DedupOps.connectedComponentsWithRounds(
+      pairsDf((0L until 64L).map(i => (i, i + 1))))
+    assert(chain4L.select("canonical").distinct().count() == 1)
+    assert(chain4 <= chain + 3,
+      s"4x chain length must cost <= ~2 extra rounds: $chain -> $chain4")
+    info(s"rounds: star50=$starSmall star500=$starBig chain17=$chain chain65=$chain4")
   }
 
   test("store soak: 500 micro-batches with periodic vacuum, flat latency, bounded state") {
