@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgMaxBy, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VectorDot}
+import graft.functions.{ArgMaxBy, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("topk_str_by"),
       new ExpressionInfo(classOf[TopKStrBy].getName, "topk_str_by"),
       (children: Seq[Expression]) => TopKStrBy(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => VecSum(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("srp_buckets"),
       new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),
