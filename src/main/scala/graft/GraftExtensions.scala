@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgMaxBy, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot}
+import graft.functions.{ArgMaxBy, FreqSketch, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot, ZInterleave}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -50,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_sum"),
       new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
       (children: Seq[Expression]) => VecSum(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (children: Seq[Expression]) => FreqSketch(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+      (children: Seq[Expression]) => ZInterleave(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("srp_buckets"),
       new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),

@@ -252,6 +252,32 @@ object Coverage4 {
           count(lit(1)).as("n"))
     },
 
+    // Exact heavy hitters: tokens covering ≥ 0.1% of the corpus token
+    // stream. One hash aggregation (map-side combined) over the token
+    // explode, a 1-row total, and an integer cross-multiplied threshold
+    // (no division — exact in both engines). This is the verification
+    // dual of the bounded-memory freq_sketch aggregate
+    // (functions.FreqSketch, spec-driven against this query): at 100 TB
+    // the sketch finds candidates with fixed memory, and this exact
+    // count confirms them with one semi-join.
+    QDef("q_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |t AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS total FROM t)
+        |SELECT term, CAST(cnt AS BIGINT) AS cnt
+        |FROM t, n WHERE cnt * 1000 >= total
+        |""".stripMargin) { (s, dir) =>
+      val toks = table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 1000 >= col("total"))
+        .select(col("term"), col("cnt"))
+    },
+
     // Per-group z-score outlier flagging: two-pass — exact decimal
     // moment sums per event_type (order-independent, so the flags are
     // identical on any partitioning), broadcast back, flag |z| > 3.

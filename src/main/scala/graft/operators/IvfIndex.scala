@@ -74,4 +74,21 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     new IvfIndex(spark, dir)
   }
+
+  /** [[build]] with k-means-trained centroids instead of the raw
+    * deterministic sample: `iters` Lloyd steps (KMeansOps) move the
+    * seeds to the data's density before the corpus is assigned and
+    * bucketed — fuller buckets where vectors crowd, which is what keeps
+    * probe recall flat as a real corpus drifts from uniform. Same
+    * layout, same search path. */
+  def buildTrained(corpus: DataFrame, dir: String, modulus: Int,
+      iters: Int): IvfIndex = {
+    val spark = corpus.sparkSession
+    val (centroids, assigned) = KMeansOps.lloyd(corpus, modulus, iters)
+    assigned
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/assigned")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    new IvfIndex(spark, dir)
+  }
 }

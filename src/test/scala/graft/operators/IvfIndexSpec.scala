@@ -65,4 +65,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(scan.head.partitionFilters.nonEmpty,
       s"centroid_id filter did not become a partition filter: ${scan.head}")
   }
+
+  test("trained index: search == inline search over the lloyd assignment") {
+    val corpus = graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("ivf-trained").toString
+    val idx = IvfIndex.buildTrained(corpus, dir, Modulus, iters = 2)
+
+    val inline = {
+      val (cents, assigned) = KMeansOps.lloyd(corpus, Modulus, 2)
+      SimilarityOps.ivfSearch(assigned, cents, queries, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    }
+    val persisted = idx.search(queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(persisted == inline)
+    assert(persisted.nonEmpty)
+  }
 }
