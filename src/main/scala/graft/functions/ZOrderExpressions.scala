@@ -6,13 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
-/** `z_interleave(a, b)` — Morton (Z-order) interleave of two 32-bit
-  * bucket ids into one long: bit i of `a` lands at bit 2i+1, bit i of
-  * `b` at bit 2i. Sorting rows by this value clusters them so that ANY
-  * axis-aligned rectangle in (a, b) space touches O(√files) of a
-  * range-partitioned layout instead of all of them — the property
-  * multi-dimensional data-skipping layouts are built on (see
-  * operators.ZOrder).
+/** `z_interleave(a, b)` — Morton (Z-order) interleave of two
+  * NON-NEGATIVE 32-bit bucket ids into one long: bit i of `a` lands at
+  * bit 2i+1, bit i of `b` at bit 2i. Sorting rows by this value
+  * clusters them so that ANY axis-aligned rectangle in (a, b) space
+  * touches O(√files) of a range-partitioned layout instead of all of
+  * them — the property multi-dimensional data-skipping layouts are
+  * built on (see operators.ZOrder).
+  *
+  * Inputs MUST be ≥ 0 (enforced — negative ids would set bit 63 of the
+  * long and silently invert the signed sort order of the z-values, the
+  * one property the layout exists to provide; round-4 advice). Bucket
+  * ids from width_bucket are 0-based and ≤ 2^31-1, so every legitimate
+  * producer is in range by construction.
   *
   * Codegen'd: the interleave is the classic constant-time bit-spread
   * (4 shift-mask rounds per operand), no loops, stays inside
@@ -56,7 +62,13 @@ object ZInterleave {
     x
   }
 
-  def interleave(a: Int, b: Int): Long = (spread(a) << 1) | spread(b)
+  def interleave(a: Int, b: Int): Long = {
+    if (a < 0 || b < 0)
+      throw new IllegalArgumentException(
+        s"z_interleave requires non-negative bucket ids, got ($a, $b) — " +
+          "a negative id would invert the signed z-value ordering")
+    (spread(a) << 1) | spread(b)
+  }
 
   /** Register `z_interleave` in the session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -164,8 +164,10 @@ object Coverage4 {
 
     // Bloom-prefiltered decontamination — the same contract as
     // q_decontaminate (shared oracle: the bloom filter admits false
-    // positives only, and the exact hash join after it removes them, so
-    // the output is bit-identical to the unfiltered join). The point is
+    // positives only, and the exact STRING join after it removes them —
+    // including any 64-bit hash collisions, which the birthday bound
+    // makes expected at ~2^32 distinct grams — so the output is
+    // bit-identical to the unfiltered join at any scale). The point is
     // the 100 TB shape: the eval side's gram hashes are folded into a
     // fixed-size bloom filter (driver-built over the eval set — the side
     // that is genuinely small in production), broadcast to every train
@@ -193,20 +195,26 @@ object Coverage4 {
           "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', " +
             (0 until 8).map(k => s"w[i + $k]").mkString(", ") + "))"
         ))).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .withColumn("gh", xxhash64(col("g")))
       val ev = grams.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("eval_id"), col("gh"))
+        .select(col("doc_id").as("eval_id"), col("g"), col("gh"))
       val tr = grams.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id").as("train_id"), col("gh"))
-      // Build the filter over the eval grams (one pass; the sketch
-      // merges associatively so this distributes), size it from the
-      // actual count, and ship it once per executor via broadcast.
-      val evCount = math.max(ev.count(), 1L)
-      val bloom = ev.stat.bloomFilter("gh", evCount, 0.01)
+        .select(col("doc_id").as("train_id"), col("g"), col("gh"))
+      // Build the filter over the eval gram hashes (one pass; the
+      // sketch merges associatively so this distributes) and ship it
+      // once per executor via broadcast. Capacity is a FIXED bound, not
+      // a counted one: sizing from ev.count() cost an extra eager
+      // corpus scan at plan-construction time (round-4 advice) for no
+      // accuracy the fpp math needs — an over-provisioned filter only
+      // wastes a few MB of broadcast, and a production eval suite has a
+      // known size to plug in here. 4M grams @ 1% fpp ≈ 4.8 MB.
+      val bloom = ev.stat.bloomFilter("gh", 4L * 1024 * 1024, 0.01)
       val bloomBc = s.sparkContext.broadcast(bloom)
       val mightContain = udf((h: Long) => bloomBc.value.mightContain(h))
+      // prefilter on the 8-byte hash (cheap, scan-side); JOIN on the
+      // gram string (exact — hash collisions die here, not in the output)
       tr.filter(mightContain(col("gh")))
-        .join(ev, "gh")
+        .join(ev.drop("gh"), "g")
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("shared_ngrams"))
     },

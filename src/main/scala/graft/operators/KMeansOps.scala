@@ -72,8 +72,13 @@ object KMeansOps {
         .groupBy(col("centroid_id"))
         .agg(call_function("vec_sum", col("embedding")).as("vsum"),
           count(lit(1)).as("n"))
+        // means rounded to 6 decimals (the engine's determinism
+        // convention, round-4 advice): vec_sum's double adds are
+        // partition-order-dependent in the low bits, and an unrounded
+        // mean could flip a cosine sitting exactly on the round(_,6)
+        // assignment boundary run-to-run
         .select(col("centroid_id"),
-          expr("transform(vsum, x -> x / n)").as("cv"))
+          expr("transform(vsum, x -> round(x / n, 6))").as("cv"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .toMap

@@ -135,11 +135,15 @@ object PipelineOps {
 
     // Benchmark decontamination: training docs sharing any word 8-gram
     // with the held-out eval sample (doc_id % 10 == 0 — deterministic,
-    // engine-independent). The join is keyed on xxhash64 of the 8-gram
-    // (8-byte shuffle keys instead of ~50-byte strings; a false match
-    // needs a 64-bit collision INSIDE one gram's bucket — odds ~1e-19
-    // at any corpus size that fits a cluster). The oracle joins the raw
-    // strings. At 100 TB the eval side is tiny and broadcasts.
+    // engine-independent). The join is keyed on the gram STRING, like
+    // the oracle's: a 64-bit-hash key would be cheaper to shuffle but
+    // stops being exact once the corpus holds ~2^32 distinct grams
+    // (birthday bound — and the hash partitioning routes any colliding
+    // pair into the same bucket by construction), which is squarely
+    // inside the 100 TB design point. The bloom variant
+    // (q_decontaminate_bloom) shows where hashes DO belong: as a
+    // scan-side prefilter whose false positives the string join then
+    // removes. At 100 TB the eval side is tiny and broadcasts.
     QDef("q_decontaminate",
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |f AS (SELECT doc_id, w FROM toks WHERE len(w) >= 8),
@@ -160,17 +164,16 @@ object PipelineOps {
           "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', " +
             (0 until 8).map(k => s"w[i + $k]").mkString(", ") + "))"
         ))).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       val ev = grams.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("eval_id"), col("gh"))
+        .select(col("doc_id").as("eval_id"), col("g"))
       val tr = grams.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id").as("train_id"), col("gh"))
+        .select(col("doc_id").as("train_id"), col("g"))
       // No broadcast hint: a REAL eval suite is tiny and AQE will
       // broadcast it from stats, but this demo slices 10% of the corpus
       // as "eval" — forcing that side to broadcast would collect a
-      // corpus-proportional gram set at 100 TB. The hash-keyed shuffle
+      // corpus-proportional gram set at 100 TB. The string-keyed shuffle
       // join is the shape that holds at any eval-set size.
-      tr.join(ev, "gh")
+      tr.join(ev, "g")
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("shared_ngrams"))
     },

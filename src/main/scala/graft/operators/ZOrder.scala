@@ -51,8 +51,21 @@ object ZOrder {
     val stats = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    val z = zValue(col(colA), stats.getDouble(0), stats.getDouble(1),
-      col(colB), stats.getDouble(2), stats.getDouble(3))
+    // degenerate-column guards (round-4 advice): an all-null column has
+    // NULL min/max (getDouble would NPE) — fail with the actual reason;
+    // a constant column (min == max) makes width_bucket return null for
+    // every row — widen the range so the whole column lands in bucket 1
+    // and the layout degrades to a single-dimension sort, not to one
+    // null z-value.
+    def range(name: String, lo: Int): (Double, Double) = {
+      require(!stats.isNullAt(lo) && !stats.isNullAt(lo + 1),
+        s"ZOrder.write: column '$name' is all-null — cannot derive a bucket range")
+      val (mn, mx) = (stats.getDouble(lo), stats.getDouble(lo + 1))
+      if (mn == mx) (mn, mx + 1.0) else (mn, mx)
+    }
+    val (aMin, aMax) = range(colA, 0)
+    val (bMin, bMax) = range(colB, 2)
+    val z = zValue(col(colA), aMin, aMax, col(colB), bMin, bMax)
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")

@@ -89,6 +89,33 @@ class ScaleStressSpec extends AnyFunSuite {
     info(s"rounds: star50=$starSmall star500=$starBig chain17=$chain chain65=$chain4")
   }
 
+  test("CC frees every checkpoint RDD it persists (no storage growth across runs)") {
+    // round-4 verdict: each CC round's localCheckpoint stranded an RDD
+    // in block-manager storage until GC, billing its debt to whichever
+    // query ran next. Now superseded rounds are freed in-loop and the
+    // final round is released by clearMemos() with the memo caches.
+    DedupOps.clearMemos()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    (1 to 2).foreach { _ =>
+      // a 65-node chain forces several pointer-doubling rounds — the
+      // shape that used to strand one checkpoint RDD per round
+      val (l, rounds) = DedupOps.connectedComponentsWithRounds(
+        pairsDf((0L until 64L).map(i => (i, i + 1))))
+      l.count()
+      assert(rounds >= 3, s"want a multi-round fixpoint to stress, got $rounds")
+      // mid-lifecycle: only the FINAL round's checkpoint may be live
+      val during = spark.sparkContext.getRDDStorageInfo.length
+      assert(during <= before + 1,
+        s"superseded round checkpoints must be freed in-loop: $before -> $during")
+      DedupOps.clearMemos()
+    }
+    val after = spark.sparkContext.getRDDStorageInfo.length
+    assert(after <= before,
+      s"no net storage growth across CC runs + clearMemos: $before -> $after")
+    info(s"persisted RDDs: before=$before after=$after")
+  }
+
   test("store soak: 500 micro-batches with periodic vacuum, flat latency, bounded state") {
     val root = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val sink = new ParquetTableStore(spark, root, nBuckets = 4)

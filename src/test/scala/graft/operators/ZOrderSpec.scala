@@ -32,13 +32,24 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("codegen and eval paths agree") {
     ZInterleave.register(spark)
-    val df = (0 until 1000).map(i => (i * 2654435761L.toInt, i * 40503))
+    // non-negative ids only — the function's declared domain
+    val df = (0 until 1000).map(i =>
+      ((i * 2654435761L.toInt) & Int.MaxValue, (i * 40503) & Int.MaxValue))
       .toDF("a", "b")
     val viaExpr = df.select(expr("z_interleave(a, b)").as("z"))
       .as[Long].collect()
     val viaScala = df.as[(Int, Int)].collect()
       .map { case (a, b) => ZInterleave.interleave(a, b) }
     assert(viaExpr.toSeq === viaScala.toSeq)
+  }
+
+  test("negative bucket ids are rejected, not silently mis-sorted") {
+    // a negative id would set bit 63 and invert the signed z-order —
+    // the layout's one guarantee — so it must fail loudly (r4 advice)
+    val e = intercept[IllegalArgumentException](ZInterleave.interleave(-1, 0))
+    assert(e.getMessage.contains("non-negative"))
+    assert(ZInterleave.interleave(Int.MaxValue, Int.MaxValue) > 0L,
+      "max in-domain ids must still produce a positive z-value")
   }
 
   test("z-ordered layout prunes 2-d box scans that a 1-d sort cannot") {
