@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Coverage4 {
 
+  /** Exact heavy-hitter oracle — shared VERBATIM with
+    * q_heavy_hitters_sketch (Coverage5): the sketch→exact-confirm
+    * pipeline is bit-identical to the exact formulation by the
+    * Misra-Gries guarantee, so both queries carry one oracle string. */
+  private[operators] val heavyHittersOracleSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |t AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1),
+      |n AS (SELECT sum(cnt) AS total FROM t)
+      |SELECT term, CAST(cnt AS BIGINT) AS cnt
+      |FROM t, n WHERE cnt * 1000 >= total
+      |""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // Range (interval) join: lineitems whose price falls within ±5 of a
@@ -269,13 +282,7 @@ object Coverage4 {
     // the sketch finds candidates with fixed memory, and this exact
     // count confirms them with one semi-join.
     QDef("q_heavy_hitters",
-      """WITH toks AS (
-        |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
-        |t AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1),
-        |n AS (SELECT sum(cnt) AS total FROM t)
-        |SELECT term, CAST(cnt AS BIGINT) AS cnt
-        |FROM t, n WHERE cnt * 1000 >= total
-        |""".stripMargin) { (s, dir) =>
+      heavyHittersOracleSql) { (s, dir) =>
       val toks = table(s, dir, "documents")
         .select(explode(split(trim(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")

@@ -57,10 +57,15 @@ object SimilarityOps {
     * matching the old window's (d DESC, cid) sort. One ObjectHashAggregate
     * pair, no sort: only one row per vector crosses the exchange.
     * Returns (vec_id, embedding, centroid_id). */
-  def ivfAssign(corpus: DataFrame, modulus: Int): DataFrame = {
+  def ivfAssign(corpus: DataFrame, modulus: Int): DataFrame =
+    ivfAssignTo(corpus, corpus.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+
+  /** [[ivfAssign]] against a caller-supplied (cid, cv) centroid table —
+    * the form the k-means-trained index uses, where centroids are Lloyd
+    * outputs rather than a corpus sample. */
+  def ivfAssignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     ensure(corpus)
-    val centroids = corpus.filter(col("vec_id") % modulus === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     // scores rounded to 6 before ranking (like every cosine output in
     // the engine): cross-engine double sums agree at that scale, which
     // is what lets DuckDB recompute the assignment exactly

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-5 coverage queries beyond the DuckDB
+  * hash-gate: the sketch-candidated heavy hitters must equal the exact
+  * formulation (and actually plan the sketch aggregate), and the
+  * trained-IVF search must at least match the untrained index's recall
+  * on a corpus whose density the %-sample seeds miss. */
+class Coverage5Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("sketch heavy hitters == exact heavy hitters, row for row") {
+    val exact = graft.SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+    val sketched = graft.SparkEntry.queries("q_heavy_hitters_sketch")(spark, sfDir)
+    assert(sketched.exceptAll(exact).isEmpty && exact.exceptAll(sketched).isEmpty)
+    assert(sketched.count() > 0)
+  }
+
+  test("the sketch query's plan actually contains the freq_sketch aggregate") {
+    val plan = graft.SparkEntry.queries("q_heavy_hitters_sketch")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("freq_sketch"),
+      s"candidate stage must be the Misra-Gries aggregate:\n$plan")
+  }
+
+  test("trained-IVF query equals one KMeansOps.lloyd step + search") {
+    // the unrolled lazy Lloyd step in the query must be the trainer's
+    // arithmetic — pin them against each other
+    val fromQuery = graft.SparkEntry.queries("q_sim_ann_ivf_trained")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val e = graft.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val (cents, assigned) = KMeansOps.lloyd(e, 97, 1)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val fromTrainer = SimilarityOps.ivfSearch(assigned, cents, q, 10, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(fromQuery === fromTrainer)
+    assert(fromQuery.nonEmpty)
+  }
+
+  test("trained IVF recall >= untrained IVF recall where seeds miss the density") {
+    // 4 tight planted clusters, but the %25 seed sample puts THREE seeds
+    // inside cluster 0 and none near clusters 2/3 — the shape training
+    // exists to fix. Ids 0..24 cluster 0, 25..49 cluster 1, etc.; seeds
+    // are ids 0, 25, 50, 75 → actually one per cluster, so skew the ids:
+    // clusters sized 60/20/10/10 with seeds %25 (ids 0,25,50 in cluster
+    // 0's span, 75 in cluster 2's).
+    val rnd = new scala.util.Random(42)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val sizes = Seq(60, 20, 10, 10)
+    val rows = sizes.zipWithIndex.flatMap { case (n, c) =>
+      (0 until n).map { i =>
+        val v = centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat)
+        (sizes.take(c).sum.toLong + i, v.toSeq)
+      }
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(5L, 65L, 85L, 95L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    val brute = SimilarityOps.bruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recall(cents: org.apache.spark.sql.DataFrame,
+        assigned: org.apache.spark.sql.DataFrame): Double = {
+      val found = SimilarityOps.ivfSearch(assigned, cents, queries, 5, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.intersect(found).size.toDouble / brute.size
+    }
+
+    val untrainedCents = corpus.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val untrained = recall(untrainedCents, SimilarityOps.ivfAssign(corpus, 25))
+    val (tc, ta) = KMeansOps.lloyd(corpus, 25, 3)
+    val trained = recall(tc, ta)
+    assert(trained >= untrained,
+      s"training must not lose recall: untrained=$untrained trained=$trained")
+    info(s"recall@5 nprobe=1: untrained=$untrained trained=$trained")
+  }
+}
