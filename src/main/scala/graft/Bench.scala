@@ -65,6 +65,10 @@ object Bench {
     try {
       (1 to runs).foreach { _ =>
         graft.operators.DedupOps.clearMemos()
+        // absorb the previous run's garbage (dropped caches, checkpoint
+        // blocks, shuffle state) HERE, between runs, instead of letting
+        // a collection pause land on whichever query runs first
+        System.gc()
         timings += selected.map { case (name, fn) =>
           graft.operators.DedupOps.drainMemoHits()
           val t0 = System.nanoTime()

@@ -96,7 +96,13 @@ case class SimHash64(child: Expression, portable: Boolean = false)
 }
 
 /** MinHash signature over a shingle array: element k is
-  * min over shingles of xxhash64(shingle, seed = k). */
+  * min over shingles of xxhash64(shingle, seed = k).
+  *
+  * Accepts `array<string>` (hash the shingle text per seed) or
+  * `array<long>` (shingles pre-hashed once by the producer — the
+  * DedupOps.shingleArrays representation; re-seeding then mixes ONE
+  * 8-byte value per seed instead of re-hashing a ~20-char string 32
+  * times, which is the dominant per-row cost of signature building). */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -105,12 +111,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_sig expects array<string>, got $t")
+          s"minhash_sig expects array<string> or array<long>, got $t")
     }
+
+  private lazy val longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -118,13 +129,23 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        var k = 0
-        while (k < numHashes) {
-          val h = XxHash64Function.hash(s, StringType, k.toLong)
-          if (h < mins(k)) mins(k) = h
-          k += 1
+      if (!arr.isNullAt(i)) {
+        if (longInput) {
+          val v = arr.getLong(i)
+          var k = 0
+          while (k < numHashes) {
+            val h = XxHash64Function.hash(v, LongType, k.toLong)
+            if (h < mins(k)) mins(k) = h
+            k += 1
+          }
+        } else {
+          val s = arr.getUTF8String(i)
+          var k = 0
+          while (k < numHashes) {
+            val h = XxHash64Function.hash(s, StringType, k.toLong)
+            if (h < mins(k)) mins(k) = h
+            k += 1
+          }
         }
       }
       i += 1

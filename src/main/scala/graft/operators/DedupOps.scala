@@ -54,14 +54,24 @@ object DedupOps {
 
   /** doc_id → distinct shingle set kept as one array per document (the
     * no-shuffle representation: signatures and set intersections are
-    * per-row expressions over it). */
+    * per-row expressions over it). Shingles are carried as their 64-bit
+    * xxhash64, not the string — same counts and intersections (a
+    * divergence needs two distinct shingles of ONE document, or of one
+    * candidate pair's union, to collide in 64 bits: ~300² / 2^65 per
+    * document — negligible at any corpus size, because the exposure is
+    * per-document/per-pair and never compounds across the corpus the
+    * way a corpus-wide join key would); the cache holds 8-byte longs
+    * instead of ~20-char strings, signatures hash one long per seed
+    * instead of re-hashing the string, and verification intersects
+    * long arrays. [[jaccardPairs]] applies the same transformation to
+    * its join key and documents the same bound. */
   def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.TextHashExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(0, size(w) - $n), i -> " +
-          (0 until n).map(k => s"w[i + $k]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+        s"transform(sequence(0, size(w) - $n), i -> xxhash64(" +
+          (0 until n).map(k => s"w[i + $k]").mkString("concat_ws(' ', ", ", ", ")") + "))"
       )).as("shingles"))
       .withColumn("nsh", size(col("shingles")).cast("long"))
   }
@@ -187,12 +197,16 @@ object DedupOps {
     * must not be re-executed (their truncated lineage cannot recompute
     * a released local checkpoint) — callers re-derive via the memo. */
   def clearMemos(): Unit = {
+    // BLOCKING unpersists: callers invoke this between runs/sessions,
+    // outside any timed region — asynchronous removal would instead
+    // race block eviction against the next run's first queries and
+    // bill the cleanup to them
     Seq(pairsMemo, labelsMemo, srpPairsMemo, srpLabelsMemo).foreach { m =>
-      m.values.foreach(_.unpersist(false))
+      m.values.foreach(_.unpersist(true))
       m.clear()
     }
     var r = liveCkpts.poll()
-    while (r != null) { r.unpersist(false); r = liveCkpts.poll() }
+    while (r != null) { r.unpersist(true); r = liveCkpts.poll() }
     memoHits.clear()
   }
 
@@ -214,11 +228,17 @@ object DedupOps {
   private val liveCkpts =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
 
+  /** Pair-set row counts learned by the memo builds — lets the CC
+    * consumers skip a re-count job over the cached pair table. */
+  private val pairCounts = scala.collection.concurrent.TrieMap.empty[MemoKey, Long]
+
   def verifiedPairsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
     memoGet(pairsMemo, "pairs", (s, dir, threshold)) {
       val sh = shingleArrays(table(s, dir, "documents")).cache()
       val pairs = lshVerifiedPairsFrom(sh, threshold).cache()
-      pairs.count() // materialize now so the shingle cache can be dropped
+      // materialize now so the shingle cache can be dropped; the count
+      // doubles as the CC loop's shuffle-width input
+      pairCounts.put((s, dir, threshold), pairs.count())
       sh.unpersist()
       pairs
     }
@@ -233,7 +253,8 @@ object DedupOps {
 
   def clusterLabelsFor(s: SparkSession, dir: String, threshold: Double): DataFrame =
     memoGet(labelsMemo, "labels", (s, dir, threshold))(
-      connectedComponents(verifiedPairsFor(s, dir, threshold)).cache())
+      connectedComponentsWithRounds(verifiedPairsFor(s, dir, threshold),
+        knownPairCount = pairCounts.get((s, dir, threshold)))._1.cache())
 
   /** Connected components over duplicate pairs by iterative min-label
     * propagation with pointer doubling: each iteration is an edge join
@@ -252,27 +273,66 @@ object DedupOps {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
 
+  /** connectedComponentsWithRounds' optional `knownPairCount`: callers
+    * that already materialized and counted the pair table (the memo
+    * builds) pass it so the loop sizes its shuffle width without
+    * re-counting — one fewer job on the clusters hot path. */
+
   /** connectedComponents plus the number of propagation rounds run —
     * rounds grow with log(component diameter), not component or corpus
     * size, which is the property that keeps the fixpoint cheap at
     * 100 TB (ScaleStressSpec pins it). */
-  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50)
-      : (DataFrame, Int) = {
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
+      knownPairCount: Option[Long] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("canonical", col("id")).cache()
+    // Size the loop's shuffle width to the EDGE TABLE, not the session
+    // default: each round is several keyed exchanges over the label
+    // table, and at the session's full width a few-hundred-row label
+    // set schedules ~150 near-empty tasks per round — pure latency
+    // (measured ~1.5 s/round at sf0.1, the dominant CC cost). 100k
+    // edges per partition keeps partitions well under execution memory
+    // at any scale; the width only ever shrinks below the session
+    // setting, never grows past it, so a 1000-executor deployment keeps
+    // its configured parallelism once edges warrant it. Restored in the
+    // finally — the session's other queries never see the narrow width.
+    val conf = spark.conf
+    val sessionWidth = conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionAqe = conf.get("spark.sql.adaptive.enabled")
+    // known count → skip the counting job; the edge cache then
+    // materializes inside the init-labels aggregation instead
+    val edgeCount = knownPairCount.map(_ * 2).getOrElse(edges.count())
+    val loopWidth = math.max(1L, math.min(sessionWidth.toLong,
+      edgeCount / 100000 + 1)).toInt
+    conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+    // AQE off inside the loop: the width above is already sized to the
+    // data, and AQE's per-shuffle-stage materialize-and-replan pauses
+    // are pure overhead on a fixpoint of many small staged jobs
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    // Seed labels with min(id, min neighbor) — exactly what round 1 of
+    // plain propagation would compute, for one groupBy over the edge
+    // table instead of a join+union+aggregate round. prevSum is seeded
+    // from the same table so a star-shaped component (already at its
+    // fixpoint after this init) converges in ONE confirming round.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("canonical"))
+      .select(col("src").as("id"), col("canonical")).cache()
     var iter = 0
     var converged = false
     // convergence via Σ canonical: min-label propagation only ever
     // lowers labels, so an unchanged sum IS the fixpoint — one cheap
     // aggregation per round instead of a full label-diff join
-    var prevSum = Long.MinValue
+    var prevSum = labels.agg(coalesce(sum(col("canonical")), lit(0L)))
+      .head().getLong(0)
     // the previous round's checkpoint RDD, released once the new round
     // has materialized (see checkpointRdd — Dataset.unpersist can't)
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && iter < maxIter) {
+      val tRound = System.nanoTime()
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("canonical"))
@@ -307,12 +367,17 @@ object DedupOps {
       prevCkpt = checkpointRdd(next)
       labels = next
       iter += 1
+      if (debug) println(f"[cc] round $iter ${(System.nanoTime() - tRound) / 1e9}%.3f s")
     }
     edges.unpersist()
     // the final round's checkpoint backs the returned frame — it stays
     // persisted until clearMemos() releases it with the memo caches
     prevCkpt.foreach(liveCkpts.add)
     (labels.select(col("id").as("doc_id"), col("canonical")), iter)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", sessionWidth.toString)
+      conf.set("spark.sql.adaptive.enabled", sessionAqe)
+    }
   }
 
   /** Shared oracle CTE chain deriving the SRP-verified candidate pairs

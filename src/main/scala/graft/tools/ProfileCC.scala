@@ -25,7 +25,20 @@ object ProfileCC {
       r
     }
 
-    // text path
+    // text path — first the uncached component costs, then the memo path
+    time("shingle compute (no cache)") {
+      DedupOps.shingleArrays(graft.table(spark, sfDir, "documents")).count()
+    }
+    time("signatures (no cache)") {
+      DedupOps.minhashSignatures(
+        DedupOps.shingleArrays(graft.table(spark, sfDir, "documents")), 32)
+        .select(org.apache.spark.sql.functions.col("sig")).count()
+    }
+    time("band candidates (no cache)") {
+      DedupOps.lshCandidates(DedupOps.minhashSignatures(
+        DedupOps.shingleArrays(graft.table(spark, sfDir, "documents")), 32), 32, 2)
+        .count()
+    }
     val sh = time("shingleArrays+cache") {
       val s = DedupOps.shingleArrays(graft.table(spark, sfDir, "documents")).cache()
       s.count(); s
