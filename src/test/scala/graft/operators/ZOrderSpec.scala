@@ -81,6 +81,9 @@ class ZOrderSpec extends AnyFunSuite {
     // and z-ordering must genuinely beat restricting only x
     assert(zTouched < linTouched,
       s"z-order ($zTouched files) did not beat linear ($linTouched)")
+    info(s"10%x10% box on $nFiles files: z-order touches $zTouched, " +
+      s"x-sorted touches $linTouched (pruning ratio ${
+        linTouched.toDouble / zTouched}x)")
     // same rows either way — layout changes locality, not content
     val a = spark.read.parquet(s"$dir/z")
       .filter(col("x").between(400, 500) && col("y").between(400, 500)).count()
