@@ -141,5 +141,83 @@ object Coverage5 {
       SimilarityOps.ivfSearch(
         SimilarityOps.ivfAssignTo(e, trained), trained, q, 10, 8)
     },
+
+    // Cohort retention triangle: users grouped by first-activity day,
+    // distinct-user counts per (cohort, days-since) cell. Three keyed
+    // aggregations and one user-keyed join — every exchange carries
+    // (user, day) pairs or post-aggregation counts, never raw events,
+    // and the first-day aggregate partial-combines map-side. The
+    // classic product-analytics operator the event surface was missing.
+    QDef("q_retention",
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT f.cohort_day, a.day - f.cohort_day AS days_since,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM act a JOIN first f USING (user_id)
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, dir) =>
+      val act = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      act.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("days_since"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    },
+
+    // Heavy-hitter co-occurrence lift: document-frequency lift
+    // n_ab·N / (n_a·n_b) for every pair of 0.1%-of-stream terms that
+    // share a document (lift > 1 ⇒ the pair co-occurs more than
+    // independence predicts — PMI's argument without the cross-engine
+    // transcendental: all counts are exact integers and the single
+    // division is one correctly-rounded IEEE op). The 100 TB shape:
+    // the candidate vocabulary is the bounded heavy-hitter set (≤1000
+    // terms by construction), broadcast to the scan, so the incidence
+    // explode and the per-document pair join are bounded by |H|, not
+    // by the corpus vocabulary.
+    QDef("q_cooccur_lift",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |t AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS total FROM t),
+        |hh AS (SELECT term FROM t, n WHERE cnt * 1000 >= total),
+        |inc AS (SELECT DISTINCT u.doc_id, u.term
+        |        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |              FROM documents) u
+        |        JOIN hh ON hh.term = u.term),
+        |df AS (SELECT term, count(*) AS n_t FROM inc GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pairs AS (SELECT a.term AS t1, b.term AS t2, count(*) AS n_ab
+        |          FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+        |          GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+        |       round(CAST(n_ab * n_docs AS DOUBLE) / (d1.n_t * d2.n_t), 6) AS lift
+        |FROM pairs JOIN df d1 ON d1.term = t1 JOIN df d2 ON d2.term = t2
+        |CROSS JOIN nd
+        |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val hh = counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 1000 >= col("total")).select("term")
+      val inc = toks.join(broadcast(hh), "term").distinct()
+      val df = inc.groupBy("term").agg(count(lit(1)).as("n_t"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val pairs = inc.as("a")
+        .join(inc.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(df.select(col("term").as("t1"), col("n_t").as("n1"))), "t1")
+        .join(broadcast(df.select(col("term").as("t2"), col("n_t").as("n2"))), "t2")
+        .crossJoin(broadcast(nDocs))
+        .select(col("t1"), col("t2"), col("n_ab"),
+          round((col("n_ab") * col("n_docs")).cast("double") /
+            (col("n1") * col("n2")), 6).as("lift"))
+    },
   )
 }

@@ -45,6 +45,35 @@ class Coverage5Spec extends AnyFunSuite {
     assert(fromQuery.nonEmpty)
   }
 
+  test("retention day-0 cells equal cohort sizes (everyone is active on their first day)") {
+    val ret = graft.SparkEntry.queries("q_retention")(spark, sfDir)
+    val act = graft.table(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("expected"))
+    val day0 = ret.filter(col("days_since") === 0)
+      .select(col("cohort_day"), col("n_users"))
+    val mismatch = day0.join(cohorts, "cohort_day")
+      .filter(col("n_users") =!= col("expected"))
+    assert(mismatch.isEmpty)
+    assert(day0.count() === cohorts.count())
+  }
+
+  test("co-occurrence lift: counts are bounded by document frequencies") {
+    // n_ab can never exceed either term's doc frequency, and lift must
+    // be positive — the structural invariants of the lift definition
+    val lift = graft.SparkEntry.queries("q_cooccur_lift")(spark, sfDir)
+    val hh = graft.SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+      .select(col("term")).collect().map(_.getString(0)).toSet
+    val rows = lift.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(hh.contains(r.getString(0)) && hh.contains(r.getString(1)),
+        s"pair outside the heavy-hitter vocabulary: $r")
+      assert(r.getLong(2) > 0 && r.getDouble(3) > 0, s"bad counts: $r")
+    }
+  }
+
   test("trained IVF recall >= untrained IVF recall where seeds miss the density") {
     // 4 tight planted clusters, but the %25 seed sample puts THREE seeds
     // inside cluster 0 and none near clusters 2/3 — the shape training
