@@ -225,8 +225,10 @@ object Coverage4 {
       val bloomBc = s.sparkContext.broadcast(bloom)
       val mightContain = udf((h: Long) => bloomBc.value.mightContain(h))
       // prefilter on the 8-byte hash (cheap, scan-side); JOIN on the
-      // gram string (exact — hash collisions die here, not in the output)
-      tr.filter(mightContain(col("gh")))
+      // gram string (exact — hash collisions die here, not in the
+      // output). The hash is dropped before the exchange on BOTH sides:
+      // it exists only for the scan-side filter.
+      tr.filter(mightContain(col("gh"))).select("train_id", "g")
         .join(ev.drop("gh"), "g")
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("shared_ngrams"))

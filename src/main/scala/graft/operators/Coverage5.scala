@@ -219,5 +219,73 @@ object Coverage5 {
           round((col("n_ab") * col("n_docs")).cast("double") /
             (col("n1") * col("n2")), 6).as("lift"))
     },
+
+    // Robust outlier flagging via median absolute deviation — the
+    // heavy-tail-safe dual of q_anomaly_zscore (a single extreme value
+    // drags a mean/stddev fence, but not a median/MAD one). Two grouped
+    // percentile passes (median, then median of |v − m|) and one
+    // broadcast-back join; per-group state is two scalars, so the
+    // flagging scan is a broadcast hash join at any corpus size. The
+    // 1.4826 factor scales MAD to σ under normality — the conventional
+    // robust z. Percentile parity across engines is already pinned by
+    // q_agg_percentiles (Spark `percentile` == DuckDB `quantile_cont`).
+    QDef("q_anomaly_mad",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, med.m,
+        |         quantile_cont(abs(e.value - med.m), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - mad.m) / (1.4826 * mad.mad), 6) AS rz
+        |FROM events e JOIN mad USING (event_type)
+        |WHERE abs(round((e.value - mad.m) / (1.4826 * mad.mad), 6)) > 3.5
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("m"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("m"))
+        .agg(expr("percentile(abs(value - m), 0.5)").as("mad"))
+      val rz = round((col("value") - col("m")) / (lit(1.4826) * col("mad")), 6)
+      ev.join(broadcast(mad), "event_type")
+        .withColumn("rz", rz)
+        .filter(abs(col("rz")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("rz"))
+    },
+
+    // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.9 flags a
+    // document whose shingle set is (almost) a SUBSET of another's —
+    // the truncation/quotation duplicates Jaccard structurally misses
+    // (a 50-shingle doc inside a 500-shingle doc has Jaccard ≤ 0.1 but
+    // containment 1.0). Shares the shingle-hash-keyed join shape with
+    // q_dedup_ngram_jaccard and, like it, is the documented ORACLE
+    // ANCHOR: MinHash-LSH approximates Jaccard, not containment, so the
+    // scale path for containment is the same banded join run over
+    // size-stratified shingle SAMPLES of the larger side — out of scope
+    // here; the anchor pins the semantics the sampled variant must hit.
+    QDef("q_dedup_containment",
+      s"""WITH ${DedupOps.shingleOracleCtes}
+        |SELECT d1, d2,
+        |       round(CAST(inter AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(CAST(inter AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.9
+        |""".stripMargin) { (s, dir) =>
+      val sh = DedupOps.shingles(table(s, dir, "documents"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("b.doc_id") > col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("containment",
+          round(col("inter").cast("double") / least(col("n1"), col("n2")), 6))
+        .filter(col("containment") >= 0.9)
+        .select("d1", "d2", "containment")
+    },
   )
 }

@@ -432,9 +432,10 @@ object DedupOps {
   /** Shared oracle CTE chain for the text-dedup family: distinct
     * word-3-gram shingles per document, per-doc set sizes, and
     * shared-shingle intersection counts per candidate pair. Factored so
-    * the four text-dedup oracles (pairs ×2, clusters, survivors) can
-    * never drift in their shingle/threshold arithmetic. */
-  private val shingleOracleCtes =
+    * the text-dedup oracles (pairs ×2, clusters, survivors, and
+    * Coverage5's containment) can never drift in their
+    * shingle/threshold arithmetic. */
+  private[operators] val shingleOracleCtes =
     """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

@@ -74,6 +74,57 @@ class Coverage5Spec extends AnyFunSuite {
     }
   }
 
+  test("containment dominates jaccard: every high-jaccard pair is a containment pair") {
+    // |A∩B|/min ≥ |A∩B|/union, so the jaccard output at ≥0.9 must be a
+    // subset of the containment output at the same threshold
+    val jac = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = graft.SparkEntry.queries("q_dedup_containment")(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty && jac.subsetOf(cont),
+      s"missing: ${jac.diff(cont).take(5)}")
+  }
+
+  test("containment flags a truncation duplicate that jaccard misses") {
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val short = (1 to 40).map(i => s"w$i").mkString(" ") // strict prefix
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val sh = DedupOps.shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val jac = DedupOps.jaccardPairs(DedupOps.shingles(docs), 0.8)
+    assert(jac.isEmpty, "a 20% prefix must be below jaccard 0.8")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val cont = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(round(col("inter").cast("double") / least(col("n1"), col("n2")), 6)
+        .as("containment"))
+      .head().getDouble(0)
+    assert(cont === 1.0, s"prefix containment must be 1.0, got $cont")
+  }
+
+  test("MAD flagging resists the masking that breaks mean/stddev fences") {
+    // 50 inliers + one extreme outlier: the outlier inflates the stddev
+    // enough that a z-fence barely flags it, while the median/MAD fence
+    // flags it with a huge margin AND leaves every inlier unflagged
+    val vals = (1 to 50).map(i => ("a", 100.0 + (i % 11) - 5)) :+ (("a", 100000.0))
+    val ev = vals.toDF("event_type", "value")
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("m"))
+    val mad = ev.join(med, "event_type").groupBy(col("event_type"), col("m"))
+      .agg(expr("percentile(abs(value - m), 0.5)").as("mad"))
+    val flagged = ev.join(mad, "event_type")
+      .withColumn("rz", round((col("value") - col("m")) / (lit(1.4826) * col("mad")), 6))
+      .filter(abs(col("rz")) > 3.5)
+      .select("value").collect().map(_.getDouble(0))
+    assert(flagged.toSeq === Seq(100000.0),
+      s"exactly the planted outlier must be flagged, got ${flagged.toSeq}")
+  }
+
   test("trained IVF recall >= untrained IVF recall where seeds miss the density") {
     // 4 tight planted clusters, but the %25 seed sample puts THREE seeds
     // inside cluster 0 and none near clusters 2/3 — the shape training
