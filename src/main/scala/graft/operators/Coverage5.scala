@@ -287,5 +287,50 @@ object Coverage5 {
         .filter(col("containment") >= 0.9)
         .select("d1", "d2", "containment")
     },
+
+    // Salted two-phase aggregation, driver-visible: aggregate on
+    // (key, salt) first — spreading any hot key over `buckets` reducers
+    // — then merge the partials. Decimal accumulation makes the result
+    // BIT-IDENTICAL to the direct aggregation on any partitioning (so
+    // the oracle is the plain GROUP BY), which is the whole point: the
+    // skew tool changes the exchange layout, never the answer. This is
+    // the explicit fix for the one skew case AQE can't split — a single
+    // key whose aggregation state exceeds one reducer.
+    QDef("q_agg_salted",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      Skew.saltedAgg(table(s, dir, "lineitem"),
+          "l_returnflag", dec(col("l_quantity")), col("l_orderkey"), 16)
+        .select(col("l_returnflag"),
+          col("sum_value").cast("double").as("sum_qty"), col("n"))
+    },
+
+    // Salted replicated-dimension join, driver-visible: the fact side
+    // takes a deterministic salt, the (small) dimension is exploded
+    // once per salt value, and the join key becomes (key, salt) — a hot
+    // key's rows spread over `buckets` join tasks instead of one.
+    // Row-identical to the plain join (oracle = plain join + GROUP BY);
+    // the replication factor costs buckets × |dim|, which is the trade
+    // the technique is FOR when the dim is broadcast-small.
+    QDef("q_join_salted",
+      """SELECT n.n_name,
+        |  CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS total_bal
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val fact = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          col("s_nationkey").as("nationkey"))
+      val dim = table(s, dir, "nation")
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))
+      Skew.saltedBroadcastJoin(fact, dim, "nationkey", col("s_suppkey"), 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sumExact(col("s_acctbal")).as("total_bal"))
+    },
   )
 }
