@@ -62,16 +62,9 @@ case class FreqSketch(
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty
 
-  /** The Misra-Gries decrement step: buffer overflowed to >k entries —
-    * subtract the (k+1)-st largest count from everything and drop
-    * non-positives (≤ k survive by construction). */
-  private def shrink(buf: mutable.HashMap[UTF8String, Long]): Unit = {
-    if (buf.size <= k) return
-    val counts = buf.values.toArray
-    java.util.Arrays.sort(counts)
-    val dec = counts(counts.length - (k + 1)) // (k+1)-st largest
-    buf.filterInPlace((_, c) => c > dec).mapValuesInPlace((_, c) => c - dec)
-  }
+  /** The Misra-Gries decrement step — see [[FreqSketch.mgShrink]]. */
+  private def shrink(buf: mutable.HashMap[UTF8String, Long]): Unit =
+    FreqSketch.mgShrink(buf, k)
 
   override def update(
       buf: mutable.HashMap[UTF8String, Long],
@@ -149,4 +142,18 @@ object FreqSketch {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch", exprs => FreqSketch(exprs(0), exprs(1)), "built-in")
+
+  /** The Misra-Gries decrement step, shared by the aggregate and the
+    * streaming shard state (streaming.IncrementalHeavyHitters): once a
+    * buffer overflows to more than `k` entries, subtract the (k+1)-st
+    * largest count from everything and drop non-positives (≤ k survive
+    * by construction; the standard merge that preserves the N/(k+1)
+    * undercount bound). */
+  def mgShrink[K](buf: mutable.HashMap[K, Long], k: Int): Unit = {
+    if (buf.size <= k) return
+    val counts = buf.values.toArray
+    java.util.Arrays.sort(counts)
+    val dec = counts(counts.length - (k + 1)) // (k+1)-st largest
+    buf.filterInPlace((_, c) => c > dec).mapValuesInPlace((_, c) => c - dec)
+  }
 }
