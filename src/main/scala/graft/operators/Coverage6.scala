@@ -348,9 +348,14 @@ object Coverage6 {
         .filter(col("dst").isNotNull)
       val edges = nx.groupBy("src", "dst").agg(count(lit(1)).as("c"))
       val outd = edges.groupBy("src").agg(sum(col("c")).as("tot"))
-      val wts = edges.join(outd, "src")
-        .select(col("src"), col("dst"), (col("c") / col("tot")).as("w"))
-      val nodes = ev.select(col("event_type").as("node")).distinct()
+      // loopInput: lazy-checkpoint the tiny derived tables the loop
+      // re-reads each round — without it every iteration re-derives the
+      // edge weights from the raw events scan + window (10 scans, ~12
+      // exchanges per round; audited via tools.PlanAudit)
+      val wts = DedupOps.loopInput(edges.join(outd, "src")
+        .select(col("src"), col("dst"), (col("c") / col("tot")).as("w")))
+      val nodes = DedupOps.loopInput(
+        ev.select(col("event_type").as("node")).distinct())
       val nn = nodes.agg(count(lit(1)).as("n"))
       var p = nodes.crossJoin(broadcast(nn))
         .select(col("node"), (lit(1.0) / col("n")).as("r"))

@@ -228,6 +228,19 @@ object DedupOps {
   private val liveCkpts =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
 
+  /** Lazily checkpoint a small derived table that an iterative loop
+    * re-reads every round (PageRank's edge weights, a fixpoint's seed
+    * set): without this the loop's lazy plan re-derives the input from
+    * the raw scan once per iteration. The backing RDD is registered
+    * with [[liveCkpts]] so [[clearMemos]] releases the storage the same
+    * way it releases the CC label checkpoints — `Dataset.unpersist`
+    * cannot free a localCheckpoint (see [[checkpointRdd]]). */
+  def loopInput(ds: DataFrame): DataFrame = {
+    val ck = ds.localCheckpoint(false)
+    checkpointRdd(ck).foreach(liveCkpts.add)
+    ck
+  }
+
   /** Pair-set row counts learned by the memo builds — lets the CC
     * consumers skip a re-count job over the cached pair table. */
   private val pairCounts = scala.collection.concurrent.TrieMap.empty[MemoKey, Long]
