@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent plain-Scala derivations for the batch-2 extension
+  * queries (same pattern as Coverage6Spec). */
+class Coverage7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("ewma equals a local sequential fold in the same order") {
+    val ev = graft.table(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).map { case (uid, es) =>
+      val vals = es.sortBy(e => (e._2.toString, e._3)).map(_._4)
+      val ewma = vals.foldLeft(0.0)((acc, x) => 0.3 * x + 0.7 * acc)
+      (uid, es.length.toLong, ewma)
+    }.toSet
+    val got = q("q_ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fold order is pinned, so this is EXACT double equality
+    assert(got === expected)
+  }
+
+  test("bpe pair counts equal a local bigram count") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0).trim)
+    val counts = docs.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20).toSet
+    val got = q("q_bpe_merge").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.size === 20)
+  }
+
+  test("q18 rows really are big orders with the right sums") {
+    val sums = graft.table(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = q("q_tpch_q18").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (okey, sq) = (r.getLong(2), r.getDouble(5))
+      assert(sq > 220, s"order $okey sum_qty $sq")
+      assert(math.abs(sums(okey) - sq) < 1e-9)
+    }
+    // limit determinism
+    assert(q("q_tpch_q18").collect().toSeq === rows.toSeq)
+  }
+
+  test("corr matrix has six rows of valid correlations") {
+    val rows = q("q_corr_matrix").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    assert(rows.length === 6)
+    assert(rows.map(_._1).distinct.length === 6)
+    rows.foreach { case (pair, c) =>
+      assert(c >= -1.0 && c <= 1.0, s"$pair corr $c out of range")
+    }
+  }
+}
