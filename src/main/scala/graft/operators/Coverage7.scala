@@ -60,8 +60,9 @@ object Coverage7 {
     // event_id), so the IEEE arithmetic is bit-identical on both engines
     // and under any partitioning (same exact-fold convention as
     // q_text_rollhash). Scale shape: per-user sequences are bounded
-    // (session-scale); an unbounded-keyed stream would run the same fold
-    // incrementally via mapGroupsWithState (streaming.StreamingOps).
+    // (session-scale); an unbounded stream runs the same fold
+    // incrementally via mapGroupsWithState — streaming.IncrementalEwma
+    // is that twin, pinned bit-identical by IncrementalEwmaSpec.
     QDef("q_ewma",
       """SELECT user_id, count(*) AS n_events,
         |  list_reduce(
