@@ -144,6 +144,92 @@ object Coverage7 {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    },
+
+    // ---- correlated LATERAL join: top-2 orders per customer ---------------
+    // The modern SQL spelling of per-key top-k. Spark decorrelates the
+    // LIMIT-ed lateral subquery into a window under the hood — the same
+    // physical shape as q_topk_pergroup — so declaring it laterally
+    // costs nothing at scale; this entry pins that the SQL surface works.
+    QDef("q_join_lateral",
+      """SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_mktsegment = 'BUILDING'
+        |""".stripMargin) { (s, dir) =>
+      views(s, dir, "customer", "orders")
+      s.sql(
+        """SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice
+          |FROM customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c_mktsegment = 'BUILDING'
+          |""".stripMargin)
+    },
+
+    // ---- exact discrete percentiles per group -----------------------------
+    // percentile_disc("smallest value with cume_dist ≥ p") spelled with
+    // the window definition itself, so both engines share one semantics
+    // (their native quantile_disc interpolation rules differ). One
+    // window sort per group — the exact-percentile cost floor; the
+    // approx_percentile sketch (q_agg_approx_percentile) is the scale
+    // path when a t-digest-grade answer suffices.
+    QDef("q_percentile_disc",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    cume_dist() OVER (PARTITION BY l_returnflag
+        |                      ORDER BY l_extendedprice) AS cd
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(l_extendedprice) FILTER (WHERE cd >= 0.25) AS p25,
+        |  min(l_extendedprice) FILTER (WHERE cd >= 0.5) AS p50,
+        |  min(l_extendedprice) FILTER (WHERE cd >= 0.75) AS p75
+        |FROM r GROUP BY l_returnflag
+        |""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_extendedprice")
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("cd") >= 0.25, col("l_extendedprice"))).as("p25"),
+          min(when(col("cd") >= 0.5, col("l_extendedprice"))).as("p50"),
+          min(when(col("cd") >= 0.75, col("l_extendedprice"))).as("p75"))
+    },
+
+    // ---- triangle counting on the co-ordered-parts graph ------------------
+    // Edges: parts appearing in the same order, kept once as p1 < p2;
+    // triangles: the ordered 2-path join (e1.p2 = e2.p1) closed by a
+    // third edge lookup, so each triangle is enumerated exactly once
+    // (p1 < p2 < p3 by construction). All three joins are keyed hash
+    // joins on part ids. At 100 TB the 2-path fan-out is the known
+    // hazard (Σ deg²); production triangle counts bound it by orienting
+    // edges from lower- to higher-degree endpoints first — the join
+    // shape below is unchanged by that reordering.
+    QDef("q_triangle_count",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT count(*) AS n_tri
+        |FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        |""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .distinct()
+      e.alias("e1")
+        .join(e.alias("e2"), col("e1.p2") === col("e2.p1"))
+        .join(e.alias("e3"),
+          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .agg(count(lit(1)).as("n_tri"))
     }
   )
 }

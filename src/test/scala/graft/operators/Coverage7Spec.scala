@@ -56,6 +56,53 @@ class Coverage7Spec extends AnyFunSuite {
     assert(q("q_tpch_q18").collect().toSeq === rows.toSeq)
   }
 
+  test("lateral top-2 equals the window formulation") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val c = graft.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey", "c_name")
+    val viaWindow = graft.table(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    val lateral = q("q_join_lateral")
+    assert(lateral.exceptAll(viaWindow).isEmpty
+      && viaWindow.exceptAll(lateral).isEmpty)
+    assert(lateral.count() > 0)
+  }
+
+  test("discrete percentiles are corpus elements at the right depths") {
+    val vals = graft.table(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def disc(xs: Array[Double], p: Double): Double =
+      xs(math.ceil(p * xs.length).toInt - 1)
+    q("q_percentile_disc").collect().foreach { r =>
+      val xs = vals(r.getString(0))
+      assert(r.getDouble(1) === disc(xs, 0.25))
+      assert(r.getDouble(2) === disc(xs, 0.5))
+      assert(r.getDouble(3) === disc(xs, 0.75))
+    }
+  }
+
+  test("triangle count equals a local enumeration") {
+    val li = graft.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val byP1 = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = edges.toSeq.map { case (a, b) =>
+      byP1.getOrElse(b, Set.empty).count(c => edges.contains((a, c))).toLong
+    }.sum
+    val got = q("q_triangle_count").collect().head.getLong(0)
+    assert(got === expected)
+    assert(got > 0)
+  }
+
   test("corr matrix has six rows of valid correlations") {
     val rows = q("q_corr_matrix").collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
