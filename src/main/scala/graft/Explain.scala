@@ -6,13 +6,20 @@ import org.apache.spark.sql.SparkSession
   * queries (all, if none given) so pushdown/broadcast/codegen can be
   * audited — `runMain graft.Explain [sfDir] [query...]`.
   *
+  * A `--summary` first flag prints, instead of full plans, one line per
+  * query with the join strategies chosen, exchange count, and the
+  * parquet PushedFilters — the compact form each round's scale review
+  * reads first.
+  *
   * Arguments starting with `sql:` are executed as ad-hoc SQL over the
   * registered corpus views (engine functions like vec_dot available via
   * GraftExtensions) and both explained and shown. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
+    val (flags, rest) = args.partition(_ == "--summary")
+    val summary = flags.nonEmpty
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.tail.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -31,6 +38,20 @@ object Explain {
         val df = spark.sql(sql.stripPrefix("sql:"))
         df.explain("formatted")
         df.show(20, truncate = false)
+      case n if summary =>
+        try {
+          val p = SparkEntry.queries(n)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          def c(s: String) = p.linesIterator.count(_.contains(s))
+          println(s"== $n: bhj=${c("BroadcastHashJoin")}" +
+            s" smj=${c("SortMergeJoin")} bnl=${c("BroadcastNestedLoop")}" +
+            s" exch=${c("Exchange")} codegen=${c("WholeStageCodegen")}")
+          "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).toList.distinct
+            .filter(_.length > "PushedFilters: []".length)
+            .take(4).foreach(f => println("   " + f.take(180)))
+        } catch {
+          case e: Throwable => println(s"== $n: FAILED ${e.getMessage}")
+        }
       case n =>
         println(s"\n########## $n ##########")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")

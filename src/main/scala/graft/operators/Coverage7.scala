@@ -17,6 +17,20 @@ object Coverage7 {
   private def oSum(x: String): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,10))) AS STRING) AS DOUBLE)"
 
+  /** One SQL text for both engines (q_recursive_spine). */
+  private val recursiveSpineSql: String =
+    """WITH RECURSIVE spine(mon) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM spine
+      |  WHERE mon < DATE '2001-08-01'
+      |)
+      |SELECT mon, count(o_orderkey) AS n_orders
+      |FROM spine LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+      |GROUP BY mon
+      |""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // ---- TPC-H Q18: large-volume customers ------------------------------
@@ -201,20 +215,38 @@ object Coverage7 {
           min(when(col("cd") >= 0.75, col("l_extendedprice"))).as("p75"))
     },
 
-    // ---- triangle counting on the co-ordered-parts graph ------------------
-    // Edges: parts appearing in the same order, kept once as p1 < p2;
-    // triangles: the ordered 2-path join (e1.p2 = e2.p1) closed by a
-    // third edge lookup, so each triangle is enumerated exactly once
-    // (p1 < p2 < p3 by construction). All three joins are keyed hash
-    // joins on part ids. At 100 TB the 2-path fan-out is the known
-    // hazard (Σ deg²); production triangle counts bound it by orienting
-    // edges from lower- to higher-degree endpoints first — the join
-    // shape below is unchanged by that reordering.
+    // ---- recursive CTE: month spine + per-month order counts --------------
+    // Spark 4's WITH RECURSIVE (UnionLoop) generating the date spine a
+    // reporting query left-joins against — months with no orders appear
+    // as zero instead of vanishing (the recursive dual of q_gapfill's
+    // grid fill). One SQL text serves both engines; the casts pin the
+    // cross-engine type gotchas (date+interval and date_trunc widths
+    // differ between them). Recursion depth = months, not data size.
+    QDef("q_recursive_spine", recursiveSpineSql) { (s, dir) =>
+      views(s, dir, "orders")
+      s.sql(recursiveSpineSql)
+    },
+
+    // ---- triangle counting on the strong co-purchase graph ----------------
+    // Edges: part pairs co-ordered in ≥ 2 DISTINCT orders (the classic
+    // market-basket support threshold — raw single-co-occurrence edges
+    // are coincidence, and keeping them makes the 2-path stage Σ deg²
+    // over a near-complete random graph: measured 57 s at sf0.1 before
+    // the threshold, sub-second after). Triangles: the ordered 2-path
+    // join (e1.p2 = e2.p1) closed by a third edge lookup — each
+    // triangle enumerated exactly once (p1 < p2 < p3 by construction),
+    // all keyed hash joins. For graphs that stay dense AFTER
+    // thresholding, the further mitigation is degree-ordered
+    // orientation (orient each edge toward its higher-degree endpoint;
+    // every triangle still counted exactly once under the total order,
+    // 2-path fan-out drops from Σ deg² to O(m^1.5)) — the same joins
+    // over the oriented edge table.
     QDef("q_triangle_count",
       """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY p1, p2 HAVING count(DISTINCT a.l_orderkey) >= 2)
         |SELECT count(*) AS n_tri
         |FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
         |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
@@ -223,8 +255,11 @@ object Coverage7 {
       val e = li.alias("a").join(li.alias("b"),
           col("a.l_orderkey") === col("b.l_orderkey")
             && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .distinct()
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"),
+          col("a.l_orderkey").as("o"))
+        .groupBy("p1", "p2").agg(countDistinct(col("o")).as("support"))
+        .filter(col("support") >= 2)
+        .select("p1", "p2")
       e.alias("e1")
         .join(e.alias("e2"), col("e1.p2") === col("e2.p1"))
         .join(e.alias("e3"),

@@ -93,7 +93,7 @@ class Coverage7Spec extends AnyFunSuite {
     val edges = li.groupBy(_._1).values.flatMap { g =>
       val ps = g.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
-    }.toSet
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keySet // support >= 2 orders
     val byP1 = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val expected = edges.toSeq.map { case (a, b) =>
       byP1.getOrElse(b, Set.empty).count(c => edges.contains((a, c))).toLong
@@ -101,6 +101,18 @@ class Coverage7Spec extends AnyFunSuite {
     val got = q("q_triangle_count").collect().head.getLong(0)
     assert(got === expected)
     assert(got > 0)
+  }
+
+  test("recursive spine is a complete month grid with conserved counts") {
+    val rows = q("q_recursive_spine").collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toString)
+    assert(rows.length === 80) // 1995-01 .. 2001-08 inclusive
+    rows.sliding(2).foreach { case Array((a, _), (b, _)) =>
+      assert(a.plusMonths(1) === b, s"gap between $a and $b")
+    }
+    val total = graft.table(spark, sfDir, "orders").count()
+    assert(rows.map(_._2).sum === total, "every order lands in one month")
   }
 
   test("corr matrix has six rows of valid correlations") {
