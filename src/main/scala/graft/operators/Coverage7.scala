@@ -215,6 +215,54 @@ object Coverage7 {
           min(when(col("cd") >= 0.75, col("l_extendedprice"))).as("p75"))
     },
 
+    // ---- null-safe equality join -------------------------------------------
+    // `<=>` / IS NOT DISTINCT FROM as a JOIN key: the null group joins
+    // the null group (a plain equi-join silently drops it — the classic
+    // dimension-with-unknown-member bug). Null keys are synthesized by
+    // nullif over a real column so the semantics are visible in the
+    // output row count. <=> is an ordinary hash-join key in Spark — no
+    // plan penalty vs =.
+    QDef("q_join_nullsafe",
+      """WITH l AS (
+        |  SELECT nullif(o_orderpriority, '1-URGENT') AS k, o_totalprice
+        |  FROM orders),
+        |d AS (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS k
+        |      FROM orders)
+        |SELECT d.k, count(l.o_totalprice) AS n
+        |FROM d JOIN l ON d.k IS NOT DISTINCT FROM l.k
+        |GROUP BY d.k
+        |""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val l = o.select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("lk"),
+        col("o_totalprice"))
+      val d = o.select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("k"))
+        .distinct()
+      d.join(l, col("k") <=> col("lk"))
+        .groupBy("k").agg(count(col("o_totalprice")).as("n"))
+    },
+
+    // ---- VALUES literal dimension join -------------------------------------
+    // The inline lookup-table pattern (code-to-rank mappings that live
+    // in the query, not in storage). A VALUES relation is driver-literal
+    // → always broadcast; the fact side never shuffles for it.
+    QDef("q_values_join",
+      s"""SELECT v.rnk, count(*) AS n, ${oSum("o_totalprice")} AS rev
+         |FROM orders JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2),
+         |    ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
+         |  AS v(pri, rnk) ON o_orderpriority = v.pri
+         |GROUP BY v.rnk
+         |""".stripMargin) { (s, dir) =>
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT v.rnk, count(*) AS n,
+          |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS STRING) AS DOUBLE) AS rev
+          |FROM orders JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2),
+          |    ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
+          |  AS v(pri, rnk) ON o_orderpriority = v.pri
+          |GROUP BY v.rnk
+          |""".stripMargin)
+    },
+
     // ---- recursive CTE: month spine + per-month order counts --------------
     // Spark 4's WITH RECURSIVE (UnionLoop) generating the date spine a
     // reporting query left-joins against — months with no orders appear

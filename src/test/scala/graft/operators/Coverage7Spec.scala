@@ -103,6 +103,24 @@ class Coverage7Spec extends AnyFunSuite {
     assert(got > 0)
   }
 
+  test("null-safe join keeps the null group a plain equi-join drops") {
+    val rows = q("q_join_nullsafe").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    val urgent = graft.table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(rows.contains(None), "the null key must survive the join")
+    assert(rows(None) === urgent)
+    assert(rows.size === 5)
+    assert(rows.values.sum === graft.table(spark, sfDir, "orders").count())
+  }
+
+  test("values-literal dimension join conserves totals over 5 ranks") {
+    val rows = q("q_values_join").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows.keySet === Set(1, 2, 3, 4, 5))
+    assert(rows.values.sum === graft.table(spark, sfDir, "orders").count())
+  }
+
   test("recursive spine is a complete month grid with conserved counts") {
     val rows = q("q_recursive_spine").collect()
       .map(r => (r.getAs[java.sql.Date](0).toLocalDate, r.getLong(1)))
