@@ -116,6 +116,24 @@ class ScaleStressSpec extends AnyFunSuite {
     info(s"persisted RDDs: before=$before after=$after")
   }
 
+  test("loopInput checkpoints are released by clearMemos (pagerank leaves no storage)") {
+    // same leak class as the CC finding: a lazy localCheckpoint's RDD
+    // is not freed by Dataset.unpersist. q_pagerank materializes its
+    // edge/node tables through DedupOps.loopInput, which registers them
+    // for release with the memo caches.
+    DedupOps.clearMemos()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    (1 to 2).foreach { _ =>
+      graft.SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
+        .count()
+      DedupOps.clearMemos()
+    }
+    val after = spark.sparkContext.getRDDStorageInfo.length
+    assert(after <= before,
+      s"loopInput checkpoints must not accumulate: $before -> $after")
+  }
+
   test("store soak: 500 micro-batches with periodic vacuum, flat latency, bounded state") {
     val root = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val sink = new ParquetTableStore(spark, root, nBuckets = 4)
