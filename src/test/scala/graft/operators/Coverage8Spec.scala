@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-3 extension semantics: local derivations plus the span-
+  * corruption round-trip (input + target reconstruct the original). */
+class Coverage8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("cumulative distinct ends at the true distinct count and is monotone") {
+    val rows = q("q_cume_distinct").collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString,
+        r.getLong(2), r.getLong(3)))
+    val truth = graft.table(spark, sfDir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val ordered = rs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._4, s"$tpe cume not increasing")
+        case _ =>
+      }
+      assert(ordered.map(_._3).sum === ordered.last._4, s"$tpe sum(new)==last cume")
+      assert(ordered.last._4 === truth(tpe), s"$tpe final cume == distinct users")
+    }
+  }
+
+  test("map funcs output equals a local frequent-entry serialization") {
+    val ev = graft.table(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val counts = es.groupBy(_._2).view.mapValues(_.size).toMap
+      val freq = counts.filter(_._2 >= 2).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:$v" }.mkString(",")
+      (u, counts.size.toLong, freq)
+    }.toSet
+    val got = q("q_map_funcs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === expected)
+  }
+
+  test("span corruption round-trips: input + target reconstruct the doc") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim)).toMap
+    val sentinel = "<x\\d+>".r
+    q("q_span_corrupt").collect().foreach { r =>
+      val (id, input, target) = (r.getLong(0), r.getString(1), r.getString(2))
+      // parse target into sentinel -> hidden tokens
+      val hidden = scala.collection.mutable.Map.empty[String, List[String]]
+      var cur: String = null
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (sentinel.matches(t)) { cur = t; hidden(cur) = Nil }
+        else hidden(cur) = hidden(cur) :+ t
+      }
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (sentinel.matches(t)) hidden(t) else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt === docs(id), s"doc $id does not round-trip")
+      // ~30% of tokens masked (3 per 10, modulo the tail)
+      val nTok = docs(id).split(" ", -1).length
+      val nHidden = hidden.values.map(_.size).sum
+      assert(math.abs(nHidden - 0.3 * nTok) <= 3.0, s"doc $id masked $nHidden/$nTok")
+    }
+  }
+}
