@@ -10,7 +10,110 @@ import org.apache.spark.sql.functions._
   */
 object Coverage8 {
 
+  private def oSum(x: String): String =
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,10))) AS STRING) AS DOUBLE)"
+
+  /** One SQL text for both engines (q_win_time_range). */
+  private val timeRangeSql: String =
+    """SELECT user_id, event_id, ts,
+      |  count(*) OVER w AS n_7d,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS STRING) AS DOUBLE)
+      |    AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+      |""".stripMargin
+
   val defs: Seq[QDef] = Seq(
+
+    // ---- TPC-H Q14: promo revenue share ------------------------------------
+    // Conditional share of a filtered join: one month of lineitem
+    // (pushed to the scan) joins broadcast part; both sums come from
+    // the same partial-agg pass. The ratio divides two identical exact
+    // doubles, so it is cross-engine stable without rounding.
+    QDef("q_tpch_q14",
+      s"""SELECT
+         |  ${oSum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_rev,
+         |  ${oSum("l_extendedprice * (1 - l_discount)")} AS total_rev,
+         |  ${oSum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         |    / ${oSum("l_extendedprice * (1 - l_discount)")} AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'
+         |""".stripMargin) { (s, dir) =>
+      val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val promo = when(col("p_type").like("PROMO%"), net).otherwise(lit(0))
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sumExact(promo).as("promo_rev"), sumExact(net).as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          (col("promo_rev") / col("total_rev")).as("promo_share"))
+    },
+
+    // ---- TPC-H Q19: disjunctive join predicates ----------------------------
+    // OR-of-ANDs across both join sides: the planner keeps the
+    // p_partkey equi-join as the join key and evaluates the disjunction
+    // as a post-join filter, while the per-side conjuncts that CAN be
+    // derived (p_size lower bounds, brand IN-list) still prune the
+    // broadcast side. The classic shape that breaks naive pushdown.
+    QDef("q_tpch_q19",
+      s"""SELECT ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)
+         |""".stripMargin) { (s, dir) =>
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30))
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(cond)
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // ---- time-interval window frame: 7-day trailing stats ------------------
+    // RANGE BETWEEN INTERVAL ... PRECEDING over event time — the real
+    // trailing-window pattern (rows-frames break on irregular event
+    // spacing). The windowed sum accumulates in DECIMAL so frame-peer
+    // ordering ties can't wiggle the double; one SQL text serves both
+    // engines.
+    QDef("q_win_time_range", timeRangeSql) { (s, dir) =>
+      views(s, dir, "events")
+      s.sql(timeRangeSql)
+    },
+
+    // ---- ROLLUP with grouping indicators ------------------------------------
+    // grouping() disambiguates "NULL because subtotal" from "NULL in the
+    // data" — cast to BIGINT on both engines (their native widths
+    // differ).
+    QDef("q_grouping_id",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          count(lit(1)).as("n"))
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+    },
 
     // ---- cumulative distinct users per event type -------------------------
     // COUNT(DISTINCT) OVER a running window is unsupported (and

@@ -45,6 +45,52 @@ class Coverage8Spec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q14 promo share is a valid fraction of conserved revenue") {
+    val r = q("q_tpch_q14").collect().head
+    val (promo, total, share) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo >= 0 && promo <= total)
+    assert(share === promo / total)
+  }
+
+  test("q19 disjunctive count equals a local evaluation") {
+    val parts = graft.table(spark, sfDir, "part")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val expected = graft.table(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_quantity").collect().count { r =>
+        val (b, sz) = parts(r.getLong(0)); val qty = r.getDouble(1)
+        (b == "Brand#12" && sz >= 1 && sz <= 5 && qty >= 1 && qty <= 11) ||
+        (b == "Brand#23" && sz >= 1 && sz <= 10 && qty >= 10 && qty <= 20) ||
+        (b == "Brand#34" && sz >= 1 && sz <= 15 && qty >= 20 && qty <= 30)
+      }
+    assert(q("q_tpch_q19").collect().head.getLong(1) === expected.toLong)
+  }
+
+  test("7-day trailing window counts equal a local recount") {
+    val ev = graft.table(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+    val byUser = ev.groupBy(_._1)
+    q("q_win_time_range").collect().take(500).foreach { r =>
+      val (u, eid, ts) = (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2))
+      val expected = byUser(u).count(e =>
+        !e._3.isAfter(ts) && !e._3.isBefore(ts.minusDays(7)))
+      assert(r.getLong(3) === expected.toLong, s"user $u event $eid")
+    }
+  }
+
+  test("grouping indicators: the grand-total row carries the full count") {
+    val rows = q("q_grouping_id").collect()
+    val total = graft.table(spark, sfDir, "orders").count()
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length === 1)
+    assert(grand.head.getLong(4) === total)
+    // level-1 subtotals sum back to the grand total
+    val lvl1 = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    assert(lvl1.map(_.getLong(4)).sum === total)
+  }
+
   test("span corruption round-trips: input + target reconstruct the doc") {
     val docs = graft.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
