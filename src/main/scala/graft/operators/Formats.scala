@@ -2,7 +2,6 @@ package graft.operators
 
 import graft._
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
 
 /** Source/sink format coverage beyond parquet: CSV, JSON-lines, and ORC.
   *
@@ -28,6 +27,12 @@ object Formats {
   private def oSum(x: String): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,10))) AS STRING) AS DOUBLE)"
 
+  /** Fixed per-format scratch dir (overwritten each invocation) — a
+    * fresh createTempDirectory per call would accumulate one directory
+    * per bench run. */
+  private def scratch(fmt: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_$fmt"
+
   val defs: Seq[QDef] = Seq(
 
     QDef("q_source_csv",
@@ -36,7 +41,7 @@ object Formats {
          |FROM supplier GROUP BY s_nationkey
          |""".stripMargin) { (s, dir) =>
       val sup = table(s, dir, "supplier")
-      val tmp = Files.createTempDirectory("graft_csv").toString
+      val tmp = scratch("csv")
       sup.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema(sup.schema).option("header", "true").csv(tmp)
         .groupBy("s_nationkey")
@@ -52,7 +57,7 @@ object Formats {
       val o = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate").cast("date").as("o_odate"))
-      val tmp = Files.createTempDirectory("graft_json").toString
+      val tmp = scratch("json")
       o.write.mode("overwrite").json(tmp)
       s.read.schema(o.schema).json(tmp)
         .groupBy("o_orderstatus")
@@ -67,7 +72,7 @@ object Formats {
          |""".stripMargin) { (s, dir) =>
       val l = table(s, dir, "lineitem")
         .select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
-      val tmp = Files.createTempDirectory("graft_orc").toString
+      val tmp = scratch("orc")
       l.write.mode("overwrite").orc(tmp)
       s.read.schema(l.schema).orc(tmp)
         .groupBy("l_returnflag", "l_linestatus")
