@@ -115,6 +115,59 @@ object Coverage8 {
         .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
     },
 
+    // ---- LOCF forward fill (IGNORE NULLS window) ---------------------------
+    // Last-observation-carried-forward: the sparse-sensor gap fill.
+    // last_value IGNORE NULLS over a running frame — one window per
+    // key, no self-join, no explode; leading nulls (no observation yet)
+    // stay null on both engines. Nulls are synthesized from a real
+    // predicate so the fill is visible in the output.
+    QDef("q_locf",
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN value < 10 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, ts, v,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM base
+        |""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("value") < 10, lit(null)).otherwise(col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+    },
+
+    // ---- blocked fuzzy match (edit distance ≤ 1) ---------------------------
+    // The entity-resolution shape: a cheap BLOCKING key (shared 6-digit
+    // prefix) bounds the candidate pairs, and the expensive levenshtein
+    // verify runs only inside blocks — the string twin of LSH-then-
+    // verify (DedupOps). Never all-pairs: candidates scale with block
+    // sizes, not corpus². levenshtein returns an exact integer, so the
+    // engines agree with no float convention needed.
+    QDef("q_fuzzy_match",
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, substr(c_name, 10, 6) AS blk
+        |  FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 10, 6).as("blk"))
+      c.alias("a").join(c.alias("b"),
+          col("a.blk") === col("b.blk")
+            && col("a.c_custkey") < col("b.c_custkey"))
+        .filter(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+        .select(col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
+          levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
+    },
+
     // ---- cumulative distinct users per event type -------------------------
     // COUNT(DISTINCT) OVER a running window is unsupported (and
     // inherently O(n·window) done naively). The distributed answer:

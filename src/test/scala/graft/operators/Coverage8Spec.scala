@@ -45,6 +45,49 @@ class Coverage8Spec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("locf fills every gap with the latest prior observation") {
+    val ev = graft.table(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      var carried: Option[Double] = None
+      es.sortBy(e => (e._3.toString, e._2)).toSeq.map { e =>
+        val v = if (e._4 < 10) None else Some(e._4)
+        if (v.isDefined) carried = v
+        e._2 -> (v, carried)
+      }
+    }.toMap
+    q("q_locf").collect().foreach { r =>
+      val eid = r.getLong(1)
+      val v = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      val f = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert((v, f) === expected(eid), s"event $eid")
+    }
+  }
+
+  test("fuzzy match never crosses blocks and distances are correct") {
+    val names = graft.table(spark, sfDir, "customer")
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = q("q_fuzzy_match").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, dist) = (names(r.getLong(0)), names(r.getLong(1)), r.getLong(2))
+      assert(a.substring(9, 15) === b.substring(9, 15), "blocking key differs")
+      assert(lev(a, b).toLong === dist)
+      assert(dist <= 1)
+    }
+  }
+
   test("q14 promo share is a valid fraction of conserved revenue") {
     val r = q("q_tpch_q14").collect().head
     val (promo, total, share) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
