@@ -168,6 +168,54 @@ object Coverage8 {
           levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
     },
 
+    // ---- LM-based quality scoring (transcendental-free) --------------------
+    // The perplexity-filter stage of a data pipeline without the
+    // cross-engine log: a document's quality signal is the FRACTION of
+    // its bigrams that are rare under the corpus bigram LM (p < 1%).
+    // Every probability is one integer division (engines agree
+    // exactly), counts are integers, and the final fraction divides two
+    // identical integers — no rounding convention needed. Shape: the LM
+    // is a corpus aggregate (bounded by observed vocab²); scoring is
+    // one keyed join from doc-bigrams to the LM and a per-doc
+    // partial-agg.
+    QDef("q_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM f),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM idx
+        |       WHERE i < len(w) AND w[i] <> '' AND w[i+1] <> ''),
+        |c12 AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(cnt) AS tot FROM c12 GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(cnt AS DOUBLE) / tot AS p
+        |       FROM c12 JOIN c1 USING (w1))
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  count(*) FILTER (WHERE lm.p < 0.01) AS n_rare,
+        |  CAST(count(*) FILTER (WHERE lm.p < 0.01) AS DOUBLE) / count(*)
+        |    AS rare_frac
+        |FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        |GROUP BY bg.doc_id
+        |""".stripMargin) { (s, dir) =>
+      val bg = table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "filter(transform(sequence(0, size(w) - 2)," +
+            " i -> struct(w[i] AS w1, w[i+1] AS w2))," +
+            " s -> s.w1 <> '' AND s.w2 <> '')")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val lm = c12.join(c12.groupBy("w1").agg(sum(col("cnt")).as("tot")), "w1")
+        .select(col("w1"), col("w2"),
+          (col("cnt").cast("double") / col("tot")).as("p"))
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("p") < 0.01, 1)).as("n_rare"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
+    },
+
     // ---- cumulative distinct users per event type -------------------------
     // COUNT(DISTINCT) OVER a running window is unsupported (and
     // inherently O(n·window) done naively). The distributed answer:

@@ -88,6 +88,28 @@ class Coverage8Spec extends AnyFunSuite {
     }
   }
 
+  test("lm score equals a local bigram-LM evaluation") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))
+    val bigrams = docs.flatMap { case (id, w) =>
+      w.zip(w.drop(1)).filter(p => p._1.nonEmpty && p._2.nonEmpty)
+        .map(p => (id, p))
+    }
+    val c12 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val nRare = bs.count { case (_, p) =>
+        c12(p).toDouble / c1(p._1) < 0.01
+      }
+      (id, bs.size.toLong, nRare.toLong)
+    }.toSet
+    val got = q("q_lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.exists(_._3 > 0), "corpus should contain rare bigrams")
+  }
+
   test("q14 promo share is a valid fraction of conserved revenue") {
     val r = q("q_tpch_q14").collect().head
     val (promo, total, share) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
