@@ -142,30 +142,45 @@ object Coverage8 {
     },
 
     // ---- blocked fuzzy match (edit distance ≤ 1) ---------------------------
-    // The entity-resolution shape: a cheap BLOCKING key (shared 6-digit
-    // prefix) bounds the candidate pairs, and the expensive levenshtein
-    // verify runs only inside blocks — the string twin of LSH-then-
-    // verify (DedupOps). Never all-pairs: candidates scale with block
-    // sizes, not corpus². levenshtein returns an exact integer, so the
-    // engines agree with no float convention needed.
+    // The entity-resolution shape: a cheap BLOCKING key (shared 7-digit
+    // prefix → blocks of ~100) bounds the candidate pairs, and the
+    // expensive levenshtein verify runs once per candidate inside
+    // blocks — the string twin of LSH-then-verify (DedupOps). The block
+    // size is CONSTANT, so candidates grow linearly with the corpus,
+    // never corpus² (a 6-digit prefix — blocks of 1000 — measured 44 s
+    // at sf0.1; 10× smaller blocks make it sub-second with the same
+    // linear shape at any scale). levenshtein returns an exact integer,
+    // so the engines agree with no float convention.
     QDef("q_fuzzy_match",
       """WITH c AS (
-        |  SELECT c_custkey, c_name, substr(c_name, 10, 6) AS blk
+        |  SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk
         |  FROM customer)
-        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |SELECT id1, id2, dist FROM (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
+        |WHERE dist <= 1
         |""".stripMargin) { (s, dir) =>
       val c = table(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"),
-          substring(col("c_name"), 10, 6).as("blk"))
-      c.alias("a").join(c.alias("b"),
+          substring(col("c_name"), 10, 7).as("blk"))
+      // distribute the probe side by block at an EXPLICIT width: the
+      // broadcast join otherwise inherits the scan's partitioning (one
+      // task on a one-file input), and a bare repartition(col) gets
+      // AQE-coalesced back to one partition because the shuffled BYTES
+      // are tiny — the verify cost is per-ROW (levenshtein), which
+      // AQE's size heuristic cannot see. Blocks are the natural work
+      // unit of blocked entity resolution.
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      c.repartition(width, col("blk")).alias("a").join(c.alias("b"),
           col("a.blk") === col("b.blk")
             && col("a.c_custkey") < col("b.c_custkey"))
-        .filter(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+        // threshold variant: early-exits the DP at distance > 1 and
+        // returns -1 — exact for every surviving row, ~10x cheaper per
+        // candidate than the full distance matrix
         .select(col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
-          levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
+          levenshtein(col("a.c_name"), col("b.c_name"), 1).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
     },
 
     // ---- LM-based quality scoring (transcendental-free) --------------------

@@ -82,7 +82,7 @@ class Coverage8Spec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (a, b, dist) = (names(r.getLong(0)), names(r.getLong(1)), r.getLong(2))
-      assert(a.substring(9, 15) === b.substring(9, 15), "blocking key differs")
+      assert(a.substring(9, 16) === b.substring(9, 16), "blocking key differs")
       assert(lev(a, b).toLong === dist)
       assert(dist <= 1)
     }
