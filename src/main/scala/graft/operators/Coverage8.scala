@@ -120,7 +120,9 @@ object Coverage8 {
     // last_value IGNORE NULLS over a running frame — one window per
     // key, no self-join, no explode; leading nulls (no observation yet)
     // stay null on both engines. Nulls are synthesized from a real
-    // predicate so the fill is visible in the output.
+    // predicate so the fill is visible in the output. The streaming
+    // twin is streaming.IncrementalLocf (one carried value per key in
+    // the state store; row-identical under in-order delivery).
     QDef("q_locf",
       """WITH base AS (
         |  SELECT user_id, event_id, ts,
