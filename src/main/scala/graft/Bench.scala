@@ -53,23 +53,34 @@ object Bench {
     // of every run (round-3 advice): with query-major repetition, runs
     // 2..N of the pair-consuming queries served entirely from the memo
     // populated by run 1, so their medians excluded the dominant
-    // pair-finding cost. Now every run pays it once, in the same
-    // (alphabetical, deterministic) place; queries that served from a
-    // memo populated EARLIER IN THE SAME RUN are listed in
+    // pair-finding cost. Now every run pays it once; queries that served
+    // from a memo populated EARLIER IN THE SAME RUN are listed in
     // "memo_served" so the per-query numbers are interpretable.
+    //
+    // Each run iterates a DIFFERENT deterministic permutation of the
+    // queries (sort by md5(runIdx:name)) instead of alphabetical order
+    // (round-5 verdict): with the same order every run, a machine-noise
+    // window recurring at the same wall-clock phase hits the SAME
+    // alphabetical band in 2 of 3 runs and the median lands inside the
+    // contamination. Permuting per run decorrelates noise from query
+    // identity, so median-of-3 actually defends.
     val memoServed = scala.collection.mutable.LinkedHashSet.empty[String]
     // completed-run timings, kept OUTSIDE the try so a crash mid-bench
     // still prints a parseable summary over everything finished so far
     val timings = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(String, Double, Boolean)]]
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     try {
-      (1 to runs).foreach { _ =>
+      (1 to runs).foreach { runIdx =>
         graft.operators.DedupOps.clearMemos()
         // absorb the previous run's garbage (dropped caches, checkpoint
         // blocks, shuffle state) HERE, between runs, instead of letting
         // a collection pause land on whichever query runs first
         System.gc()
-        timings += selected.map { case (name, fn) =>
+        val order = selected.sortBy { case (n, _) => md5hex(s"$runIdx:$n") }
+        timings += order.map { case (name, fn) =>
           graft.operators.DedupOps.drainMemoHits()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }

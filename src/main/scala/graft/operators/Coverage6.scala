@@ -224,11 +224,16 @@ object Coverage6 {
     // ---- 2-D skyline (Pareto frontier) ----------------------------------
     // An order is dominated if some other order has (price ≥, date ≥)
     // with one strict. The naive formulation is the O(n²) NOT EXISTS the
-    // oracle runs; the engine's plan is O(n log n): reduce to one row per
-    // DISTINCT price (max date at that price), a running strictly-higher
-    // max over the price-sorted reduction, then one broadcast-joinable
-    // lookup back to the facts. At 100 TB the window runs over distinct
-    // prices only — the fact table never sorts.
+    // oracle runs; the engine computes the strictly-higher-price running
+    // max(date) as a TWO-PHASE segmented prefix max, because o_totalprice
+    // is near-continuous: distinct prices ≈ row count, so a single
+    // unpartitioned Window would funnel the whole reduction into one task.
+    // Phase 1 range-buckets the distinct prices (value buckets from a
+    // broadcast min/max — no sampling pass) and runs the strict prefix max
+    // WITHIN each bucket in parallel; phase 2 prefix-maxes the per-bucket
+    // summaries (≤ shuffle-partition count of rows — bounded, not
+    // data-sized) and broadcasts them back. best_higher = the later of the
+    // two. The fact table itself never sorts and never hits a global window.
     QDef("q_skyline",
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders o
         |WHERE NOT EXISTS (
@@ -242,9 +247,33 @@ object Coverage6 {
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       val byPrice = o.groupBy("o_totalprice")
         .agg(max(col("o_orderdate")).as("mx_date"))
-      val w = Window.orderBy(col("o_totalprice").desc)
+      val nB = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+      val stats = byPrice.groupBy()
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      val bucketed = byPrice.crossJoin(broadcast(stats))
+        .withColumn("bkt",
+          when(col("hi") <= col("lo"), lit(0)).otherwise(
+            least(lit(nB - 1),
+              floor((col("o_totalprice") - col("lo")) /
+                ((col("hi") - col("lo")) / nB)).cast("int"))))
+        .drop("lo", "hi")
+      // phase 1: strict prefix max over price-desc order, per bucket
+      val wIn = Window.partitionBy("bkt").orderBy(col("o_totalprice").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val run = byPrice.withColumn("best_higher", max(col("mx_date")).over(w))
+      val inBucket = bucketed
+        .withColumn("best_in_bucket", max(col("mx_date")).over(wIn))
+      // phase 2: per-bucket maxima; the strictly-higher-bucket prefix max
+      // runs over ≤ nB rows (bounded by config, not by data)
+      val wUp = Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val summaries = bucketed.groupBy("bkt")
+        .agg(max(col("mx_date")).as("bkt_max"))
+        .withColumn("best_above", max(col("bkt_max")).over(wUp))
+        .select("bkt", "best_above")
+      // greatest() skips nulls: null only when no strictly-higher price exists
+      val run = inBucket.join(broadcast(summaries), "bkt")
+        .withColumn("best_higher",
+          greatest(col("best_in_bucket"), col("best_above")))
       val dominated =
         coalesce(col("best_higher") >= col("o_orderdate"), lit(false)) ||
           (col("mx_date") > col("o_orderdate"))

@@ -248,8 +248,8 @@ object Coverage8 {
         |  SELECT event_type, first_day AS day, count(*) AS new_users
         |  FROM fs GROUP BY event_type, first_day)
         |SELECT event_type, day, new_users,
-        |  sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
-        |    AS cume_users
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS BIGINT) AS cume_users
         |FROM byday
         |""".stripMargin) { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -286,9 +286,15 @@ object Coverage8 {
           collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
         .select(col("user_id"),
           size(map_keys(col("m"))).cast("long").as("n_types"),
-          array_join(array_sort(expr(
+          // Entries were inserted key-sorted (sort_array on the struct list
+          // above), and map_filter/map_entries preserve that order — so the
+          // serialized list is already in key order. Sorting the "k:v"
+          // STRINGS instead would diverge from the oracle's ORDER BY
+          // event_type whenever one key is a proper prefix of another and
+          // the next char sorts below ':' (e.g. "view" vs "view2").
+          array_join(expr(
             "transform(map_entries(map_filter(m, (k, v) -> v >= 2))," +
-              " e -> concat(e.key, ':', e.value))")), ",").as("frequent"))
+              " e -> concat(e.key, ':', e.value))"), ",").as("frequent"))
     },
 
     // ---- T5-style span corruption (denoising objective) --------------------

@@ -231,15 +231,19 @@ object TextOps {
         |""".stripMargin) { (s, dir) =>
       graft.functions.TopKBy.register(s)
       val docs = table(s, dir, "documents")
-      val n = docs.count() // bounded scalar (corpus size), like PipelineOps cutoffs
+      // Corpus size as a LAZY 1-row aggregate broadcast into the score join
+      // (the oracle's `n` CTE) — an eager docs.count() here would run a full
+      // corpus scan at plan-construction time, before the query executes.
+      val nDf = docs.groupBy().agg(count(lit(1)).cast("double").as("corpus_n"))
       val tf = docs
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(df_, "term")
+        .crossJoin(broadcast(nDf))
         .withColumn("score",
-          round(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
+          round(col("tf").cast("double") * col("corpus_n") / col("df"), 6))
         .groupBy("doc_id")
         .agg(expr("topk_str_by(score, term, 3)").as("top"))
         .select(col("doc_id"), posexplode(col("top")))

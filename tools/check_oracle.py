@@ -10,7 +10,7 @@ vs a DuckDB 1.45 float mismatches here exactly like the driver's hash
 does). Local OK is only meaningful if it predicts driver OK.
 
 Usage: check_oracle.py [sfdir] [outdir] [query...]"""
-import duckdb, json, sys
+import duckdb, json, re, sys
 import pyarrow.parquet as pq
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
@@ -21,6 +21,49 @@ con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+# Round-5 lesson (q_cume_distinct): DuckDB types a windowed sum(BIGINT) as
+# HUGEINT while Spark emits int64; the driver's typed hash fails but the
+# string-compare below normalizes it away. Two defenses:
+#  1. lint: an oracle's windowed sum() must be wrapped in CAST(...) — the
+#     repo's parity convention (cf. Coverage4.scala:29);
+#  2. kind check: each column's python value *kind* (int/float/decimal/...)
+#     must agree between engines, not just its str() form.
+WIN_SUM = re.compile(r'\bsum\s*\([^()]*(?:\([^()]*\))*[^()]*\)\s+over\b', re.I)
+# CAST may wrap the sum through intervening scalar calls: CAST(floor(coalesce(sum(...) OVER ...
+CAST_TAIL = re.compile(r'cast\s*\((\s*[a-z_][a-z_0-9]*\s*\()*\s*$', re.I)
+def last_toplevel_select(sql):
+    depth, pos = 0, 0
+    for m in re.finditer(r'[()]|\bselect\b', sql, re.I):
+        tok = m.group(0)
+        if tok == '(': depth += 1
+        elif tok == ')': depth -= 1
+        elif depth == 0: pos = m.start()
+    return pos
+def lint_oracle(name, sql):
+    errs, final_sel = [], last_toplevel_select(sql)
+    for m in WIN_SUM.finditer(sql):
+        # CTE-internal running sums never reach the driver's typed hash;
+        # only the final SELECT's output columns do.
+        if m.start() < final_sel: continue
+        if not CAST_TAIL.search(sql[:m.start()]):
+            errs.append(f'unwrapped windowed sum at char {m.start()} '
+                        '(DuckDB types it HUGEINT; wrap in CAST(... AS BIGINT/DOUBLE))')
+    return errs
+
+def kind(series):
+    s = series.dropna()
+    if len(s) == 0: return None
+    v = s.iloc[0]
+    t = type(v).__name__
+    if t in ('int', 'int8', 'int16', 'int32', 'int64'): return 'int'
+    if t in ('float', 'float32', 'float64'): return 'float'
+    if t == 'Decimal': return 'decimal'
+    if t in ('str', 'str_'): return 'str'
+    if t in ('bool', 'bool_'): return 'bool'
+    if t == 'date': return 'date'
+    if t in ('Timestamp', 'datetime', 'datetime64'): return 'ts'
+    return t
 
 def canon(df):
     # Driver-faithful: sort columns by name, then sort_values on the raw
@@ -33,6 +76,9 @@ def canon(df):
 fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
+    lint = lint_oracle(name, sql)
+    if lint:
+        print(f'{name}: LINT {"; ".join(lint)}'); fails.append(name); continue
     try:
         exp = canon(con.sql(sql).arrow().to_pandas())
         got = canon(pq.read_table(f'{outdir}/{name}').to_pandas())
@@ -45,6 +91,9 @@ for name, sql in sorted(oracle.items()):
         print(f'{name}: NROWS exp={len(exp)} got={len(got)}'); fails.append(name); continue
     bad = []
     for c in exp.columns:
+        ke, kg = kind(exp[c]), kind(got[c])
+        if ke is not None and kg is not None and ke != kg:
+            bad.append(f'{c}(TYPEKIND exp={ke} got={kg})'); continue
         # string-compare = a proxy for the driver's value hash
         if not exp[c].astype(str).equals(got[c].astype(str)):
             try:
