@@ -58,6 +58,73 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder over the JDK's built-in `javax.imageio` codecs
+    * (PNG/BMP/GIF/JPEG — no external jars). Decodes actual pixels:
+    * `meta` reads true width/height and the frame count from the
+    * stream (animated GIFs report >1), `resize` rescales through a
+    * `Graphics2D` draw and re-encodes to PNG, `frames` yields one row
+    * per embedded image with `frame_len` = its pixel count (offsets
+    * within compressed containers aren't meaningful, so `frame_off`
+    * is the running pixel offset).
+    *
+    * The oracle-backed q_media_* queries stay on `StubDecoder` because
+    * the test corpus's "media bytes" are document text, not images —
+    * but the decoder boundary is exercised end-to-end with real PNG/
+    * BMP/GIF bytes in MediaDecoderSpec, including through
+    * `mapPartitions` on executors.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def withReader[A](m: MediaRecord)(
+        f: javax.imageio.ImageReader => A): A = {
+      // no disk-backed stream cache on executors
+      ImageIO.setUseCache(false)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(m.content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no ImageIO codec for media ${m.media_id}")
+        val r = readers.next()
+        r.setInput(iis)
+        try f(r) finally r.dispose()
+      } finally iis.close()
+    }
+
+    def meta(m: MediaRecord): MediaMeta = withReader(m) { r =>
+      MediaMeta(m.media_id, m.kind, m.content.length.toLong,
+        r.getWidth(0), r.getHeight(0), r.getNumImages(true))
+    }
+
+    /** The resized image itself, re-encoded as PNG. */
+    def resizeBytes(m: MediaRecord, w: Int, h: Int): Array[Byte] = {
+      ImageIO.setUseCache(false)
+      val img = ImageIO.read(new ByteArrayInputStream(m.content))
+      require(img != null, s"undecodable media ${m.media_id}")
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+    def resize(m: MediaRecord, w: Int, h: Int): Thumb =
+      Thumb(m.media_id, w, h, resizeBytes(m, w, h).length.toLong)
+
+    def frames(m: MediaRecord): Iterator[Frame] = withReader(m) { r =>
+      val n = r.getNumImages(true)
+      var off = 0L
+      (0 until n).map { i =>
+        val px = r.getWidth(i).toLong * r.getHeight(i)
+        val fr = Frame(m.media_id, i, off, px)
+        off += px
+        fr
+      }.iterator // materialized inside withReader: the reader closes on return
+    }
+  }
+
   /** documents.text → a media table (binary content + kind). */
   private def mediaTable(s: org.apache.spark.sql.SparkSession, dir: String) =
     table(s, dir, "documents").select(
