@@ -27,11 +27,14 @@ object Formats {
   private def oSum(x: String): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,10))) AS STRING) AS DOUBLE)"
 
-  /** Fixed per-format scratch dir (overwritten each invocation) — a
-    * fresh createTempDirectory per call would accumulate one directory
-    * per bench run. */
+  /** Per-JVM scratch dir, fixed per format WITHIN a JVM (overwritten
+    * each invocation — a fresh createTempDirectory per call would
+    * accumulate one directory per bench run) but namespaced by pid so
+    * two concurrent runs on one host (parallel suites, bench + verify
+    * overlap, two checkouts) can't overwrite each other's round-trip
+    * data mid-read. */
   private def scratch(fmt: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_$fmt"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}_roundtrip_$fmt"
 
   val defs: Seq[QDef] = Seq(
 

@@ -133,6 +133,25 @@ class Coverage7Spec extends AnyFunSuite {
     assert(rows.map(_._2).sum === total, "every order lands in one month")
   }
 
+  test("hardcoded spine bounds cover the corpus at every verified scale") {
+    // q_recursive_spine's month grid is fixed to 1995-01..2001-08; an
+    // order dated outside it would silently vanish from the counts on
+    // BOTH engines (parity would still hold). This guard fails loudly
+    // if a future corpus widens the date range.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1") if new java.io.File(d).isDirectory) {
+      val r = graft.table(spark, d, "orders")
+        .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+        .collect().head
+      val (mn, mx) = (r.getAs[java.time.LocalDateTime](0),
+        r.getAs[java.time.LocalDateTime](1))
+      assert(!mn.isBefore(java.time.LocalDateTime.of(1995, 1, 1, 0, 0)),
+        s"$d: corpus starts $mn, before the spine anchor")
+      assert(mx.isBefore(java.time.LocalDateTime.of(2001, 9, 1, 0, 0)),
+        s"$d: corpus ends $mx, past the spine's last month")
+    }
+  }
+
   test("corr matrix has six rows of valid correlations") {
     val rows = q("q_corr_matrix").collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
