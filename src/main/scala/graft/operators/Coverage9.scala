@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 extension: the two remaining TPC-H classic shapes.
@@ -133,6 +134,136 @@ object Coverage9 {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    },
+
+    // ---- normalized-title dedup (soft duplicate detection) ----------------
+    // The web-corpus stage between exact and MinHash dedup: documents
+    // whose canonicalized leading span (lowercase, alphanumerics only,
+    // collapsed whitespace) collides are near-certain duplicates —
+    // re-crawls with different boilerplate tails, title-page copies.
+    // One hash groupBy on the derived key: embarrassingly scalable,
+    // no candidate join at all. Survivor = min doc_id (the repo's
+    // dedup convention).
+    QDef("q_dedup_title_norm",
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      lower(substr(trim(text), 1, 48)), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS title_key
+        |  FROM documents)
+        |SELECT title_key, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM k GROUP BY title_key HAVING count(*) > 1
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(
+            lower(substring(trim(col("text")), 1, 48)), "[^a-z0-9 ]", ""),
+            " +", " ")).as("title_key"))
+        .groupBy("title_key")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1)
+    },
+
+    // ---- length-decile bucketing (curriculum / batch shaping) -------------
+    // Assigning every document to an exact length decile WITHOUT a
+    // global sort: lengths live in a BOUNDED domain (≤ max doc chars —
+    // 523 distinct at sf0.1 and corpus-size independent, unlike
+    // q_skyline's near-continuous prices), so the corpus reduces to a
+    // per-length count table first and the cumulative runs over that
+    // reduction only. Cutoff k = min length whose cumulative count
+    // reaches k/10 of the corpus — all-integer arithmetic (cum*10 ≥
+    // k*n), so both engines agree exactly. Docs then bucket against
+    // the broadcast 9-element cutoff array: scan + broadcast, no
+    // data-sized shuffle beyond the length groupBy.
+    QDef("q_len_buckets",
+      """WITH c AS (SELECT n_chars AS len, count(*) AS cnt
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |cum AS (SELECT len, sum(cnt) OVER (ORDER BY len) AS cum FROM c),
+        |ks AS (SELECT unnest(range(1, 10)) AS k),
+        |cut AS (SELECT k, min(len) AS cutoff
+        |        FROM cum, ks, tot WHERE cum * 10 >= k * n GROUP BY k)
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(n_chars) AS mn_len, max(n_chars) AS mx_len
+        |FROM (SELECT d.n_chars,
+        |        CAST(1 + (SELECT count(*) FROM cut WHERE cutoff < d.n_chars)
+        |             AS BIGINT) AS bucket
+        |      FROM documents d)
+        |GROUP BY bucket
+        |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val counts = docs.groupBy(col("n_chars").as("len"))
+        .agg(count(lit(1)).as("cnt"))
+      // window over DISTINCT LENGTHS only — a bounded, corpus-size-
+      // independent domain (see scaladoc above); the corpus never sorts
+      val wl = Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts.withColumn("cum", sum(col("cnt")).over(wl))
+      val tot = docs.groupBy().agg(count(lit(1)).as("n"))
+      val ks = s.range(1, 10).select(col("id").as("k"))
+      val cut = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ks))
+        .filter(col("cum") * 10 >= col("k") * col("n"))
+        .groupBy("k").agg(min(col("len")).as("cutoff"))
+      val cutArr = cut.groupBy()
+        .agg(sort_array(collect_list(col("cutoff"))).as("cuts"))
+      docs.crossJoin(broadcast(cutArr))
+        .select((lit(1) + size(expr("filter(cuts, c -> c < n_chars)")))
+          .cast("long").as("bucket"), col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("mn_len"), max(col("n_chars")).as("mx_len"))
+    },
+
+    // ---- nearest as-of join (bidirectional) -------------------------------
+    // pandas merge_asof(direction='nearest') distributed: for every
+    // purchase, the click by the same user closest in time, looking
+    // BOTH ways. One merged event stream per user, two frame-bounded
+    // window passes (running last click behind, running first click
+    // ahead) — |purchases|+|clicks| rows through one user_id exchange,
+    // never a time-band join. Ties break toward the earlier click; all
+    // arithmetic is integer microseconds, so engines agree exactly.
+    QDef("q_asof_nearest",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |x AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+        |  first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM ev)
+        |SELECT event_id, user_id, us AS purchase_us,
+        |  CASE WHEN next_us IS NULL
+        |         OR (prev_us IS NOT NULL AND us - prev_us <= next_us - us)
+        |       THEN prev_us ELSE next_us END AS nearest_click_us,
+        |  abs(us - CASE WHEN next_us IS NULL
+        |         OR (prev_us IS NOT NULL AND us - prev_us <= next_us - us)
+        |       THEN prev_us ELSE next_us END) AS gap_us
+        |FROM x WHERE event_type = 'purchase'
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val ord = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+      val clickUs = when(col("event_type") === "click", col("us"))
+      val nearest =
+        when(col("next_us").isNull ||
+          (col("prev_us").isNotNull &&
+            col("us") - col("prev_us") <= col("next_us") - col("us")),
+          col("prev_us")).otherwise(col("next_us"))
+      ev.withColumn("prev_us", last(clickUs, ignoreNulls = true).over(wPrev))
+        .withColumn("next_us", first(clickUs, ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_click_us", nearest)
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          col("nearest_click_us"),
+          abs(col("purchase_us") - col("nearest_click_us")).as("gap_us"))
     }
   )
 }

@@ -77,4 +77,70 @@ class Coverage9Spec extends AnyFunSuite {
     // the ORDER BY is a total order: numwait desc, then name
     assert(got.sortBy(x => (-x._2, x._1)).sameElements(got))
   }
+
+  test("q_dedup_title_norm groups match a local normalization") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def key(t: String): String =
+      t.trim.take(48).toLowerCase
+        .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    val expected = docs.groupBy(d => key(d._2))
+      .collect { case (k, ds) if ds.length > 1 =>
+        (k, ds.length.toLong, ds.map(_._1).min)
+      }.toSet
+    val got = q("q_dedup_title_norm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "the corpus contains prefix duplicates")
+  }
+
+  test("q_len_buckets is a complete partition with ordered cutoffs") {
+    val lens = graft.table(spark, sfDir, "documents")
+      .select("n_chars").collect().map(lng(_, 0)).sorted
+    val n = lens.length
+    val cutoffs = (1 to 9).map { k =>
+      // min length whose cumulative count reaches k/10 of the corpus
+      lens(lens.indices.find(i => (i + 1) * 10 >= k * n).get)
+    }
+    val expected = lens.groupBy(l => 1L + cutoffs.count(_ < l)).view
+      .mapValues(ls => (ls.length.toLong, ls.min, ls.max)).toMap
+    val got = q("q_len_buckets").collect()
+      .map(r => lng(r, 0) -> ((lng(r, 1), lng(r, 2), lng(r, 3)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === n.toLong, "every doc lands in a bucket")
+    // decile sizes are balanced up to length-tie granularity
+    assert(got.size >= 8, s"expected ~10 buckets, got ${got.size}")
+  }
+
+  test("q_asof_nearest picks the truly closest click, ties to earlier") {
+    val ev = graft.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[java.time.LocalDateTime](3)))
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val byUser = ev.filter(e => e._3 == "click" || e._3 == "purchase")
+      .groupBy(_._2)
+    val expected = byUser.values.flatten.filter(_._3 == "purchase").map { p =>
+      val clicks = byUser(p._2).filter(_._3 == "click")
+        .map(c => (us(c._4), c._1)).toSeq.sorted
+      val pu = us(p._4)
+      if (clicks.isEmpty) p._1 -> None
+      else {
+        // nearest by |gap|; ties toward the earlier click
+        val best = clicks.minBy { case (cu, eid) => (math.abs(cu - pu), cu, eid) }
+        p._1 -> Some((best._1, math.abs(best._1 - pu)))
+      }
+    }.toMap
+    val got = q("q_asof_nearest").collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) None
+                       else Some((r.getLong(3), r.getLong(4))))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    // compare gaps (the nearest TS itself can differ between two
+    // equidistant clicks only when gaps tie; the tie rule is asserted
+    // via the chosen timestamp too)
+    assert(got === expected)
+  }
 }
