@@ -4,19 +4,24 @@ import graft._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-6 extension: the two remaining TPC-H classic shapes.
+/** Round-6 extension: six more TPC-H classic shapes (Q2, Q4, Q7, Q8,
+  * Q13, Q21) plus three pipeline operators (normalized-title dedup,
+  * length-decile bucketing, nearest as-of join).
   *
   * The synthetic corpus has no `partsupp` table and no
-  * `l_receiptdate`/`l_commitdate` columns, so both queries keep the
-  * CLASSIC JOIN TOPOLOGY exactly (that is what the optimizer audit
+  * `l_receiptdate`/`l_commitdate` columns, so the TPC-H queries keep
+  * the CLASSIC JOIN TOPOLOGY exactly (that is what the optimizer audit
   * exercises) with documented column adaptations:
   *   - Q2's partsupp := the distinct (l_partkey, l_suppkey) offers in
   *     lineitem, with ps_supplycost := min offer price — one exact
   *     double picked from the data, so the correlated min-equality is
   *     cross-engine stable (no derived arithmetic).
-  *   - Q21's "kept orders waiting" flag := l_returnflag = 'R' — like
-  *     receipt>commit it is intra-lineitem-row, which is what makes the
-  *     EXISTS/NOT-EXISTS self-joins pure lineitem↔lineitem.
+  *   - Q4's/Q21's "kept orders waiting" flag := l_returnflag = 'R' —
+  *     like receipt>commit it is intra-lineitem-row, which is what
+  *     makes Q21's EXISTS/NOT-EXISTS self-joins pure lineitem↔lineitem.
+  *   - Q8's part filter := p_type = 'STANDARD'; Q13's comment NOT LIKE
+  *     := o_orderpriority NOT LIKE '1%' (kept in the JOIN condition —
+  *     the zero-order class is the shape's point).
   */
 object Coverage9 {
 
@@ -134,6 +139,156 @@ object Coverage9 {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    },
+
+    // ---- TPC-H Q4: order priority checking (EXISTS semi join) -------------
+    // One quarter of orders, kept only when some line of the order is
+    // flagged (adaptation: returnflag 'R' for receipt>commit, as in
+    // Q21). The EXISTS collapses to a left-semi join on orderkey — the
+    // flag filter is pushed INTO the lineitem scan, so the semi side
+    // carries only flagged lines into the exchange.
+    QDef("q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(table(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select("l_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ---- TPC-H Q7: volume shipping between two nations --------------------
+    // The two-nation-pair join: lineitem joins its supplier's nation
+    // AND its order's customer's nation, keeping the (n1,n2)/(n2,n1)
+    // pairs. Both nation dims broadcast with their aliases kept
+    // distinct; revenue accumulates decimal-exact per (supp_nation,
+    // cust_nation, year).
+    QDef("q_tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+        |    AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |""".stripMargin) { (s, dir) =>
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(table(s, dir, "customer")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("nk1") === col("s_nationkey"))
+        .join(broadcast(n2), col("nk2") === col("c_nationkey"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
+          || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sumExact(col("volume")).as("revenue"))
+    },
+
+    // ---- TPC-H Q8: national market share ----------------------------------
+    // Share-of-total inside each group: both the numerator (volume from
+    // the target nation's suppliers) and the denominator come from ONE
+    // partial-agg pass over the region's STANDARD-part order volume —
+    // the conditional-aggregation alternative to a self-join. The final
+    // share divides two exact decimal sums cast to identical doubles
+    // (the q_tpch_q14 convention).
+    QDef("q_tpch_q8",
+      """SELECT o_year,
+        |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1'
+        |                          THEN volume ELSE 0 END AS DECIMAL(38,10)))
+        |       AS STRING) AS DOUBLE) /
+        |  CAST(CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+        |    AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey)
+        |GROUP BY o_year
+        |""".stripMargin) { (s, dir) =>
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val custAsia = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")
+          .join(broadcast(table(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val vol = table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_type") === "STANDARD")),
+          col("p_partkey") === col("l_partkey"))
+        .join(table(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(custAsia), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("nk1") === col("s_nationkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+          col("supp_nation"))
+      vol.groupBy("o_year")
+        .agg((sumExact(when(col("supp_nation") === "NATION_1", col("volume"))
+          .otherwise(lit(0))) / sumExact(col("volume"))).as("mkt_share"))
+    },
+
+    // ---- TPC-H Q13: customer order-count distribution ---------------------
+    // The double aggregation over a LEFT join: customers keep their
+    // zero-order rows (count(o_orderkey) = 0), then the per-customer
+    // counts histogram. The filtered join predicate (priority NOT LIKE,
+    // standing in for the comment NOT LIKE) belongs to the JOIN
+    // condition, not a WHERE — moving it would silently drop the
+    // zero-order class.
+    QDef("q_tpch_q13",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders")
+          .filter(!col("o_orderpriority").like("1%")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
     },
 
     // ---- normalized-title dedup (soft duplicate detection) ----------------

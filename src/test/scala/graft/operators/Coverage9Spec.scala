@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** TPC-H Q2/Q21 shapes vs independent in-memory derivations. */
@@ -76,6 +77,60 @@ class Coverage9Spec extends AnyFunSuite {
     assert(got.nonEmpty, "at least one sole-flagged supplier at sf0.001")
     // the ORDER BY is a total order: numwait desc, then name
     assert(got.sortBy(x => (-x._2, x._1)).sameElements(got))
+  }
+
+  test("q_tpch_q4 counts exactly the flagged quarter orders") {
+    val flagged = graft.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag").collect()
+      .filter(_.getString(1) == "R").map(_.getLong(0)).toSet
+    val quarter = graft.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getString(2)))
+      .filter { case (_, d, _) =>
+        !d.isBefore(java.time.LocalDateTime.of(1996, 7, 1, 0, 0)) &&
+          d.isBefore(java.time.LocalDateTime.of(1996, 10, 1, 0, 0))
+      }
+    val expected = quarter.filter(o => flagged.contains(o._1))
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val got = q("q_tpch_q4").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("q_tpch_q7 keeps only the two nation-pair directions") {
+    val rows = q("q_tpch_q7").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "the chosen pair must trade at sf0.001")
+    assert(rows.forall { case (sn, cn, _, rev) =>
+      Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18"))((sn, cn)) && rev > 0
+    })
+  }
+
+  test("q_tpch_q8 market shares are valid fractions") {
+    val rows = q("q_tpch_q8").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, sh) => sh >= 0.0 && sh <= 1.0 })
+  }
+
+  test("q_tpch_q13 equals the local order-count distribution") {
+    val custs = graft.table(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(lng(_, 0))
+    val perCust = graft.table(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .filter(!_.getString(1).startsWith("1"))
+      .groupBy(r => lng(r, 0)).view.mapValues(_.length.toLong).toMap
+    val expected = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = q("q_tpch_q13").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toMap === expected)
+    assert(got.map(_._2).sum === custs.length.toLong,
+      "every customer lands in exactly one class")
+    val nOrders = graft.table(spark, sfDir, "orders")
+      .filter(!col("o_orderpriority").like("1%")).count()
+    assert(got.map { case (c, d) => c * d }.sum === nOrders,
+      "classes conserve the filtered order count")
   }
 
   test("q_dedup_title_norm groups match a local normalization") {
