@@ -369,6 +369,87 @@ object Coverage9 {
           min(col("n_chars")).as("mn_len"), max(col("n_chars")).as("mx_len"))
     },
 
+    // ---- winsorized aggregation (outlier clipping) ------------------------
+    // The robust-statistics prep stage: per group, values clip to the
+    // exact p05/p95 order statistics before summing. Clip bounds come
+    // from the q_percentile_disc cume_dist construction (bounds are
+    // CORPUS ELEMENTS — exact doubles both engines agree on, no
+    // interpolation); the clipped sum follows the decimal-exact
+    // convention. Exact per-group percentiles sort within each group
+    // once — the documented exact-percentile cost floor; the
+    // approx_percentile sketch is the 100 TB path when p05/p95 need
+    // only t-digest accuracy.
+    QDef("q_winsorize",
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    min(value) FILTER (WHERE cd >= 0.05) AS lo,
+        |    min(value) FILTER (WHERE cd >= 0.95) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE value < lo) AS n_clip_low,
+        |  count(*) FILTER (WHERE value > hi) AS n_clip_high,
+        |  CAST(CAST(SUM(CAST(CASE WHEN value < lo THEN lo
+        |                          WHEN value > hi THEN hi
+        |                          ELSE value END AS DECIMAL(38,10)))
+        |       AS STRING) AS DOUBLE) AS wsum
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val bounds = table(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("event_type")
+        .agg(min(when(col("cd") >= 0.05, col("value"))).as("lo"),
+          min(when(col("cd") >= 0.95, col("value"))).as("hi"))
+      val clipped = when(col("value") < col("lo"), col("lo"))
+        .when(col("value") > col("hi"), col("hi")).otherwise(col("value"))
+      table(s, dir, "events")
+        .join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") < col("lo"), 1)).as("n_clip_low"),
+          count(when(col("value") > col("hi"), 1)).as("n_clip_high"),
+          sumExact(clipped).as("wsum"))
+    },
+
+    // ---- embedding L2-norm histogram --------------------------------------
+    // Corpus-health check before similarity search: the distribution of
+    // vector norms (un-normalized embeddings poison cosine thresholds).
+    // The squared-norm fold runs in PINNED list order on both engines
+    // (the q_ewma pattern: Spark aggregate() == DuckDB list_reduce with
+    // a prepended init), float→double casts are exact, and IEEE sqrt is
+    // correctly rounded — so the norms are bit-identical and the
+    // histogram buckets can't wobble. Pure per-row work + one tiny
+    // groupBy: embarrassingly parallel at any corpus size.
+    QDef("q_embed_norm_stats",
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT CAST(floor(nrm * 16) AS BIGINT) AS bucket,
+        |  count(*) AS n_vecs, min(nrm) AS mn_norm, max(nrm) AS mx_norm
+        |FROM n GROUP BY bucket
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), sqrt(expr(
+          "aggregate(embedding, cast(0 as double)," +
+            " (a, x) -> a + cast(x as double) * cast(x as double))"))
+          .as("nrm"))
+        .groupBy(floor(col("nrm") * 16).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("nrm")).as("mn_norm"), max(col("nrm")).as("mx_norm"))
+    },
+
     // ---- nearest as-of join (bidirectional) -------------------------------
     // pandas merge_asof(direction='nearest') distributed: for every
     // purchase, the click by the same user closest in time, looking

@@ -168,6 +168,48 @@ class Coverage9Spec extends AnyFunSuite {
     assert(got.size >= 8, s"expected ~10 buckets, got ${got.size}")
   }
 
+  test("q_winsorize clips exactly at the p05/p95 order statistics") {
+    val ev = graft.table(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val expected = ev.groupBy(_._1).map { case (t, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      // smallest value whose cume_dist reaches p
+      def disc(p: Double) = sorted(sorted.indices.find(i => (i + 1).toDouble / n >= p).get)
+      val (lo, hi) = (disc(0.05), disc(0.95))
+      val clipped = sorted.map(v => math.max(lo, math.min(hi, v)))
+      (t, (n.toLong, sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong,
+        BigDecimal(clipped.map(BigDecimal(_)).sum.toDouble)))
+    }
+    val got = q("q_winsorize").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDouble(4)))))
+      .toMap
+    expected.foreach { case (t, (n, nl, nh, ws)) =>
+      val (gn, gnl, gnh, gws) = got(t)
+      assert((gn, gnl, gnh) === ((n, nl, nh)), s"counts for $t")
+      assert((gws - ws).abs < BigDecimal(1e-6), s"wsum for $t: $gws vs $ws")
+    }
+    assert(got.keySet === expected.keySet)
+  }
+
+  test("q_embed_norm_stats buckets match locally computed norms") {
+    val vecs = graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val norms = vecs.map { case (_, v) =>
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }
+    val expected = norms.groupBy(n => math.floor(n * 16).toLong).view
+      .mapValues(ns => (ns.length.toLong, ns.min, ns.max)).toMap
+    val got = q("q_embed_norm_stats").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === vecs.length.toLong)
+  }
+
   test("q_asof_nearest picks the truly closest click, ties to earlier") {
     val ev = graft.table(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "ts").collect()
