@@ -369,6 +369,37 @@ object Coverage9 {
           min(col("n_chars")).as("mn_len"), max(col("n_chars")).as("mx_len"))
     },
 
+    // ---- behavioral transition matrix (first-order Markov) ----------------
+    // Sequence mining over the event stream: P(next event type | type),
+    // per-user ordered. lead() needs one user_id exchange; both
+    // aggregates after it are on the tiny type×type key space, and the
+    // probability divides two identical integers (exact IEEE division,
+    // no rounding convention needed) — the q_lm_score arrangement over
+    // behavior instead of text.
+    QDef("q_event_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        count(*) AS n
+        |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, CAST(n AS DOUBLE) / tot AS p
+        |FROM c JOIN t USING (from_type)
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val c = table(s, dir, "events")
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      c.join(c.groupBy("from_type").agg(sum(col("n")).as("tot")), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot")).as("p"))
+    },
+
     // ---- winsorized aggregation (outlier clipping) ------------------------
     // The robust-statistics prep stage: per group, values clip to the
     // exact p05/p95 order statistics before summing. Clip bounds come

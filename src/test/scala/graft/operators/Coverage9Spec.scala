@@ -168,6 +168,26 @@ class Coverage9Spec extends AnyFunSuite {
     assert(got.size >= 8, s"expected ~10 buckets, got ${got.size}")
   }
 
+  test("q_event_transitions rows are probability distributions per source") {
+    val rows = q("q_event_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // per-source probabilities sum to 1 exactly up to fp addition order
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9, s"source $t")
+    }
+    // counts agree with a local per-user sequential derivation
+    val ev = graft.table(spark, sfDir, "events")
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._3.toString, e._4)).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a._2, b._2)
+      }
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === expected)
+  }
+
   test("q_winsorize clips exactly at the p05/p95 order statistics") {
     val ev = graft.table(spark, sfDir, "events")
       .select("event_type", "value").collect()
