@@ -369,6 +369,35 @@ object Coverage9 {
           min(col("n_chars")).as("mn_len"), max(col("n_chars")).as("mx_len"))
     },
 
+    // ---- deterministic class balancing (majority downsampling) ------------
+    // Training-set prep: every label class downsampled to the SMALLEST
+    // class's size, selection by md5(vec_id) rank — deterministic,
+    // replayable, partitioning-independent (no rand()). The exact
+    // per-class rank is the correctness anchor; at 100 TB the md5-
+    // threshold coin (q_sample_stratified_det) is the rankless scale
+    // path when an approximate per-class quota suffices.
+    QDef("q_sample_balanced",
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |m AS (SELECT min(n) AS target FROM c),
+        |r AS (SELECT vec_id, label,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |      FROM embeddings)
+        |SELECT vec_id, label, CAST(rk AS BIGINT) AS rk
+        |FROM r, m WHERE rk <= target
+        |""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val target = e.groupBy("label").agg(count(lit(1)).as("cn"))
+        .groupBy().agg(min(col("cn")).as("target"))
+      val w = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      e.select(col("vec_id"), col("label"),
+          row_number().over(w).cast("long").as("rk"))
+        .crossJoin(broadcast(target))
+        .filter(col("rk") <= col("target"))
+        .select("vec_id", "label", "rk")
+    },
+
     // ---- behavioral transition matrix (first-order Markov) ----------------
     // Sequence mining over the event stream: P(next event type | type),
     // per-user ordered. lead() needs one user_id exchange; both

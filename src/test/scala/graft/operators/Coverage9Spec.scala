@@ -168,6 +168,25 @@ class Coverage9Spec extends AnyFunSuite {
     assert(got.size >= 8, s"expected ~10 buckets, got ${got.size}")
   }
 
+  test("q_sample_balanced downsamples every class to the minimum size") {
+    val rows = graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val target = rows.groupBy(_._2).values.map(_.length).min
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (lb, vs) =>
+      vs.map(_._1).sortBy(v => (md5hex(v.toString), v)).take(target)
+        .zipWithIndex.map { case (v, i) => (v, lb, i.toLong + 1) }
+    }.toSet
+    val got = q("q_sample_balanced").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.groupBy(_._2).values.forall(_.size == target),
+      "every class is exactly the minimum class size")
+  }
+
   test("q_event_transitions rows are probability distributions per source") {
     val rows = q("q_event_transitions").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
