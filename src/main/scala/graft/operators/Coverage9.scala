@@ -369,6 +369,42 @@ object Coverage9 {
           min(col("n_chars")).as("mn_len"), max(col("n_chars")).as("mx_len"))
     },
 
+    // ---- per-source duplication report (corpus triage) --------------------
+    // The dashboard number dedup decisions are made from: for each
+    // ingestion source, how much of it is exact-duplicate content, and
+    // how much is REDUNDANT (removable — everything past each group's
+    // min-doc_id survivor). Two hash groupBys (content hash, then
+    // source); the ratio divides two identical integers, so both
+    // engines emit the same double.
+    QDef("q_dup_rate_by_source",
+      """WITH h AS (SELECT doc_id, source, md5(text) AS hsh FROM documents),
+        |g AS (SELECT hsh, count(*) AS n, min(doc_id) AS keep
+        |      FROM h GROUP BY hsh)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE g.n > 1) AS n_in_dup_groups,
+        |  count(*) FILTER (WHERE g.n > 1 AND h.doc_id <> g.keep)
+        |    AS n_redundant,
+        |  CAST(count(*) FILTER (WHERE g.n > 1 AND h.doc_id <> g.keep)
+        |       AS DOUBLE) / count(*) AS dup_ratio
+        |FROM h JOIN g USING (hsh)
+        |GROUP BY source
+        |""".stripMargin) { (s, dir) =>
+      val h = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("hsh"))
+      val g = h.groupBy("hsh")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+      h.join(g, "hsh")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n") > 1, 1)).as("n_in_dup_groups"),
+          count(when(col("n") > 1 && col("doc_id") =!= col("keep"), 1))
+            .as("n_redundant"))
+        .select(col("source"), col("n_docs"), col("n_in_dup_groups"),
+          col("n_redundant"),
+          (col("n_redundant").cast("double") / col("n_docs")).as("dup_ratio"))
+    },
+
     // ---- deterministic class balancing (majority downsampling) ------------
     // Training-set prep: every label class downsampled to the SMALLEST
     // class's size, selection by md5(vec_id) rank — deterministic,

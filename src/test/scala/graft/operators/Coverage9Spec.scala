@@ -168,6 +168,26 @@ class Coverage9Spec extends AnyFunSuite {
     assert(got.size >= 8, s"expected ~10 buckets, got ${got.size}")
   }
 
+  test("q_dup_rate_by_source matches a local per-source dup accounting") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val groups = docs.groupBy(_._3).values.map { ds =>
+      (ds.map(_._1).toSet, ds.length, ds.map(_._1).min)
+    }.toSeq
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val inDup = ds.count(d => groups.exists(g => g._2 > 1 && g._1(d._1)))
+      val redundant = ds.count(d =>
+        groups.exists(g => g._2 > 1 && g._1(d._1) && d._1 != g._3))
+      (src, (ds.length.toLong, inDup.toLong, redundant.toLong,
+        redundant.toDouble / ds.length))
+    }
+    val got = q("q_dup_rate_by_source").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got === expected)
+  }
+
   test("q_sample_balanced downsamples every class to the minimum size") {
     val rows = graft.table(spark, sfDir, "embeddings")
       .select("vec_id", "label").collect()
