@@ -245,40 +245,8 @@ object Coverage6 {
         |""".stripMargin) { (s, dir) =>
       val o = table(s, dir, "orders")
         .select("o_orderkey", "o_orderdate", "o_totalprice")
-      val byPrice = o.groupBy("o_totalprice")
-        .agg(max(col("o_orderdate")).as("mx_date"))
       val nB = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
-      val stats = byPrice.groupBy()
-        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
-      val bucketed = byPrice.crossJoin(broadcast(stats))
-        .withColumn("bkt",
-          when(col("hi") <= col("lo"), lit(0)).otherwise(
-            least(lit(nB - 1),
-              floor((col("o_totalprice") - col("lo")) /
-                ((col("hi") - col("lo")) / nB)).cast("int"))))
-        .drop("lo", "hi")
-      // phase 1: strict prefix max over price-desc order, per bucket
-      val wIn = Window.partitionBy("bkt").orderBy(col("o_totalprice").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val inBucket = bucketed
-        .withColumn("best_in_bucket", max(col("mx_date")).over(wIn))
-      // phase 2: per-bucket maxima; the strictly-higher-bucket prefix max
-      // runs over ≤ nB rows (bounded by config, not by data)
-      val wUp = Window.orderBy(col("bkt").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val summaries = bucketed.groupBy("bkt")
-        .agg(max(col("mx_date")).as("bkt_max"))
-        .withColumn("best_above", max(col("bkt_max")).over(wUp))
-        .select("bkt", "best_above")
-      // greatest() skips nulls: null only when no strictly-higher price exists
-      val run = inBucket.join(broadcast(summaries), "bkt")
-        .withColumn("best_higher",
-          greatest(col("best_in_bucket"), col("best_above")))
-      val dominated =
-        coalesce(col("best_higher") >= col("o_orderdate"), lit(false)) ||
-          (col("mx_date") > col("o_orderdate"))
-      o.join(run, "o_totalprice").filter(!dominated)
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.plans.SegmentedSkyline.skyline(o, nB)
     },
 
     // ---- filtered aggregates (FILTER clause surface) --------------------
