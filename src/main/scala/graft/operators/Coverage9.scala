@@ -369,6 +369,63 @@ object Coverage9 {
           min(col("n_chars")).as("mn_len"), max(col("n_chars")).as("mx_len"))
     },
 
+    // ---- JSON generation + round-trip (to_json surface) -------------------
+    // The write side of the JSON scalar family (q_json_funcs covers the
+    // read side): rows serialize to canonical JSON objects/arrays and
+    // parse back. Field order follows struct order on both engines and
+    // every value is a string or integer, so the serialized text is
+    // byte-identical cross-engine (doubles would not be — formatting
+    // differs). Pure per-row work, no shuffle.
+    QDef("q_json_funcs2",
+      """SELECT event_id,
+        |  to_json(struct_pack(t := event_type,
+        |    k := CAST(json_extract_string(props, '$.k') AS BIGINT),
+        |    u := user_id)) AS obj,
+        |  CAST(json_array_length(to_json([user_id, event_id])) AS BIGINT)
+        |    AS alen,
+        |  CAST(json_extract_string(to_json(struct_pack(t := event_type,
+        |    k := CAST(json_extract_string(props, '$.k') AS BIGINT),
+        |    u := user_id)), '$.k') AS BIGINT) AS k_back
+        |FROM events
+        |""".stripMargin) { (s, dir) =>
+      val obj = to_json(struct(
+        col("event_type").as("t"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("user_id").as("u")))
+      table(s, dir, "events")
+        .select(col("event_id"), obj.as("obj"),
+          json_array_length(to_json(array(col("user_id"), col("event_id"))))
+            .cast("long").as("alen"),
+          get_json_object(obj, "$.k").cast("long").as("k_back"))
+    },
+
+    // ---- higher-order array predicates (exists / forall / filter) ---------
+    // The lambda-predicate surface over array columns: per-row counts
+    // and boolean folds on the embedding vectors. Float comparisons
+    // against a literal are deterministic (identical floats both
+    // engines); every output is an integer or boolean. Embarrassingly
+    // parallel — no shuffle beyond the final projection.
+    QDef("q_array_hof",
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0.1)) AS BIGINT)
+        |    AS n_big,
+        |  len(list_filter(embedding, x -> x > 0.1)) > 0 AS any_big,
+        |  len(list_filter(embedding, x -> x > -1)) = len(embedding)
+        |    AS all_above_neg1,
+        |  CAST(len(list_filter(embedding, x -> abs(x) <= 0.01)) AS BIGINT)
+        |    AS n_near_zero
+        |FROM embeddings
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("size(filter(embedding, x -> x > 0.1))").cast("long")
+            .as("n_big"),
+          expr("exists(embedding, x -> x > 0.1)").as("any_big"),
+          expr("forall(embedding, x -> x > -1)").as("all_above_neg1"),
+          expr("size(filter(embedding, x -> abs(x) <= 0.01))").cast("long")
+            .as("n_near_zero"))
+    },
+
     // ---- per-source duplication report (corpus triage) --------------------
     // The dashboard number dedup decisions are made from: for each
     // ingestion source, how much of it is exact-duplicate content, and

@@ -168,6 +168,31 @@ class Coverage9Spec extends AnyFunSuite {
     assert(got.size >= 8, s"expected ~10 buckets, got ${got.size}")
   }
 
+  test("q_json_funcs2 round-trips k and serializes canonically") {
+    val rows = q("q_json_funcs2").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val obj = r.getString(1)
+      assert(r.getLong(2) === 2L, "two-element array")
+      // the serialized object starts with the struct-ordered fields
+      assert(obj.startsWith("{\"t\":\""), obj)
+      if (!r.isNullAt(3)) assert(obj.contains("\"k\":" + r.getLong(3)), obj)
+    }
+  }
+
+  test("q_array_hof predicates agree with locally evaluated lambdas") {
+    val vecs = graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    q("q_array_hof").collect().foreach { r =>
+      val v = vecs(r.getLong(0))
+      assert(r.getLong(1) === v.count(_ > 0.1f).toLong)
+      assert(r.getBoolean(2) === v.exists(_ > 0.1f))
+      assert(r.getBoolean(3) === v.forall(_ > -1f))
+      assert(r.getLong(4) === v.count(x => math.abs(x) <= 0.01).toLong)
+    }
+  }
+
   test("q_dup_rate_by_source matches a local per-source dup accounting") {
     val docs = graft.table(spark, sfDir, "documents")
       .select("doc_id", "source", "text").collect()
