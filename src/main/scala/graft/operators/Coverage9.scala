@@ -346,27 +346,8 @@ object Coverage9 {
         |      FROM documents d)
         |GROUP BY bucket
         |""".stripMargin) { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val counts = docs.groupBy(col("n_chars").as("len"))
-        .agg(count(lit(1)).as("cnt"))
-      // window over DISTINCT LENGTHS only — a bounded, corpus-size-
-      // independent domain (see scaladoc above); the corpus never sorts
-      val wl = Window.orderBy("len")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = counts.withColumn("cum", sum(col("cnt")).over(wl))
-      val tot = docs.groupBy().agg(count(lit(1)).as("n"))
-      val ks = s.range(1, 10).select(col("id").as("k"))
-      val cut = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ks))
-        .filter(col("cum") * 10 >= col("k") * col("n"))
-        .groupBy("k").agg(min(col("len")).as("cutoff"))
-      val cutArr = cut.groupBy()
-        .agg(sort_array(collect_list(col("cutoff"))).as("cuts"))
-      docs.crossJoin(broadcast(cutArr))
-        .select((lit(1) + size(expr("filter(cuts, c -> c < n_chars)")))
-          .cast("long").as("bucket"), col("n_chars"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("n_chars")).as("mn_len"), max(col("n_chars")).as("mx_len"))
+      graft.plans.DecileBuckets.histogram(
+        table(s, dir, "documents"), "n_chars", 10)
     },
 
     // ---- JSON generation + round-trip (to_json surface) -------------------
