@@ -614,26 +614,11 @@ object Coverage9 {
         |       THEN prev_us ELSE next_us END) AS gap_us
         |FROM x WHERE event_type = 'purchase'
         |""".stripMargin) { (s, dir) =>
-      val ev = table(s, dir, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts").cast("timestamp")).as("us"))
-      val ord = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
-      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
-      val clickUs = when(col("event_type") === "click", col("us"))
-      val nearest =
-        when(col("next_us").isNull ||
-          (col("prev_us").isNotNull &&
-            col("us") - col("prev_us") <= col("next_us") - col("us")),
-          col("prev_us")).otherwise(col("next_us"))
-      ev.withColumn("prev_us", last(clickUs, ignoreNulls = true).over(wPrev))
-        .withColumn("next_us", first(clickUs, ignoreNulls = true).over(wNext))
-        .filter(col("event_type") === "purchase")
-        .withColumn("nearest_click_us", nearest)
-        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
-          col("nearest_click_us"),
-          abs(col("purchase_us") - col("nearest_click_us")).as("gap_us"))
+      graft.plans.NearestAsOf.nearest(
+        table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us")),
+        leftType = "purchase", rightType = "click")
     }
   )
 }
