@@ -40,12 +40,29 @@ object Explain {
         df.show(20, truncate = false)
       case n if summary =>
         try {
-          val p = SparkEntry.queries(n)(spark, sfDir)
-            .queryExecution.executedPlan.toString
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          // drive THIS queryExecution (df.count() would execute a
+          // derivative plan and leave this one un-finalized): with AQE,
+          // codegen stages and the actually-chosen join strategies only
+          // exist in the FINAL adaptive plan
+          df.queryExecution.toRdd.count()
+          // the finalized AdaptiveSparkPlan prints "Final Plan" AND
+          // "Initial Plan" sections — keep only the final one, or
+          // every node would count twice
+          val full = df.queryExecution.executedPlan.toString
+          val p = full.indexOf("== Initial Plan ==") match {
+            case -1 => full
+            case i => full.substring(0, i)
+          }
           def c(s: String) = p.linesIterator.count(_.contains(s))
+          // codegen stages appear as "*(n) Op" prefixes in plan
+          // toString, not as literal WholeStageCodegen nodes; count
+          // DISTINCT stage ids so a 5-operator fused stage counts once
+          val codegen = "\\*\\((\\d+)\\)".r
+            .findAllMatchIn(p).map(_.group(1)).toSet.size
           println(s"== $n: bhj=${c("BroadcastHashJoin")}" +
             s" smj=${c("SortMergeJoin")} bnl=${c("BroadcastNestedLoop")}" +
-            s" exch=${c("Exchange")} codegen=${c("WholeStageCodegen")}")
+            s" exch=${c("Exchange")} codegen=$codegen")
           "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).toList.distinct
             .filter(_.length > "PushedFilters: []".length)
             .take(4).foreach(f => println("   " + f.take(180)))
