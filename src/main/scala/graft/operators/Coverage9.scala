@@ -4,9 +4,14 @@ import graft._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-6 extension: six more TPC-H classic shapes (Q2, Q4, Q7, Q8,
-  * Q13, Q21) plus three pipeline operators (normalized-title dedup,
-  * length-decile bucketing, nearest as-of join).
+/** Round-6 extension: six TPC-H classic shapes (Q2, Q4, Q7, Q8, Q13,
+  * Q21 — wave 2 continues in Coverage10) plus the round's pipeline and
+  * scalar operators: normalized-title dedup, length-decile bucketing
+  * (plans.DecileBuckets), nearest as-of join (plans.NearestAsOf),
+  * winsorized aggregation, embedding-norm histogram, event-transition
+  * matrix, deterministic class balancing, per-source duplication
+  * report, JSON generation round-trip, and higher-order array
+  * predicates.
   *
   * The synthetic corpus has no `partsupp` table and no
   * `l_receiptdate`/`l_commitdate` columns, so the TPC-H queries keep
