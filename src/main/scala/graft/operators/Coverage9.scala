@@ -355,6 +355,32 @@ object Coverage9 {
         table(s, dir, "documents"), "n_chars", 10)
     },
 
+    // ---- point-in-time state reconstruction (time travel) -----------------
+    // The query a mirror user runs against CDC history: "what was every
+    // key's state at time T?" — the temporal dual of q_scd2's interval
+    // view and of the Materializer's latest-state compaction. One
+    // filter (pushed to the scan: only pre-T rows are read) + last-
+    // writer-wins per key at T, same (ts, event_id) order the CDC
+    // compactor uses. At 100 TB with a time-partitioned history table
+    // the T-filter prunes partitions before anything runs.
+    QDef("q_state_at",
+      """WITH h AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT user_id, event_id, event_type, value
+        |FROM h WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      table(s, dir, "events")
+        .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    },
+
     // ---- JSON generation + round-trip (to_json surface) -------------------
     // The write side of the JSON scalar family (q_json_funcs covers the
     // read side): rows serialize to canonical JSON objects/arrays and

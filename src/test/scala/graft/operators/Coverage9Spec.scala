@@ -168,6 +168,24 @@ class Coverage9Spec extends AnyFunSuite {
     assert(got.size >= 8, s"expected ~10 buckets, got ${got.size}")
   }
 
+  test("q_state_at reconstructs the last pre-T change per user") {
+    val cutoff = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+    val ev = graft.table(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getAs[java.time.LocalDateTime](4)))
+    val expected = ev.filter(!_._5.isAfter(cutoff)).groupBy(_._1).map {
+      case (u, es) =>
+        val last = es.maxBy(e => (e._5.toString, e._2))
+        u -> ((last._2, last._3, last._4))
+    }
+    val got = q("q_state_at").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "some users have pre-cutoff history at sf0.001")
+  }
+
   test("q_json_funcs2 round-trips k and serializes canonically") {
     val rows = q("q_json_funcs2").collect()
     assert(rows.nonEmpty)
