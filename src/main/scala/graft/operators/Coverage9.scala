@@ -359,10 +359,13 @@ object Coverage9 {
     // The query a mirror user runs against CDC history: "what was every
     // key's state at time T?" — the temporal dual of q_scd2's interval
     // view and of the Materializer's latest-state compaction. One
-    // filter (pushed to the scan: only pre-T rows are read) + last-
-    // writer-wins per key at T, same (ts, event_id) order the CDC
-    // compactor uses. At 100 TB with a time-partitioned history table
-    // the T-filter prunes partitions before anything runs.
+    // T-filter + last-writer-wins per key, same (ts, event_id) order
+    // the CDC compactor uses. NOTE on pushdown: in THIS corpus ts is
+    // rebuilt from parquet nanos (Spark 4 rejects TIMESTAMP(NANOS)), so
+    // the T-comparison runs post-decode — only IsNotNull reaches the
+    // scan. On a normally-typed or time-partitioned history table the
+    // same plan pushes the range to the scan / prunes partitions, which
+    // is what makes this cheap at 100 TB.
     QDef("q_state_at",
       """WITH h AS (
         |  SELECT user_id, event_id, event_type, value,
