@@ -66,9 +66,12 @@ object Bench {
     // identity, so median-of-3 actually defends.
     val memoServed = scala.collection.mutable.LinkedHashSet.empty[String]
     // completed-run timings, kept OUTSIDE the try so a crash mid-bench
-    // still prints a parseable summary over everything finished so far
+    // still prints a parseable summary over everything finished so far;
+    // 4th field = this SAMPLE served from a memo populated earlier in the
+    // same run (per-sample, not per-query: with per-run permutation the
+    // same query can be memo-cold in one run and memo-served in another)
     val timings = scala.collection.mutable.ArrayBuffer
-      .empty[Seq[(String, Double, Boolean)]]
+      .empty[Seq[(String, Double, Boolean, Boolean)]]
     def md5hex(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -86,8 +89,9 @@ object Bench {
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case e: Throwable =>
                      System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-          if (graft.operators.DedupOps.drainMemoHits().nonEmpty) memoServed += name
-          (name, (System.nanoTime() - t0) / 1e9, ok)
+          val hit = graft.operators.DedupOps.drainMemoHits().nonEmpty
+          if (hit) memoServed += name
+          (name, (System.nanoTime() - t0) / 1e9, ok, hit)
         }
       }
     } catch {
@@ -98,15 +102,73 @@ object Bench {
         System.err.println(s"[bench] run loop CRASHED after ${timings.size} " +
           s"complete run(s): ${e.getMessage}")
     }
-    val results = selected.flatMap { case (name, _) =>
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // Per-query sample basis (round-6 advice): with per-run permutation,
+    // WHICH pair-consuming query pays the memo-populating cost varies per
+    // run, so a query's samples can mix memo-cold and memo-served
+    // conditions. A median over mixed conditions measures neither. When
+    // both kinds exist, the median is computed over the memo-COLD samples
+    // only — the condition that includes the dominant pair-finding cost
+    // (the round-3 rationale for clearing memos per run) — and the query
+    // is listed in "memo_mixed" so the narrower sample count is visible.
+    val memoMixed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val basisByName: scala.collection.mutable.LinkedHashMap[String, Seq[Double]] =
+      scala.collection.mutable.LinkedHashMap.empty
+    val okByName = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    selected.foreach { case (name, _) =>
       val perRun = timings.flatMap(_.find(_._1 == name)).toSeq
-      if (perRun.isEmpty) None
-      else {
-        val sorted = perRun.map(_._2).sorted
-        val median =
-          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-        Some((name, median, sorted.head, perRun.forall(_._3)))
+      if (perRun.nonEmpty) {
+        val cold = perRun.filterNot(_._4)
+        val basis =
+          if (cold.nonEmpty && cold.size < perRun.size) { memoMixed += name; cold }
+          else perRun
+        basisByName(name) = basis.map(_._2)
+        okByName(name) = perRun.forall(_._3)
+      }
+    }
+    // Retry pass (round-6 verdict #1): a loaded driver box can land
+    // noise in 2-of-3 runs of a scattered query, putting the median far
+    // above the min on an already-audited trivial plan. Any never-memo-
+    // served query whose median exceeds 2x its min (and by more than
+    // 0.1 s — sub-0.1 s jitter is not noise worth chasing) gets extra
+    // timed executions, one at a time, medians recomputed over the grown
+    // sample set, until the ratio clears or the retry budget (default 3
+    // per query) runs out. Memo-consuming queries are excluded: a retry
+    // here would serve from whatever memo state the last run left, which
+    // is neither condition.
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def suspect(xs: Seq[Double]): Boolean = {
+      val m = medianOf(xs); val mn = xs.min
+      m > 2 * mn && m - mn > 0.1
+    }
+    selected.foreach { case (name, fn) =>
+      if (!memoServed.contains(name) && basisByName.contains(name) &&
+          okByName(name)) {
+        var extra = 0
+        while (suspect(basisByName(name)) && extra < maxRetries) {
+          System.gc()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable =>
+                     System.err.println(s"[bench] retry $name FAILED: ${e.getMessage}"); false }
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (!ok) { okByName(name) = false; extra = maxRetries }
+          else {
+            basisByName(name) = basisByName(name) :+ secs
+            extra += 1
+            retried(name) = extra
+          }
+        }
+      }
+    }
+    val results = selected.flatMap { case (name, _) =>
+      basisByName.get(name).map { xs =>
+        (name, medianOf(xs), xs.min, okByName(name))
       }
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
@@ -121,11 +183,18 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val memoJson = memoServed.map(q => s"\"" + q + "\"").mkString("[", ",", "]")
-    // "total" is a sum of per-query medians, not one wall-clock pass
+    val mixedJson = memoMixed.map(q => s"\"" + q + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.map { case (q, n) => s"\"" + q + "\":" + n }
+      .mkString("{", ",", "}")
+    // "total" is a sum of per-query medians, not one wall-clock pass;
+    // "total_min" (sum of per-query minima) is the noise floor — the
+    // defensible figure when the capture ran on a loaded box, promoted to
+    // a first-class field (round-6 verdict) instead of a derived number
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
     val completedRuns = timings.size
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","runs":$completedRuns,"memo_cleared_per_run":true,"memo_served":$memoJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout capture upstream truncates long output and keeps the TAIL:
     // end with a short self-contained summary line (total + slowest 5)
@@ -135,7 +204,7 @@ object Bench {
       line.getBytes("UTF-8"))
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":$total,"unit":"sec","runs":$completedRuns,"slowest5":$slowest,"memo_served":$memoJson,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"total_min":$totalMin,"unit":"sec","runs":$completedRuns,"slowest5":$slowest,"memo_served":$memoJson,"retried":$retriedJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,43 @@ object Coverage10 {
   private def oSum(x: String): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,10))) AS STRING) AS DOUBLE)"
 
+  /** Q9 over caller-supplied relations. Parametric in the lineitem
+    * source so the same plan runs on the flat parquet corpus (QDef
+    * below — one compound-key (partkey, suppkey) exchange pair) and on
+    * a (l_partkey, l_suppkey)-bucketed layout, where the ps aggregation
+    * reuses the scan's bucket partitioning and the fact-fact join
+    * co-locates — ZERO compound-key exchanges (BucketedQ9Spec asserts
+    * both plans and value-equality). Bucketing the biggest fact on the
+    * offer key is the 100 TB answer for every partsupp-shaped join:
+    * the layout is written once, every Q2/Q9/Q11/Q16-class query
+    * stops paying the widest shuffle in the suite. */
+  def q9From(lineitem: org.apache.spark.sql.DataFrame,
+             part: org.apache.spark.sql.DataFrame,
+             supplier: org.apache.spark.sql.DataFrame,
+             orders: org.apache.spark.sql.DataFrame,
+             nation: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ps = lineitem
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice")).as("ps_supplycost"))
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like("%red%"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(supplier), col("s_suppkey") === col("l_suppkey"))
+      .join(ps, col("ps_partkey") === col("l_partkey")
+        && col("ps_suppkey") === col("l_suppkey"))
+      .join(orders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation), col("n_nationkey") === col("s_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))" +
+          " * (1 - CAST(l_discount AS DECIMAL(18,2)))" +
+          " - CAST(ps_supplycost AS DECIMAL(18,2))" +
+          "   * CAST(l_quantity AS DECIMAL(18,0))").as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(sumExact(col("amount")).as("sum_profit"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- TPC-H Q9: product-type profit by nation and year -----------------
@@ -70,29 +107,9 @@ object Coverage10 {
          |  JOIN nation ON n_nationkey = s_nationkey)
          |GROUP BY nation, o_year
          |""".stripMargin) { (s, dir) =>
-      val ps = table(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"))
-        .agg(min(col("l_extendedprice")).as("ps_supplycost"))
-      table(s, dir, "lineitem")
-        .join(broadcast(table(s, dir, "part")
-          .filter(col("p_name").like("%red%"))),
-          col("p_partkey") === col("l_partkey"))
-        .join(broadcast(table(s, dir, "supplier")),
-          col("s_suppkey") === col("l_suppkey"))
-        .join(ps, col("ps_partkey") === col("l_partkey")
-          && col("ps_suppkey") === col("l_suppkey"))
-        .join(table(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(table(s, dir, "nation")),
-          col("n_nationkey") === col("s_nationkey"))
-        .select(col("n_name").as("nation"),
-          year(col("o_orderdate")).cast("long").as("o_year"),
-          expr("CAST(l_extendedprice AS DECIMAL(18,2))" +
-            " * (1 - CAST(l_discount AS DECIMAL(18,2)))" +
-            " - CAST(ps_supplycost AS DECIMAL(18,2))" +
-            "   * CAST(l_quantity AS DECIMAL(18,0))").as("amount"))
-        .groupBy("nation", "o_year")
-        .agg(sumExact(col("amount")).as("sum_profit"))
+      q9From(table(s, dir, "lineitem"), table(s, dir, "part"),
+        table(s, dir, "supplier"), table(s, dir, "orders"),
+        table(s, dir, "nation"))
     },
 
     // ---- TPC-H Q11: inventory value concentration -------------------------

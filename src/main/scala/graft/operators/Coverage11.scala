@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Round-7 extension wave: scale-hardening variants and new coverage.
+  *
+  * q_dedup_containment_capped is the round-6 verdict #2 fix made
+  * first-class: the exact shingle-join anchors generate candidate pairs
+  * by self-join on shared shingle, so a single hot shingle (license
+  * boilerplate, navigation chrome) costs df² pairs. Capping document
+  * frequency at 256 BEFORE the join bounds the blow-up at
+  * maxDf · Σ df — linear in corpus size — while the oracle stays exact
+  * because the identical cap runs in both engines' SQL
+  * (DedupOps.shingleCappedOracleCtes). On this corpus the cap is
+  * a no-op semantically (no shingle reaches df 256 at any verified
+  * scale), which is precisely what makes the capped row's green
+  * CORRECTNESS meaningful: same answer, bounded worst case.
+  * DedupCapSpec measures the candidate-pair reduction on a planted
+  * hot-shingle corpus (200 docs sharing one boilerplate sentence).
+  */
+object Coverage11 {
+
+  val defs: Seq[QDef] = Seq(
+
+    // DF-capped asymmetric containment dedup: identical semantics to
+    // q_dedup_containment on corpora without hot shingles, bounded
+    // candidate generation on corpora with them. The cap (df ≤ 256) is
+    // applied to the shingle REPRESENTATION (sizes recomputed over the
+    // capped sets), not just the join — self-consistent containment
+    // over capped sets, the standard support-threshold move.
+    QDef("q_dedup_containment_capped",
+      s"""WITH ${DedupOps.shingleCappedOracleCtes(256)}
+        |SELECT d1, d2,
+        |       round(CAST(inter AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(CAST(inter AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.9
+        |""".stripMargin) { (s, dir) =>
+      val sh = DedupOps.shingles(table(s, dir, "documents"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      DedupOps.containmentPairs(DedupOps.dfCappedShingles(sh, 256), 0.9)
+    },
+
+    // ---- deterministic epoch shuffle (global rank, distributed) -----------
+    // Each document's position in the md5-keyed total order — the
+    // reproducible random read order a training run uses per epoch.
+    // The oracle is the obvious single window; the engine runs
+    // plans.ShuffleRank: 256 leading-byte buckets, prefix offsets over
+    // the ≤256-row count table (the only unpartitioned window), rank =
+    // offset + intra-bucket row_number — a PARTITIONED window, so no
+    // task ever sorts more than ~1/256 of the corpus at any scale.
+    QDef("q_shuffle_det",
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      graft.plans.ShuffleRank.rank(
+        table(s, dir, "documents").select("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")), "pos")
+        .select("doc_id", "pos")
+    },
+
+    // ---- corpus-wide top-k n-grams ----------------------------------------
+    // Vocabulary / boilerplate analysis staple: the 20 most frequent
+    // word bigrams with a total-order tie-break (count DESC, bigram
+    // ASC). Aggregation partial-combines map-side on the bigram; the
+    // top-k is TakeOrderedAndProject over the aggregated table — per-
+    // partition heaps + a k-row driver merge, never a global sort.
+    QDef("q_top_ngrams",
+      """WITH toks AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (SELECT w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 2),
+        |bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM idx WHERE i <= len(w) - 1)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 20
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    },
+
+    // ---- duplicate-cluster size histogram ---------------------------------
+    // The dedup report's headline table: how many duplicate clusters
+    // of each size the corpus contains. Composes the memoized LSH
+    // pair set → connected components (same labels as
+    // q_dedup_clusters) → two bounded aggregations; everything after
+    // the CC fixpoint shuffles O(#duplicate docs) rows only.
+    QDef("q_dedup_cluster_sizes",
+      s"""WITH RECURSIVE
+        |${DedupOps.shingleOracleCtes},
+        |${DedupOps.reachOracleCtes}
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM (SELECT canonical, CAST(count(*) AS BIGINT) AS sz
+        |      FROM (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+        |      GROUP BY canonical)
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      DedupOps.clusterLabelsFor(s, dir, 0.8)
+        .groupBy("canonical").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    },
+  )
+}

@@ -272,20 +272,9 @@ object Coverage5 {
         |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
         |WHERE round(CAST(inter AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.9
         |""".stripMargin) { (s, dir) =>
-      val sh = DedupOps.shingles(table(s, dir, "documents"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("b.doc_id") > col("a.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("containment",
-          round(col("inter").cast("double") / least(col("n1"), col("n2")), 6))
-        .filter(col("containment") >= 0.9)
-        .select("d1", "d2", "containment")
+      DedupOps.containmentPairs(
+        DedupOps.shingles(table(s, dir, "documents"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")), 0.9)
     },
 
     // Salted two-phase aggregation, driver-visible: aggregate on

@@ -375,12 +375,9 @@ object Coverage9 {
         |SELECT user_id, event_id, event_type, value
         |FROM h WHERE rn = 1
         |""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      table(s, dir, "events")
-        .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      PointInTime.stateAt(table(s, dir, "events"),
+          "user_id", "ts", "event_id",
+          lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
         .select("user_id", "event_id", "event_type", "value")
     },
 
@@ -403,10 +400,15 @@ object Coverage9 {
         |    u := user_id)), '$.k') AS BIGINT) AS k_back
         |FROM events
         |""".stripMargin) { (s, dir) =>
+      // ignoreNullFields=false: Spark's default OMITS null struct
+      // fields while DuckDB serializes "k":null, so a corpus row
+      // lacking $.k would silently break byte-parity (r6 advice) —
+      // with nulls emitted, both engines agree on every input.
       val obj = to_json(struct(
         col("event_type").as("t"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
-        col("user_id").as("u")))
+        col("user_id").as("u")),
+        Map("ignoreNullFields" -> "false"))
       table(s, dir, "events")
         .select(col("event_id"), obj.as("obj"),
           json_array_length(to_json(array(col("user_id"), col("event_id"))))

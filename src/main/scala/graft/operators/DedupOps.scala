@@ -458,6 +458,60 @@ object DedupOps {
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
       |          GROUP BY 1, 2)""".stripMargin
 
+  /** [[shingleOracleCtes]] with a document-frequency cap on the join
+    * key (round-6 verdict #2): shingles appearing in more than `maxDf`
+    * documents are dropped from the representation BEFORE the pair
+    * self-join, bounding the candidate blow-up at Σ df(shingle)² ≤
+    * maxDf · Σ df — linear in corpus size — against boilerplate-heavy
+    * corpora (license headers, navigation chrome) where one hot
+    * shingle otherwise yields df² pairs. Sizes are computed over the
+    * capped sets too, so the semantics are self-consistent: containment
+    * over the capped representation (the standard move — hot shingles
+    * carry no dedup signal anyway; cf. support thresholds in frequent
+    * itemset mining). Identical CTE text serves both engines, keeping
+    * the oracle exact. */
+  private[operators] def shingleCappedOracleCtes(maxDf: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks WHERE len(w) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM idx WHERE i <= len(w) - 2),
+      |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $maxDf),
+      |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id > a.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  /** Drop shingles whose document frequency exceeds `maxDf` — the
+    * Spark twin of the `keep`/`sh` CTEs above. The df aggregation and
+    * the semi-join both key on the shingle hash, the same key the pair
+    * join shuffles on, so the cap costs one extra exchange-free pass
+    * over an already-partitioned table (AQE reuses the exchange). */
+  def dfCappedShingles(sh: DataFrame, maxDf: Int): DataFrame = {
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    sh.join(keep, Seq("shingle"), "left_semi").select("doc_id", "shingle")
+  }
+
+  /** Asymmetric containment pairs |A∩B| / min(|A|,|B|) ≥ threshold over
+    * a (doc_id, shingle) table whose shingle column is already hashed —
+    * shared by the exact anchor (Coverage5 q_dedup_containment) and its
+    * DF-capped variant so the two can never drift in arithmetic. */
+  def containmentPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("n1"), col("n2")), 6))
+      .filter(col("containment") >= threshold)
+      .select("d1", "d2", "containment")
+  }
+
   /** Exact-Jaccard pair listing at threshold 0.8 — the full oracle of
     * BOTH q_dedup_ngram_jaccard and q_dedup_minhash_lsh (LSH with
     * deterministic seeds + exact verification finds the identical set;
@@ -472,7 +526,7 @@ object DedupOps {
 
   /** Duplicate edges at 0.8 + recursive reachability — shared by the
     * clusters and survivors oracles. */
-  private val reachOracleCtes =
+  private[operators] val reachOracleCtes =
     """dup AS (SELECT d1, d2
       |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
       |        WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8),

@@ -32,9 +32,38 @@ object Formats {
     * accumulate one directory per bench run) but namespaced by pid so
     * two concurrent runs on one host (parallel suites, bench + verify
     * overlap, two checkouts) can't overwrite each other's round-trip
-    * data mid-read. */
-  private def scratch(fmt: String): String =
+    * data mid-read. Cleanup (r6 advice — dirs otherwise accumulate one
+    * per JVM forever): this JVM's dirs are removed by a shutdown hook,
+    * and the first scratch() call sweeps dirs left by pids no longer
+    * alive (a kill -9 skips hooks). */
+  private def scratch(fmt: String): String = {
+    registerCleanup()
     s"${System.getProperty("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}_roundtrip_$fmt"
+  }
+
+  private val ScratchName = "graft_(\\d+)_roundtrip_.*".r
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(); ()
+  }
+  private def registerCleanup(): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val mine = ProcessHandle.current().pid()
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        f.getName match {
+          case ScratchName(pid) if pid.toLong != mine
+              && !ProcessHandle.of(pid.toLong).isPresent => deleteRec(f)
+          case _ => ()
+        }
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith(s"graft_${mine}_roundtrip_"))
+          .foreach(deleteRec)))
+      ()
+    }
 
   val defs: Seq[QDef] = Seq(
 

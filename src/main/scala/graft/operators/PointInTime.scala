@@ -15,6 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object PointInTime {
 
+  /** Point-in-time state reconstruction: each key's last-written row as
+    * of time `t` — the CDC time-travel primitive behind q_state_at.
+    * One T-filter + last-writer-wins per key (row_number over
+    * (ts, tie) DESC, the same order the CDC compactor uses).
+    *
+    * `day` names a date partition column of a time-partitioned history
+    * table; when set, the REDUNDANT day-level predicate
+    * `day <= date(t)` is added alongside the row-level ts filter.
+    * Redundant for correctness, load-bearing at scale: the day
+    * predicate references only the partition column, so it prunes
+    * whole partitions at planning time — on a 100 TB history table the
+    * scan reads only days ≤ T instead of every file
+    * (StateAtPruningSpec asserts selectedPartitions shrinks to
+    * exactly the ≤T days). The corpus's flat events table can't show
+    * this (ts is rebuilt from parquet nanos, so only IsNotNull
+    * pushes — q_state_at scaladoc); the partitioned layout is how the
+    * operator is deployed.
+    */
+  def stateAt(hist: DataFrame, key: String, ts: String, tie: String,
+              t: org.apache.spark.sql.Column,
+              day: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(ts).desc, col(tie).desc)
+    val pruned = day.fold(hist)(d => hist.filter(col(d) <= to_date(t)))
+    pruned.filter(col(ts) <= t)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   private def purchases(df: DataFrame) =
     df.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

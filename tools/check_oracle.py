@@ -30,8 +30,6 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem',
 #  2. kind check: each column's python value *kind* (int/float/decimal/...)
 #     must agree between engines, not just its str() form.
 WIN_SUM = re.compile(r'\bsum\s*\([^()]*(?:\([^()]*\))*[^()]*\)\s+over\b', re.I)
-# CAST may wrap the sum through intervening scalar calls: CAST(floor(coalesce(sum(...) OVER ...
-CAST_TAIL = re.compile(r'cast\s*\((\s*[a-z_][a-z_0-9]*\s*\()*\s*$', re.I)
 def last_toplevel_select(sql):
     depth, pos = 0, 0
     for m in re.finditer(r'[()]|\bselect\b', sql, re.I):
@@ -46,9 +44,18 @@ def lint_oracle(name, sql):
         # CTE-internal running sums never reach the driver's typed hash;
         # only the final SELECT's output columns do.
         if m.start() < final_sel: continue
-        if not CAST_TAIL.search(sql[:m.start()]):
-            errs.append(f'unwrapped windowed sum at char {m.start()} '
-                        '(DuckDB types it HUGEINT; wrap in CAST(... AS BIGINT/DOUBLE))')
+        # r6 advice: a sum nested in parens after the final SELECT (a
+        # derived table in FROM, or an expression the projection already
+        # wraps) is not a bare output column — only depth-0 matches
+        # relative to the final SELECT are lintable; the kind check
+        # below still backstops any genuine type divergence.
+        # Any wrapper (CAST most importantly) opens a paren, so a
+        # depth-0 match here is by construction a BARE windowed sum in
+        # the output list — flag it.
+        depth = sql.count('(', final_sel, m.start()) - sql.count(')', final_sel, m.start())
+        if depth > 0: continue
+        errs.append(f'unwrapped windowed sum at char {m.start()} '
+                    '(DuckDB types it HUGEINT; wrap in CAST(... AS BIGINT/DOUBLE))')
     return errs
 
 def kind(series):
