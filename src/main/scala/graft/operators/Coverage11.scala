@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 extension wave: scale-hardening variants and new coverage.
@@ -91,6 +92,78 @@ object Coverage11 {
     // pair set → connected components (same labels as
     // q_dedup_clusters) → two bounded aggregations; everything after
     // the CC fixpoint shuffles O(#duplicate docs) rows only.
+    // ---- per-source token-budget sampling ---------------------------------
+    // A training-mixture staple: from each source, take documents in
+    // the reproducible md5 order until the source's token budget is
+    // reached (greedy prefix — a doc is in iff the running total
+    // BEFORE it is under budget, so every source lands within one doc
+    // of its quota). The oracle is the obvious per-source cumulative
+    // window; the engine runs plans.PrefixSum — two-phase segmented
+    // running totals (256 leading-byte buckets, offsets over a ≤256-row
+    // per-key count table, intra-bucket windows) — so no task ever
+    // scans more than ~1/256 of a source's rows regardless of how few
+    // sources the corpus has.
+    QDef("q_token_budget",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum - toks < 600
+        |""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      graft.plans.PrefixSum.perKey(t, "source",
+          md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+          col("toks"), "cum")
+        .filter(col("cum") - col("toks") < 600)
+        .select(col("doc_id"), col("source"), col("toks"),
+          col("cum").as("cum_tokens"))
+    },
+
+    // ---- kNN majority-vote classification ---------------------------------
+    // Label propagation / weak-labelling primitive: each query vector
+    // takes the majority label of its 5 nearest neighbors (rounded
+    // cosine, vec_id tie-break; vote ties break toward the smaller
+    // label). Neighbor search is the map-side topk_by heap aggregate
+    // (bruteForceTopK — no global sort, one row per (query, neighbor)
+    // crosses the exchange); the vote is two bounded aggregations over
+    // 5·|queries| rows. IVF swaps in for the brute-force scorer at
+    // scale exactly as in q_sim_ann_ivf.
+    QDef("q_knn_classify",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |x AS (SELECT q.qid, e.vec_id, e.label, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |d AS (SELECT qid, vec_id, label, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |             sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |      FROM x GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM d),
+        |r AS (SELECT qid, label,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |      FROM sc),
+        |v AS (SELECT qid, label, count(*) AS votes FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |p AS (SELECT qid, label, votes,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS pr FROM v)
+        |SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM p WHERE pr = 1
+        |""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wp = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+      SimilarityOps.bruteForceTopK(e, q, 5)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    },
+
     QDef("q_dedup_cluster_sizes",
       s"""WITH RECURSIVE
         |${DedupOps.shingleOracleCtes},

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent plain-Scala derivations for the round-7 Coverage11
+  * additions that have non-trivial semantics beyond their oracle SQL:
+  * kNN majority-vote classification and per-source token-budget
+  * sampling (the greedy-prefix property the SQL encodes implicitly).
+  */
+class Coverage11Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q_knn_classify == plain-Scala brute-force vote") {
+    val vecs = graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = vecs.filter(_._1 < 20).map { case (qid, qv, _) =>
+      val top5 = vecs.filter(_._1 != qid)
+        .map { case (id, v, lab) => (id, lab, cos(v, qv)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val (label, votes) = top5.groupBy(_._2).view.mapValues(_.size).toSeq
+        .minBy { case (lab, n) => (-n, lab) }
+      (qid, label, votes.toLong)
+    }.toSet
+    val got = graft.SparkEntry.queries("q_knn_classify")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.size == 20)
+  }
+
+  test("q_token_budget selects exactly the greedy per-source prefix") {
+    val picked = graft.SparkEntry.queries("q_token_budget")(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+    val all = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // greedy prefix in md5 order: in iff running total BEFORE it < 600
+    val expect = all
+      .map { case (id, src, text) =>
+        (id, src, text.trim.split("\\s+").length.toLong) }
+      .groupBy(_._2).iterator.flatMap { case (_, docs) =>
+        docs.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+          .scanLeft((0L, "", 0L, 0L)) { case ((_, _, _, cum), (id, src, t)) =>
+            (id, src, t, cum + t) }
+          .drop(1)
+          .takeWhile { case (_, _, t, cum) => cum - t < 600 }
+      }.toSet
+    assert(picked.toSet == expect)
+    // the NEXT doc in each source's order would have crossed the budget:
+    // every source's selected token mass is >= 600 or the whole source
+    val bySource = picked.groupBy(_._2)
+    val totals = all.groupBy(_._2).view
+      .mapValues(_.map(_._3.trim.split("\\s+").length.toLong).sum).toMap
+    bySource.foreach { case (src, rows) =>
+      val mass = rows.map(_._3).sum
+      assert(mass >= 600 || mass == totals(src),
+        s"$src stopped early: $mass of ${totals(src)}")
+    }
+  }
+}
