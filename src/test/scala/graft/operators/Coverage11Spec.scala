@@ -40,6 +40,24 @@ class Coverage11Spec extends AnyFunSuite {
     assert(got.size == 20)
   }
 
+  test("q_top_ngrams == plain-Scala bigram count with total-order tie-break") {
+    val texts = graft.table(spark, sfDir, "documents")
+      .select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val w = t.trim.split(" ", -1)
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val bg = s"${w(i)} ${w(i + 1)}"
+          counts(bg) = counts.getOrElse(bg, 0L) + 1
+        }
+    }
+    val expect = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(20)
+    val got = graft.SparkEntry.queries("q_top_ngrams")(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("q_token_budget selects exactly the greedy per-source prefix") {
     val picked = graft.SparkEntry.queries("q_token_budget")(spark, sfDir)
       .as[(Long, String, Long, Long)].collect()
