@@ -92,6 +92,35 @@ object Coverage11 {
     // pair set → connected components (same labels as
     // q_dedup_clusters) → two bounded aggregations; everything after
     // the CC fixpoint shuffles O(#duplicate docs) rows only.
+    // ---- cross-source duplicate overlap matrix ----------------------------
+    // Mixture-design staple: which sources duplicate which — the count
+    // of near-dup pairs (jaccard ≥ 0.8, the suite's shared verified
+    // pair set) per unordered source pair. Consumes the memoized LSH
+    // pair set (O(duplicates) rows), joins the tiny (doc_id, source)
+    // map broadcast, and aggregates into a ≤|sources|² matrix — every
+    // stage after pair-finding is bounded by dup count, not corpus
+    // size.
+    QDef("q_source_overlap",
+      s"""WITH ${DedupOps.shingleOracleCtes},
+        |dup AS (SELECT d1, d2
+        |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |        WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT least(a.source, b.source) AS src1,
+        |       greatest(a.source, b.source) AS src2,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM dup JOIN src a ON a.doc_id = d1 JOIN src b ON b.doc_id = d2
+        |GROUP BY 1, 2
+        |""".stripMargin) { (s, dir) =>
+      val src = table(s, dir, "documents").select(col("doc_id"), col("source"))
+      DedupOps.verifiedPairsFor(s, dir, 0.8)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
+        .select(least(col("sa"), col("sb")).as("src1"),
+          greatest(col("sa"), col("sb")).as("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ---- per-source token-budget sampling ---------------------------------
     // A training-mixture staple: from each source, take documents in
     // the reproducible md5 order until the source's token budget is

@@ -58,6 +58,34 @@ class Coverage11Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_source_overlap == plain-Scala all-pairs jaccard matrix") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val shingles = docs.map { case (id, src, text) =>
+      val w = text.trim.split(" ")
+      val sh = if (w.length < 3) Set.empty[String]
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+      (id, src, sh)
+    }
+    val pairs = for {
+      i <- shingles.indices; j <- (i + 1) until shingles.length
+      (id1, s1, a) = shingles(i); (id2, s2, b) = shingles(j)
+      if a.nonEmpty && b.nonEmpty
+      inter = (a & b).size
+      if inter > 0
+      jac = BigDecimal(inter.toDouble / (a.size + b.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.8
+    } yield (Seq(s1, s2).min, Seq(s1, s2).max)
+    val expect = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.SparkEntry.queries("q_source_overlap")(spark, sfDir)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "corpus must contain planted near-dups")
+  }
+
   test("q_token_budget selects exactly the greedy per-source prefix") {
     val picked = graft.SparkEntry.queries("q_token_budget")(spark, sfDir)
       .as[(Long, String, Long, Long)].collect()
