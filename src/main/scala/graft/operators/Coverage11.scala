@@ -155,6 +155,50 @@ object Coverage11 {
           col("cum").as("cum_tokens"))
     },
 
+    // ---- eval-set n-gram coverage -----------------------------------------
+    // The memorization-risk twin of q_decontaminate (same 8-gram
+    // representation, same doc_id%10 eval split): per eval document,
+    // the fraction of its distinct 8-grams that appear ANYWHERE in the
+    // training split. Decontaminate lists pairwise offenders;
+    // coverage summarizes per-eval-doc exposure. The train side
+    // reduces to DISTINCT grams before the join (one corpus-sized
+    // aggregation, then a gram-keyed left join that AQE sizes), and
+    // the output is one row per eval doc.
+    QDef("q_ngram_coverage",
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM toks WHERE len(w) >= 8),
+        |idx AS (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM f),
+        |g AS (SELECT DISTINCT doc_id,
+        |        w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+        |      FROM idx WHERE i <= len(w) - 7),
+        |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 <> 0)
+        |SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(tr.g) AS BIGINT) AS n_covered,
+        |       round(CAST(count(tr.g) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM ev LEFT JOIN tr ON ev.g = tr.g
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w) - 8), i -> concat_ws(' ', " +
+            (0 until 8).map(k => s"w[i + $k]").mkString(", ") + "))"
+        ))).as("g"))
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("g"))
+      val tr = grams.filter(col("doc_id") % 10 =!= 0)
+        .select("g").distinct().withColumn("hit", lit(1))
+      ev.join(tr, Seq("g"), "left")
+        .groupBy("eval_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("hit")).as("n_covered"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("coverage"))
+    },
+
     // ---- kNN majority-vote classification ---------------------------------
     // Label propagation / weak-labelling primitive: each query vector
     // takes the majority label of its 5 nearest neighbors (rounded

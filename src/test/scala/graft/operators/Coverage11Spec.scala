@@ -86,6 +86,32 @@ class Coverage11Spec extends AnyFunSuite {
     assert(got.nonEmpty, "corpus must contain planted near-dups")
   }
 
+  test("q_ngram_coverage == plain-Scala eval-vs-train gram containment") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split(" ")
+      if (w.length < 8) Set.empty
+      else (0 to w.length - 8).map(i => (i until i + 8).map(w).mkString(" ")).toSet
+    }
+    val train = docs.filter(_._1 % 10 != 0).flatMap(d => grams(d._2)).toSet
+    val expect = docs.filter(_._1 % 10 == 0).flatMap { case (id, t) =>
+      val g = grams(t)
+      if (g.isEmpty) None
+      else {
+        val cov = g.count(train)
+        Some(id -> ((g.size.toLong, cov.toLong,
+          BigDecimal(cov.toDouble / g.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("q_ngram_coverage")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q_token_budget selects exactly the greedy per-source prefix") {
     val picked = graft.SparkEntry.queries("q_token_budget")(spark, sfDir)
       .as[(Long, String, Long, Long)].collect()
