@@ -237,6 +237,58 @@ object Coverage11 {
         .select(col("qid"), col("label").as("pred_label"), col("votes"))
     },
 
+    // ---- end-to-end corpus preparation ------------------------------------
+    // The pipeline flagship: quality filter (bottom-quartile
+    // alpha-ratio cut) → exact dedup (keep min doc_id per normalized
+    // text hash) → per-source token-budget sample, composed as ONE
+    // declarative plan — Catalyst sees all three stages at once, so
+    // column pruning reaches the scan (only doc_id/source/text/lang
+    // read) and the dedup semi-join + budget window pipeline without
+    // materialization boundaries. The quantile cutoff is a broadcast
+    // 1-row aggregate (no driver collect); dedup is one hash groupBy +
+    // left-semi; the budget runs plans.PrefixSum. Every stage's
+    // standalone twin is its own oracle row (q_quality_filter,
+    // q_dedup_docs_exact, q_token_budget) — this row pins the
+    // COMPOSITION.
+    QDef("q_corpus_prep",
+      """WITH m AS (SELECT doc_id, source, text,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, text FROM m
+        |      WHERE alpha > (SELECT quantile_cont(alpha, 0.25) FROM m)),
+        |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+        |d AS (SELECT q.doc_id, q.source,
+        |        CAST(len(string_split_regex(trim(q.text), '\s+')) AS BIGINT) AS toks,
+        |        md5(CAST(q.doc_id AS VARCHAR)) AS ord
+        |      FROM q JOIN k USING (doc_id)),
+        |c AS (SELECT doc_id, source, toks,
+        |        sum(toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum - toks < 600
+        |""".stripMargin) { (s, dir) =>
+      val m = table(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("text"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / length(col("text"))).as("alpha"))
+      val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
+      val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
+        .select("doc_id", "source", "text")
+      val keep = q.groupBy(md5(lower(trim(col("text"))).cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val d = q.join(keep, Seq("doc_id"), "left_semi").select(
+        col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      graft.plans.PrefixSum.perKey(d, "source",
+          md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+          col("toks"), "cum")
+        .filter(col("cum") - col("toks") < 600)
+        .select(col("doc_id"), col("source"), col("toks"),
+          col("cum").as("cum_tokens"))
+    },
+
     QDef("q_dedup_cluster_sizes",
       s"""WITH RECURSIVE
         |${DedupOps.shingleOracleCtes},

@@ -112,6 +112,41 @@ class Coverage11Spec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_corpus_prep == plain-Scala quality -> dedup -> budget composition") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    // stage 1: alpha-ratio above the 25th percentile (Spark's
+    // continuous-interpolation definition: idx = p*(n-1))
+    val alphas = docs.map { case (id, _, t) =>
+      id -> t.count(c => c >= 'a' && c <= 'z').toDouble / t.length }.toMap
+    val sorted = alphas.values.toArray.sorted
+    val idx = 0.25 * (sorted.length - 1)
+    val lo = idx.toInt
+    val cut = if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (idx - lo)
+    val quality = docs.filter { case (id, _, _) => alphas(id) > cut }
+    // stage 2: keep min doc_id per normalized text
+    val keep = quality.groupBy { case (_, _, t) => t.trim.toLowerCase }
+      .map { case (_, g) => g.map(_._1).min }.toSet
+    val deduped = quality.filter { case (id, _, _) => keep(id) }
+    // stage 3: greedy md5-order budget per source
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = deduped
+      .map { case (id, src, t) => (id, src, t.trim.split("\\s+").length.toLong) }
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+          .scanLeft((0L, "", 0L, 0L)) { case ((_, _, _, cum), (id, src, t)) =>
+            (id, src, t, cum + t) }
+          .drop(1)
+          .takeWhile { case (_, _, t, cum) => cum - t < 600 }
+      }.toSet
+    val got = graft.SparkEntry.queries("q_corpus_prep")(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q_token_budget selects exactly the greedy per-source prefix") {
     val picked = graft.SparkEntry.queries("q_token_budget")(spark, sfDir)
       .as[(Long, String, Long, Long)].collect()
