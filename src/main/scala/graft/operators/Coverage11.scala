@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object Coverage11 {
 
+  /** Majority vote over a ranked neighbor table (qid, vec_id, cos, rn):
+    * join labels, count votes, pick (votes DESC, label ASC) — shared by
+    * the brute-force and IVF kNN classifiers so the two variants can
+    * never drift in vote semantics. */
+  private def voteLabels(neighbors: org.apache.spark.sql.DataFrame,
+      labeled: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wp = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+    neighbors
+      .join(labeled.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** The shared SQL vote tail over a scored-candidates CTE `sc`
+    * (qid, vec_id, cos) — the oracle twin of [[voteLabels]]. */
+  private val voteTailSql =
+    """r AS (SELECT qid, vec_id, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |      FROM sc),
+      |n AS (SELECT r.qid, e.label FROM r JOIN embeddings e ON e.vec_id = r.vec_id
+      |      WHERE rn <= 5),
+      |v AS (SELECT qid, label, count(*) AS votes FROM n GROUP BY 1, 2),
+      |p AS (SELECT qid, label, votes,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS pr FROM v)
+      |SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
+      |FROM p WHERE pr = 1""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // DF-capped asymmetric containment dedup: identical semantics to
@@ -209,32 +238,70 @@ object Coverage11 {
     // 5·|queries| rows. IVF swaps in for the brute-force scorer at
     // scale exactly as in q_sim_ann_ivf.
     QDef("q_knn_classify",
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
-        |x AS (SELECT q.qid, e.vec_id, e.label, unnest(e.embedding) AS a, unnest(q.qv) AS b
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |x AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
-        |d AS (SELECT qid, vec_id, label, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |d AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
         |             sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
-        |      FROM x GROUP BY 1, 2, 3),
-        |sc AS (SELECT qid, vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM d),
-        |r AS (SELECT qid, label,
-        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-        |      FROM sc),
-        |v AS (SELECT qid, label, count(*) AS votes FROM r WHERE rn <= 5 GROUP BY 1, 2),
-        |p AS (SELECT qid, label, votes,
-        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS pr FROM v)
-        |SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
-        |FROM p WHERE pr = 1
+        |      FROM x GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM d),
+        |$voteTailSql
         |""".stripMargin) { (s, dir) =>
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val wp = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
-      SimilarityOps.bruteForceTopK(e, q, 5)
-        .join(e.select(col("vec_id"), col("label")), "vec_id")
-        .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
-        .withColumn("pr", row_number().over(wp))
-        .filter(col("pr") === 1)
-        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      voteLabels(SimilarityOps.bruteForceTopK(e, q, 5), e)
+    },
+
+    // ---- kNN classification, IVF scale path -------------------------------
+    // The same 5-NN majority vote riding the IVF probe search instead
+    // of brute force — candidates come from the 8 nearest centroid
+    // buckets only, so scoring cost is corpus/centroids × nprobe per
+    // query instead of corpus per query. Fully deterministic like
+    // q_sim_ann_ivf (6-digit rounded cosines, id tie-breaks at every
+    // rank), so DuckDB recomputes index + probe + vote and the driver
+    // hash-compares. Approximate vs q_knn_classify only when a true
+    // neighbor lives outside the probed buckets.
+    QDef("q_knn_classify_ivf",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+        |       FROM embeddings e CROSS JOIN c),
+        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM ax GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS rn
+        |        FROM ad),
+        |assigned AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
+        |px AS (SELECT q.qid, c.cid, unnest(q.qv) AS a, unnest(c.cv) AS b
+        |       FROM q CROSS JOIN c),
+        |pd AS (SELECT qid, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM px GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS pr
+        |    FROM pd) WHERE pr <= 8),
+        |cand AS (SELECT p.qid, a.vec_id FROM probes p
+        |         JOIN assigned a ON a.centroid_id = p.cid WHERE a.vec_id <> p.qid),
+        |cx AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+        |       JOIN q ON q.qid = cand.qid),
+        |cd AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM cx GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM cd),
+        |$voteTailSql
+        |""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      voteLabels(SimilarityOps.ivfSearch(
+        SimilarityOps.ivfAssign(e, 97), centroids, q, 5, 8), e)
     },
 
     // ---- end-to-end corpus preparation ------------------------------------

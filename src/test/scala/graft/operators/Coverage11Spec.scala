@@ -40,6 +40,17 @@ class Coverage11Spec extends AnyFunSuite {
     assert(got.size == 20)
   }
 
+  test("IVF kNN classification mostly agrees with brute force (recall-style)") {
+    val brute = graft.SparkEntry.queries("q_knn_classify")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+    val ivf = graft.SparkEntry.queries("q_knn_classify_ivf")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(ivf.keySet == brute.keySet)
+    val agree = brute.count { case (q, lab) => ivf(q) == lab }
+    assert(agree >= (brute.size * 0.8).toInt,
+      s"IVF agreed on $agree of ${brute.size} predictions")
+  }
+
   test("q_top_ngrams == plain-Scala bigram count with total-order tie-break") {
     val texts = graft.table(spark, sfDir, "documents")
       .select("text").as[String].collect()
