@@ -49,12 +49,14 @@ object CdcPipeline {
       registry: Map[String, StructType], sink: CdcSink,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      dlqDir: Option[String] = None): StreamingQuery =
+      dlqDir: Option[String] = None,
+      asOfMs: Option[Long] = None): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Materializer.applyBatch(batch, catalog, registry, sink, dlqDir)
+        Materializer.applyBatch(batch, catalog, registry, sink, dlqDir,
+          asOfMs = asOfMs)
       }
       .start()
 }

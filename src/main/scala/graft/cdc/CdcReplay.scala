@@ -16,11 +16,18 @@ import org.apache.spark.sql.streaming.Trigger
 object CdcReplay {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--stateful")) { statefulReplay(args(1)); return }
-    // positional args = everything before/outside the --sql flag pair
+    // flag pairs = --sql <query>, --asof <epoch-ms>; positional args =
+    // everything outside them
     val sqlIdx = args.indexOf("--sql")
-    val positional =
+    val afterSql =
       if (sqlIdx < 0) args.toSeq
       else args.toSeq.patch(sqlIdx, Nil, 2)
+    val asofIdx = afterSql.indexOf("--asof")
+    // time-travel replay: rebuild the mirror as of this envelope ts_ms
+    // (the CDC dual of q_state_at; Materializer scopes decoded events)
+    val asOfMs = if (asofIdx < 0) None else Some(afterSql(asofIdx + 1).toLong)
+    val positional =
+      if (asofIdx < 0) afterSql else afterSql.patch(asofIdx, Nil, 2)
     val inDir = positional(0)
     val storeDir = positional(1)
     val catalog = positional.lift(2) match {
@@ -50,7 +57,8 @@ object CdcReplay {
     val q = CdcPipeline.start(
       CdcPipeline.fileSource(spark, inDir), catalog,
       Envelope.defaultRegistry, sink, ckpt.toString,
-      trigger = Trigger.ProcessingTime(0), dlqDir = Some(dlqDir))
+      trigger = Trigger.ProcessingTime(0), dlqDir = Some(dlqDir),
+      asOfMs = asOfMs)
     q.processAllAvailable()
     q.stop()
 

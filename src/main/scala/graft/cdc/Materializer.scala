@@ -48,11 +48,20 @@ object Materializer {
     * Records that fail decoding (corrupt JSON / unknown op) are
     * appended to `dlqDir` when given (E1: isolate, never fail the
     * stream, never silently lose the record either).
+    *
+    * `asOfMs`: time-travel replay (the CDC dual of q_state_at /
+    * PointInTime.stateAt) — only decoded events with envelope
+    * `ts_ms <= asOfMs` apply, so a replay over retained history
+    * rebuilds the mirror AS OF that instant. Events with a null ts_ms
+    * are dropped under as-of scoping (their position relative to T is
+    * unknowable); the DLQ is NOT time-scoped (a parse failure is a
+    * parse failure whenever it happened).
     */
   def applyBatch(batch: DataFrame, catalog: CdcCatalog,
       registry: Map[String, StructType], sink: CdcSink,
       dlqDir: Option[String] = None,
-      inferUnknown: Boolean = true): Unit = {
+      inferUnknown: Boolean = true,
+      asOfMs: Option[Long] = None): Unit = {
     if (batch.isEmpty) return
     val withTable = batch
       .withColumn("_topic_table", element_at(split(col("topic"), "\\."), -1))
@@ -74,7 +83,9 @@ object Materializer {
             col("op"), col("corrupt"))
           .write.mode("append").json(s"$d/$tt")
       }
-      val decoded = Decode.decode(sub, rowSchema).cache()
+      val decodedAll = Decode.decode(sub, rowSchema)
+      val decoded = asOfMs.fold(decodedAll)(t =>
+        decodedAll.filter(col("ts_ms").isNotNull && col("ts_ms") <= t)).cache()
       try {
         val groups = decoded.select("db", "table").distinct().collect()
           .map(r => (r.getString(0), r.getString(1)))

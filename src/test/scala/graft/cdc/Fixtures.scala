@@ -6,7 +6,8 @@ package graft.cdc
 object Fixtures {
 
   def customer(op: String, id: Int, first: String, last: String,
-      email: String, before: Option[(Int, String, String, String)] = None): String = {
+      email: String, before: Option[(Int, String, String, String)] = None,
+      tsMs: Long = 1769558400001L): String = {
     val after =
       if (op == "d") "null"
       else s"""{"id": $id, "first_name": "$first", "last_name": "$last",
@@ -18,8 +19,8 @@ object Fixtures {
       case None => if (op == "u" || op == "d") s"""{"id": $id, "first_name": "old", "last_name": "old", "email": "old@x", "created_at": "2026-01-28T00:00:00Z"}""" else "null"
     }
     s"""{"before": $beforeJson, "after": $after,
-       |"source": {"db": "app", "table": "customers", "ts_ms": 1769558400000},
-       |"op": "$op", "ts_ms": 1769558400001}""".stripMargin.replaceAll("\n", " ")
+       |"source": {"db": "app", "table": "customers", "ts_ms": ${tsMs - 1}},
+       |"op": "$op", "ts_ms": $tsMs}""".stripMargin.replaceAll("\n", " ")
   }
 
   /** Same envelope nested under payload (schemas-enabled wire format). */
