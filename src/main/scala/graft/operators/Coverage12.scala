@@ -3,7 +3,8 @@ package graft.operators
 import graft._
 import org.apache.spark.sql.functions._
 
-/** Round-7 extension wave 2: the CDC time-travel *diff* and a per-document
+/** Round-7 extension wave 2: the CDC time-travel *diff*, the dedup
+  * threshold tuning curve, the CDC churn histogram, and a per-document
   * information-density quality signal.
   *
   * q_state_delta is the audit dual of q_state_at / `CdcReplay --asof`
@@ -64,6 +65,65 @@ object Coverage12 {
           col("s1.value").as("old_value"),
           col("s2.event_id").as("new_event_id"),
           col("s2.value").as("new_value"))
+    },
+
+    // ---- duplicate-rate vs threshold tuning curve -------------------------
+    // The dedup-tuning staple: how many near-dup pairs survive at each
+    // candidate similarity cutoff. ONE exact pair computation (the
+    // q_dedup_ngram_jaccard anchor at the loosest threshold) feeds six
+    // conditional sums — a single 1-row aggregate, unpivoted by stack —
+    // so the curve costs one pair scan, not six. The LSH / DF-capped
+    // variants remain the 100 TB candidate-generation path; this row
+    // pins the multi-threshold accounting.
+    QDef("q_dedup_threshold_curve",
+      s"""WITH ${DedupOps.shingleOracleCtes},
+        |j AS (SELECT round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |      FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |      WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.7),
+        |t AS (SELECT CAST(unnest([0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS DOUBLE)
+        |        AS threshold)
+        |SELECT threshold, CAST(count(j.jaccard) AS BIGINT) AS n_pairs
+        |FROM t LEFT JOIN j ON j.jaccard >= t.threshold
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val ths = Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+      val pairs = DedupOps.jaccardPairs(
+        DedupOps.shingles(table(s, dir, "documents")), ths.head)
+      val sums = ths.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("jaccard") >= t, 1L)), lit(0L)).as(s"c$i")
+      }
+      pairs.agg(sums.head, sums.tail: _*)
+        .select(expr("stack(6, " +
+          ths.zipWithIndex.map { case (t, i) => s"${t}D, c$i" }.mkString(", ") +
+          ") as (threshold, n_pairs)"))
+    },
+
+    // ---- CDC churn audit: events-per-key histogram ------------------------
+    // The hot-key profile that sizes a CDC materializer's compaction
+    // cost (reference: one UPSERT round-trip per event, so a key's cost
+    // is exactly its event count): how many keys receive N events, and
+    // what share of total traffic each churn bucket carries. Two
+    // bounded hash aggregations (key → count, count → histogram) plus a
+    // broadcast 1-row total; the share is an integer-ratio division, so
+    // the doubles are exact cross-engine.
+    QDef("q_cdc_op_stats",
+      """WITH pk AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |h AS (SELECT n AS events_per_key, CAST(count(*) AS BIGINT) AS n_keys
+        |      FROM pk GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
+        |SELECT events_per_key, n_keys,
+        |  round(events_per_key * n_keys / total, 6) AS event_share
+        |FROM h, t
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val hist = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .groupBy(col("n").as("events_per_key"))
+        .agg(count(lit(1)).as("n_keys"))
+      val tot = ev.agg(count(lit(1)).cast("double").as("total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("events_per_key"), col("n_keys"),
+          round(col("events_per_key") * col("n_keys") / col("total"), 6)
+            .as("event_share"))
     },
 
     // ---- per-document character entropy -----------------------------------

@@ -48,6 +48,44 @@ class Coverage12Spec extends AnyFunSuite {
     })
   }
 
+  test("q_dedup_threshold_curve == plain-Scala shingle jaccard counts") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sets = docs.map { case (id, text) =>
+      val w = text.trim.split(" ")
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val jac = for {
+      (i, si) <- sets; (j, sj) <- sets if j > i
+      inter = (si & sj).size if inter > 0
+    } yield BigDecimal(inter.toDouble / (si.size + sj.size - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ths = Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+    val expect = ths.map(t => t -> jac.count(_ >= t).toLong).toMap
+    val got = graft.SparkEntry.queries("q_dedup_threshold_curve")(spark, sfDir)
+      .as[(Double, Long)].collect().toMap
+    assert(got == expect)
+    // the curve is monotone non-increasing in the threshold
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_cdc_op_stats == plain-Scala churn histogram") {
+    val ev = graft.table(spark, sfDir, "events")
+      .select("user_id").as[Long].collect()
+    val perKey = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = perKey.values.groupBy(identity).map { case (n, ks) =>
+      val share = BigDecimal(n * ks.size.toDouble / ev.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, ks.size.toLong, share)
+    }.toSet
+    val got = graft.SparkEntry.queries("q_cdc_op_stats")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect)
+    // histogram masses add back up to the full corpus
+    assert(got.map { case (n, k, _) => n * k }.sum == ev.length)
+  }
+
   test("q_text_entropy == counter-map derivation") {
     val docs = graft.table(spark, sfDir, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
