@@ -21,13 +21,21 @@ package object graft {
   type Q = (SparkSession, String) => DataFrame
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver corpus stores events.ts as parquet TIMESTAMP(NANOS),
-    // which Spark 4 rejects outright; read nanos as long and rebuild a
-    // microsecond timestamp (values are µs-precision).
+    // Corpus generations differ in how they store events.ts: older ones
+    // used parquet TIMESTAMP(NANOS) — which Spark 4 rejects outright, so
+    // it's read as long nanos and rebuilt — newer ones a plain µs
+    // TIMESTAMP. Dispatch on the type actually read so either corpus
+    // loads; both paths normalize to TIMESTAMP_NTZ (the oracle reads the
+    // same file as a wall-clock timestamp, no zone).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     else df
   }
 
