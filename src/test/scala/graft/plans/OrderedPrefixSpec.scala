@@ -1,0 +1,99 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OrderedPrefix must reproduce the sequential window's answer for an
+  * arbitrary numeric total order while never running a data-sized
+  * unpartitioned window — pinned against brute-force folds, under
+  * adversarial repartitionings, per-key grouping, and a fully
+  * degenerate (single-value) order key.
+  */
+class OrderedPrefixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic pseudo-random rows: (id, key ∈ {a,b,c}, ord, v)
+  private def mkRows(n: Int) =
+    spark.range(n).select(
+      col("id"),
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (pmod(col("id") * 7919, lit(3)) + 1).cast("int")).as("k"),
+      sin(col("id").cast("double") * 12.9898).multiply(1000).as("ord"),
+      cos(col("id").cast("double") * 78.233).multiply(100).as("v"))
+
+  test("global runningMax (inclusive and exclusive) == brute-force fold") {
+    val df = mkRows(4000).cache()
+    val rows = df.select("id", "ord", "v").as[(Long, Double, Double)]
+      .collect().sortBy(r => (r._2, r._1))
+    val incl = scala.collection.mutable.Map[Long, Double]()
+    val excl = scala.collection.mutable.Map[Long, Option[Double]]()
+    var mx = Double.NegativeInfinity
+    rows.foreach { case (id, _, v) =>
+      excl(id) = if (mx == Double.NegativeInfinity) None else Some(mx)
+      mx = math.max(mx, v); incl(id) = mx
+    }
+    val gotIncl = OrderedPrefix
+      .runningMax(df, Nil, col("ord"), col("id"), col("v"), "m")
+      .select("id", "m").as[(Long, Double)].collect().toMap
+    assert(gotIncl == incl.toMap)
+    val gotExcl = OrderedPrefix
+      .runningMax(df, Nil, col("ord"), col("id"), col("v"), "m", inclusive = false)
+      .select("id", "m").as[(Long, Option[Double])].collect().toMap
+    assert(gotExcl == excl.toMap)
+  }
+
+  test("per-key rankSum == brute-force per-key sequential fold") {
+    val df = mkRows(3000).cache()
+    val byKey = df.select("id", "k", "ord", "v").as[(Long, String, Double, Double)]
+      .collect().groupBy(_._2)
+    val expect: Map[Long, (Long, BigDecimal)] = byKey.toSeq.flatMap {
+      case (_, rs) =>
+        var acc = BigDecimal(0).setScale(10)
+        rs.sortBy(r => (r._3, r._1)).zipWithIndex.map { case ((id, _, _, v), i) =>
+          acc += BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          id -> ((i + 1).toLong,
+            acc.setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        }
+    }.toMap
+    // exact decimal value column → order-independent running sums
+    val got = OrderedPrefix.rankSum(df, Seq("k"), col("ord"), col("id"),
+        col("v").cast("decimal(38,10)"), "rk", "cum")
+      .select(col("id"), col("rk"), col("cum").cast("decimal(38,4)"))
+      .as[(Long, Long, BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+
+  test("output invariant under adversarial repartitionings") {
+    val base = mkRows(2000)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      OrderedPrefix.rankSum(df, Nil, col("ord"), col("id"),
+          col("v").cast("decimal(38,10)"), "rk", "cum")
+        .select("id", "rk").as[(Long, Long)].collect().toSet
+    val a = run(base.repartition(1))
+    val b = run(base.repartition(13, col("k")))
+    val c = run(base.orderBy(col("ord").desc))
+    assert(a == b && b == c)
+  }
+
+  test("degenerate single-value order key still ranks completely by tie") {
+    val df = spark.range(1500).select(col("id"), lit(1.0).as("ord"))
+    val ranks = OrderedPrefix.rank(df, Nil, col("ord"), col("id"), "rk")
+      .select("id", "rk").as[(Long, Long)].collect()
+    assert(ranks.toMap == (0L until 1500L).map(i => i -> (i + 1)).toMap)
+  }
+
+  test("no data-sized unpartitioned window in the plan") {
+    val df = mkRows(1000)
+    val plan = OrderedPrefix.rankSum(df, Nil, col("ord"), col("id"),
+      col("v").cast("decimal(38,10)"), "rk", "cum")
+      .queryExecution.optimizedPlan.toString
+    // every row_number/per-row window partitions by the bucket column;
+    // the only unpartitioned window is over the ≤254-row summary table
+    val winLine = plan.linesIterator.find(_.contains("row_number")).get
+    assert(winLine.contains("_op_bucket"),
+      s"row_number window must partition by bucket: $winLine")
+  }
+}
