@@ -276,5 +276,58 @@ object Coverage13 {
       val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
       wau.join(dau, "day").select(col("day"), col("dau"), col("wau"))
     },
+
+    // ---- cluster label purity (SemDeDup-style curation signal) -----------
+    // Assign every vector to its nearest seed centroid (the shared IVF
+    // assignment: broadcast centroids, map-side argmax_by — one row per
+    // vector crosses the exchange) and score each cluster by majority-
+    // label share. Low-purity clusters are the mixed/noisy regions a
+    // curation pass inspects first. Votes and totals are two bounded
+    // hash aggregations over (centroid, label) — nothing data-sized
+    // shuffles twice; purity is an integer-ratio double, exact
+    // cross-engine.
+    QDef("q_cluster_purity",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |           WHERE vec_id % 97 = 0),
+        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a,
+        |              unnest(c.cv) AS b
+        |       FROM embeddings e CROSS JOIN c),
+        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na,
+        |              sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM ax GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid)
+        |            AS rn
+        |        FROM ad),
+        |a0 AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
+        |v AS (SELECT a0.centroid_id, e.label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM a0 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        |t AS (SELECT centroid_id, CAST(sum(votes) AS BIGINT) AS n_members,
+        |             max(votes) AS mx FROM v GROUP BY 1),
+        |m AS (SELECT centroid_id, label FROM (
+        |    SELECT centroid_id, label,
+        |      ROW_NUMBER() OVER (PARTITION BY centroid_id
+        |        ORDER BY votes DESC, label) AS rn
+        |    FROM v) WHERE rn = 1)
+        |SELECT t.centroid_id, t.n_members, m.label AS maj_label,
+        |  round(CAST(t.mx AS DOUBLE) / t.n_members, 6) AS purity
+        |FROM t JOIN m USING (centroid_id)
+        |""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val asg = SimilarityOps.ivfAssign(e.select("vec_id", "embedding"), 97)
+      val votes = asg.select("vec_id", "centroid_id")
+        .join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("centroid_id", "label").agg(count(lit(1)).as("votes"))
+      votes.groupBy("centroid_id")
+        .agg(sum(col("votes")).as("n_members"),
+          max(col("votes")).as("mx"),
+          call_function("argmax_by", col("label"),
+            col("votes").cast("double"), col("label").cast("bigint"))
+            .as("maj_label"))
+        .select(col("centroid_id"), col("n_members"), col("maj_label"),
+          round(col("mx").cast("double") / col("n_members"), 6).as("purity"))
+    },
   )
 }

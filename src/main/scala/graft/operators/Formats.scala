@@ -110,6 +110,24 @@ object Formats {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("qty"),
           max(col("l_shipdate")).as("mx_ship"))
+    },
+
+    // XML is a first-class Spark 4 datasource (the spark-xml donation,
+    // SPARK-44265) — same lossless-round-trip contract as CSV/JSON:
+    // doubles survive via Java's round-trip-exact Double.toString, and
+    // the explicit read schema keeps the scan single-pass.
+    QDef("q_source_xml",
+      s"""SELECT p_brand, count(*) AS n, ${oSum("p_retailprice")} AS retail,
+         |  min(p_name) AS first_name
+         |FROM part GROUP BY p_brand
+         |""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "part")
+      val tmp = scratch("xml")
+      p.write.mode("overwrite").option("rowTag", "part").format("xml").save(tmp)
+      s.read.schema(p.schema).option("rowTag", "part").format("xml").load(tmp)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sumExact(col("p_retailprice")).as("retail"),
+          min(col("p_name")).as("first_name"))
     }
   )
 }

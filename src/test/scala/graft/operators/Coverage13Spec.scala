@@ -149,4 +149,36 @@ class Coverage13Spec extends AnyFunSuite {
     // WAU dominates DAU pointwise
     assert(got.forall { case (_, dau, wau) => wau >= dau })
   }
+
+  test("q_cluster_purity == brute-force assignment + majority vote") {
+    val embs = graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    val cents = embs.filter(_._1 % 97 == 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val assigned = embs.map { case (vid, v, label) =>
+      val best = cents.map(c => (c._1, cos(v, c._2)))
+        .minBy { case (cid, d) => (-d, cid) }._1
+      (best, label)
+    }
+    val expect = assigned.groupBy(_._1).map { case (cid, ms) =>
+      val votes = ms.groupBy(_._2).view.mapValues(_.size).toSeq
+      val (majLabel, mx) = votes.minBy { case (l, v) => (-v, l) }
+      (cid, ms.size.toLong, majLabel,
+        BigDecimal(mx.toDouble / ms.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.SparkEntry.queries("q_cluster_purity")(spark, sfDir)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == expect)
+    assert(got.forall { case (_, n, _, p) => n > 0 && p > 0.0 && p <= 1.0 })
+  }
 }
