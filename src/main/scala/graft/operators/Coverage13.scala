@@ -329,5 +329,145 @@ object Coverage13 {
         .select(col("centroid_id"), col("n_members"), col("maj_label"),
           round(col("mx").cast("double") / col("n_members"), 6).as("purity"))
     },
+
+    // ---- per-cluster embedding outliers (z-score pruning signal) ---------
+    // Vectors far from their own centroid (z ≤ −1.5 on the within-cluster
+    // cosine distribution) are the mislabeled/noise candidates a pruning
+    // pass drops. Cross-engine float parity trick: the rounded cosine is
+    // scaled to an exact INTEGER (c6 = round(cos·1e6)), so the per-
+    // cluster sums and sums-of-squares are exact integer arithmetic and
+    // mean/std/z derive from identical doubles on both engines — scale
+    // cancels in z, so no decimal-quantum drift is possible. Shape: one
+    // broadcast centroid join + two bounded aggregations; degenerate
+    // clusters (n ≤ 1 or zero variance) drop via the std > 0 guard
+    // (NaN/∞ compare false in both engines).
+    QDef("q_embed_outliers",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |           WHERE vec_id % 97 = 0),
+        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a,
+        |              unnest(c.cv) AS b
+        |       FROM embeddings e CROSS JOIN c),
+        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na,
+        |              sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM ax GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid, round(dot / (sqrt(na) * sqrt(nb)), 6) AS d,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid)
+        |            AS rn
+        |        FROM ad),
+        |wc AS (SELECT vec_id, cid AS centroid_id, d AS cos,
+        |              CAST(round(d * 1000000, 0) AS BIGINT) AS c6
+        |       FROM asg WHERE rn = 1),
+        |st AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(c6) AS BIGINT) AS s,
+        |              CAST(sum(c6 * c6) AS BIGINT) AS ss
+        |       FROM wc GROUP BY 1),
+        |sd AS (SELECT centroid_id, n, CAST(s AS DOUBLE) / n AS m,
+        |         sqrt((CAST(ss AS DOUBLE) - n * (CAST(s AS DOUBLE) / n)
+        |               * (CAST(s AS DOUBLE) / n)) / CAST(n - 1 AS DOUBLE))
+        |           AS sdev
+        |       FROM st)
+        |SELECT w.vec_id, w.centroid_id, w.cos,
+        |  round((CAST(w.c6 AS DOUBLE) - sd.m) / sd.sdev, 4) AS z
+        |FROM wc w JOIN sd USING (centroid_id)
+        |WHERE sd.sdev > 0
+        |  AND (CAST(w.c6 AS DOUBLE) - sd.m) / sd.sdev <= -1.5
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorOps
+      val e = table(s, dir, "embeddings")
+      val asg = SimilarityOps.ivfAssign(e.select("vec_id", "embedding"), 97)
+      val cents = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val wc = asg.join(broadcast(cents), col("centroid_id") === col("cid"))
+        .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("cv")), 6))
+        .select(col("vec_id"), col("centroid_id"), col("cos"),
+          round(col("cos") * 1000000, 0).cast("long").as("c6"))
+      val st = wc.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"), sum(col("c6")).as("s"),
+          sum(col("c6") * col("c6")).as("ss"))
+      val m = col("s").cast("double") / col("n")
+      val sd = st.select(col("centroid_id"), col("n"), m.as("m"),
+        sqrt((col("ss").cast("double") - col("n") * m * m)
+          / (col("n") - 1).cast("double")).as("sdev"))
+      wc.join(broadcast(sd), "centroid_id")
+        .withColumn("z_raw", (col("c6").cast("double") - col("m")) / col("sdev"))
+        .filter(col("sdev") > 0 && col("z_raw") <= -1.5)
+        .select(col("vec_id"), col("centroid_id"), col("cos"),
+          round(col("z_raw"), 4).as("z"))
+    },
+
+    // ---- SemDeDup: within-cluster semantic near-duplicates ---------------
+    // Cluster-bucketed candidate generation (the SemDeDup recipe:
+    // near-dups land in the same k-means cell, so only within-cluster
+    // pairs are scored — candidates bound by Σ|cluster|², never N²) with
+    // exact cosine verification and lowest-id survivorship. The
+    // per-cluster self-join co-locates on centroid_id (ONE exchange pair
+    // at any scale), norms precompute per vector, and the same 0.4
+    // threshold as the id-band anchor q_dedup_embedding keeps the two
+    // candidate generators comparable. Output: per-cluster members,
+    // duplicate pairs, and vectors a pruning pass would drop.
+    QDef("q_dedup_semantic",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |           WHERE vec_id % 97 = 0),
+        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a,
+        |              unnest(c.cv) AS b
+        |       FROM embeddings e CROSS JOIN c),
+        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na,
+        |              sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM ax GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid)
+        |            AS rn
+        |        FROM ad),
+        |a0 AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
+        |p AS (SELECT a1.centroid_id, a1.vec_id AS v1, a2.vec_id AS v2
+        |      FROM a0 a1 JOIN a0 a2 ON a1.centroid_id = a2.centroid_id
+        |        AND a2.vec_id > a1.vec_id),
+        |px AS (SELECT p.centroid_id, p.v1, p.v2, unnest(e1.embedding) AS a,
+        |              unnest(e2.embedding) AS b
+        |       FROM p JOIN embeddings e1 ON e1.vec_id = p.v1
+        |              JOIN embeddings e2 ON e2.vec_id = p.v2),
+        |pd AS (SELECT centroid_id, v1, v2, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na,
+        |              sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM px GROUP BY 1, 2, 3),
+        |dup AS (SELECT centroid_id, v1, v2 FROM pd
+        |        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4),
+        |mem AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members
+        |        FROM a0 GROUP BY 1),
+        |ds AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |              CAST(count(DISTINCT v2) AS BIGINT) AS n_pruned
+        |       FROM dup GROUP BY 1)
+        |SELECT mem.centroid_id, mem.n_members,
+        |  CAST(coalesce(ds.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(ds.n_pruned, 0) AS BIGINT) AS n_pruned
+        |FROM mem LEFT JOIN ds USING (centroid_id)
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorOps
+      val e = table(s, dir, "embeddings")
+      val asg = SimilarityOps.ivfAssign(e.select("vec_id", "embedding"), 97)
+        .withColumn("nsq", VectorOps.normSq(col("embedding")))
+      val a = asg.select(col("centroid_id"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nsq").as("n1"))
+      val b = asg.select(col("centroid_id"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nsq").as("n2"))
+      val dup = a.join(b, Seq("centroid_id"))
+        .filter(col("v2") > col("v1"))
+        .withColumn("cos", round(VectorOps.dot(col("e1"), col("e2"))
+          / (sqrt(col("n1")) * sqrt(col("n2"))), 6))
+        .filter(col("cos") >= 0.4)
+        .select(col("centroid_id"), col("v1"), col("v2"))
+      val mem = asg.groupBy("centroid_id").agg(count(lit(1)).as("n_members"))
+      val ds = dup.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("v2")).as("n_pruned"))
+      mem.join(ds, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), col("n_members"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_pruned"), lit(0L)).as("n_pruned"))
+    },
   )
 }

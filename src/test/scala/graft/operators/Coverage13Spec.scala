@@ -181,4 +181,71 @@ class Coverage13Spec extends AnyFunSuite {
     assert(got == expect)
     assert(got.forall { case (_, n, _, p) => n > 0 && p > 0.0 && p <= 1.0 })
   }
+
+  private def embApi = graft.table(spark, sfDir, "embeddings")
+    .select("vec_id", "embedding", "label")
+    .as[(Long, Array[Float], Int)]
+
+  private def cos6(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def bruteAssign(embs: Array[(Long, Array[Float], Int)]) = {
+    val cents = embs.filter(_._1 % 97 == 0)
+    embs.map { case (vid, v, label) =>
+      val (cid, d) = cents.map(c => (c._1, cos6(v, c._2)))
+        .minBy { case (c, d) => (-d, c) }
+      (vid, v, label, cid, d)
+    }
+  }
+
+  test("q_embed_outliers == brute-force z-score over integer-scaled cos") {
+    val embs = embApi.collect()
+    val assigned = bruteAssign(embs)
+    val expect = assigned.groupBy(_._4).toSeq.flatMap { case (cid, ms) =>
+      val c6s = ms.map(m => math.round(m._5 * 1e6))
+      val n = c6s.length
+      val m = c6s.sum.toDouble / n
+      val sd = math.sqrt((c6s.map(x => x * x).sum.toDouble - n * m * m) /
+        (n - 1).toDouble)
+      if (!(sd > 0)) Seq.empty
+      else ms.zip(c6s).collect {
+        case ((vid, _, _, _, cos), c6) if (c6 - m) / sd <= -1.5 =>
+          (vid, cid, cos, BigDecimal((c6 - m) / sd)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    val got = graft.SparkEntry.queries("q_embed_outliers")(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    assert(got.forall(_._4 <= -1.5))
+  }
+
+  test("q_dedup_semantic == brute-force within-cluster pair scan") {
+    val embs = embApi.collect()
+    val assigned = bruteAssign(embs)
+    val byCluster = assigned.groupBy(_._4)
+    val expect = byCluster.map { case (cid, ms) =>
+      val sorted = ms.sortBy(_._1)
+      val dups = for {
+        (v1, e1, _, _, _) <- sorted; (v2, e2, _, _, _) <- sorted
+        if v2 > v1 && cos6(e1, e2) >= 0.4
+      } yield (v1, v2)
+      (cid, ms.size.toLong, dups.size.toLong,
+        dups.map(_._2).distinct.size.toLong)
+    }.toSet
+    val got = graft.SparkEntry.queries("q_dedup_semantic")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // pruned never exceeds pairs, and never reaches the full membership
+    assert(got.forall { case (_, n, pairs, pruned) =>
+      pruned <= pairs && pruned < n })
+  }
 }
