@@ -45,7 +45,9 @@ object RankStress {
       concat(lit("src"), pmod(col("id"), lit(nKeys)).cast("string"))
         .as("source"),
       (pmod(xxhash64(col("id"), lit(3)), lit(97)) + 1).as("v"),
-      md5(col("id").cast("string").cast("binary")).as("key"))
+      md5(col("id").cast("string").cast("binary")).as("key"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(1000000)) / lit(1000.0))
+        .as("ord"))
 
     // time a full-result reduction, NOT count(): row_number/sum windows
     // don't change cardinality, so count() lets Catalyst prune the
@@ -97,7 +99,25 @@ object RankStress {
     val tPfxOld = time(s"prefix_${nKeys}key_window", "cum")(prefixNaive(docs))
     val tPfxNew = time("prefix_segmented", "cum")(prefixSegmented(docs))
 
-    println(f"""{"summary":"rank_stress","rows":$n,"keys":$nKeys,"rank_speedup":${tRankOld / tRankNew}%.2f,"prefix_speedup":${tPfxOld / tPfxNew}%.2f}""")
+    // ---- value-ordered running max (q_record_highs's shape) ---------------
+    // Unlike the hash orders above, the order key here is a DATA value
+    // (range-bucketed via width_bucket) — the OrderedPrefix plan.
+    def rmaxNaive(d: DataFrame): DataFrame = {
+      val w = Window.orderBy("ord", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("rm", max(col("v")).over(w)).select("id", "rm")
+    }
+    def rmaxSegmented(d: DataFrame): DataFrame =
+      graft.plans.OrderedPrefix.runningMax(d, Nil, col("ord"), col("id"),
+        col("v"), "rm").select("id", "rm")
+
+    diff = rmaxNaive(docs).exceptAll(rmaxSegmented(docs)).count() +
+      rmaxSegmented(docs).exceptAll(rmaxNaive(docs)).count()
+    require(diff == 0, s"running-max plans disagree on $diff rows")
+    val tMaxOld = time("runningmax_global_window", "rm")(rmaxNaive(docs))
+    val tMaxNew = time("runningmax_rangebucketed", "rm")(rmaxSegmented(docs))
+
+    println(f"""{"summary":"rank_stress","rows":$n,"keys":$nKeys,"rank_speedup":${tRankOld / tRankNew}%.2f,"prefix_speedup":${tPfxOld / tPfxNew}%.2f,"runningmax_speedup":${tMaxOld / tMaxNew}%.2f}""")
     spark.stop()
   }
 }
