@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Usage: graft.cdc.CdcReplay <inDir> <storeDir> [configProperties]
   *        graft.cdc.CdcReplay --stateful <inDir>   (state-store changelog view)
+  *        graft.cdc.CdcReplay --scd2 <inDir>       (SCD2 audit history view)
   */
 object CdcReplay {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--stateful")) { statefulReplay(args(1)); return }
+    if (args.headOption.contains("--scd2")) { scd2Replay(args(1)); return }
     // flag pairs = --sql <query>, --asof <epoch-ms>; positional args =
     // everything outside them
     val sqlIdx = args.indexOf("--sql")
@@ -82,6 +84,30 @@ object CdcReplay {
         spark.sql(args(i + 1)).show(100, truncate = false)
       case _ => ()
     }
+    spark.stop()
+  }
+
+  /** SCD2 audit view: the full version history of every key with
+    * validity intervals (`Scd2History`) — what the Type-1 mirror
+    * overwrites away. Batch read of the same file-shaped feed. */
+  private def scd2Replay(inDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-cdc-scd2-replay")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val catalog = try CdcCatalog.load() catch {
+      case _: IllegalStateException =>
+        CdcCatalog.fromPropertiesString("pk.customers=id\npk.orders=id\n")
+    }
+    val raw = spark.read.schema(Decode.rawSchema).json(inDir)
+    println("=== scd2 history ===")
+    Scd2History.history(raw, catalog)
+      .orderBy("db", "table", "key_json", "valid_from_ms")
+      .show(200, truncate = false)
     spark.stop()
   }
 
