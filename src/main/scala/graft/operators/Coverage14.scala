@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 extension wave 4: pipeline-operations monitoring — the
+  * queries an engineer runs against the SAME corpus to decide how to
+  * run everything else (is today's volume anomalous? which join keys
+  * need salting?).
+  *
+  * Reference scope: the reference's operational surface is "watch the
+  * consumer log and SELECT count(*) from the mirror"
+  * (/root/reference/README.md:85-134); these are the Spark-first
+  * monitoring duals over the mirror tables.
+  */
+object Coverage14 {
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- daily volume anomaly (7-day trailing z-score) -------------------
+    // Event-count trend monitoring: flag days whose volume deviates
+    // ≥1.5σ from the trailing 7-day window (prior days only — today
+    // can't explain itself). The window runs over the per-day aggregate
+    // — a bounded-domain table (days, not events), so the unpartitioned
+    // ORDER BY day frame is ≤366 rows/year at any corpus size; the
+    // data-sized work is one hash aggregation. All-integer counts make
+    // trailing mean/std exact cross-engine (identical double exprs).
+    QDef("q_daily_anomaly",
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n,
+        |    CAST(count(*) OVER pw AS BIGINT) AS wn,
+        |    CAST(sum(n) OVER pw AS BIGINT) AS ws,
+        |    CAST(sum(n * n) OVER pw AS BIGINT) AS wss
+        |  FROM d
+        |  WINDOW pw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT day, n, wn,
+        |    CAST(ws AS DOUBLE) / wn AS m,
+        |    sqrt((CAST(wss AS DOUBLE) - wn * (CAST(ws AS DOUBLE) / wn)
+        |          * (CAST(ws AS DOUBLE) / wn)) / CAST(wn - 1 AS DOUBLE)) AS sd
+        |  FROM w WHERE wn >= 3)
+        |SELECT day, n, round(m, 6) AS trailing_mean,
+        |  round((CAST(n AS DOUBLE) - m) / sd, 4) AS z
+        |FROM z
+        |WHERE sd > 0 AND abs((CAST(n AS DOUBLE) - m) / sd) >= 1.5
+        |""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val pw = Window.orderBy("day").rowsBetween(-7, -1)
+      val w = d.select(col("day"), col("n"),
+        count(lit(1)).over(pw).as("wn"),
+        sum(col("n")).over(pw).as("ws"),
+        sum(col("n") * col("n")).over(pw).as("wss"))
+        .filter(col("wn") >= 3)
+      val m = col("ws").cast("double") / col("wn")
+      val sd = sqrt((col("wss").cast("double") - col("wn") * m * m)
+        / (col("wn") - 1).cast("double"))
+      w.select(col("day"), col("n"), m.as("m"), sd.as("sd"))
+        .withColumn("z_raw", (col("n").cast("double") - col("m")) / col("sd"))
+        .filter(col("sd") > 0 && abs(col("z_raw")) >= 1.5)
+        .select(col("day"), col("n"), round(col("m"), 6).as("trailing_mean"),
+          round(col("z_raw"), 4).as("z"))
+    },
+
+    // ---- join-key skew diagnostics (the "should I salt?" report) ---------
+    // For each candidate join key, the numbers that decide the physical
+    // strategy at 100 TB: row count, distinct keys, and the share of
+    // rows owned by the hottest key (one straggler task's worth under a
+    // plain hash join). Each leg is two bounded aggregations
+    // (key → count, then a 1-row max/sum); legs union. Pure integer
+    // ratios — exact cross-engine.
+    QDef("q_skew_report",
+      """WITH ks AS (
+        |  SELECT 'lineitem.l_partkey' AS key_col, l_partkey AS k
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders
+        |  UNION ALL SELECT 'events.user_id', user_id FROM events),
+        |pk AS (SELECT key_col, k, count(*) AS c FROM ks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, max(c) AS max_c
+        |  FROM pk GROUP BY 1)
+        |SELECT key_col, n_rows, n_keys,
+        |  round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_rows_per_key,
+        |  round(CAST(max_c AS DOUBLE) / n_rows, 6) AS max_key_share
+        |FROM agg
+        |""".stripMargin) { (s, dir) =>
+      val ks = Seq(
+        ("lineitem.l_partkey", table(s, dir, "lineitem")
+          .select(col("l_partkey").as("k"))),
+        ("lineitem.l_suppkey", table(s, dir, "lineitem")
+          .select(col("l_suppkey").as("k"))),
+        ("orders.o_custkey", table(s, dir, "orders")
+          .select(col("o_custkey").as("k"))),
+        ("events.user_id", table(s, dir, "events")
+          .select(col("user_id").as("k"))))
+        .map { case (n, df) => df.withColumn("key_col", lit(n)) }
+        .reduceLeft(_ unionByName _)
+      ks.groupBy("key_col", "k").agg(count(lit(1)).as("c"))
+        .groupBy("key_col")
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_c"))
+        .select(col("key_col"), col("n_rows"), col("n_keys"),
+          round(col("n_rows").cast("double") / col("n_keys"), 6)
+            .as("avg_rows_per_key"),
+          round(col("max_c").cast("double") / col("n_rows"), 6)
+            .as("max_key_share"))
+    },
+  )
+}
