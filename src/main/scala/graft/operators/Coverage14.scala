@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft._
+import graft.plans.OrderedPrefix
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -111,6 +112,78 @@ object Coverage14 {
             .as("avg_rows_per_key"),
           round(col("max_c").cast("double") / col("n_rows"), 6)
             .as("max_key_share"))
+    },
+
+    // ---- RFM customer segmentation ---------------------------------------
+    // The classic mirror-side marketing rollup: per customer, recency
+    // (days since last order, vs the corpus max date), frequency
+    // (order count), monetary (exact decimal spend), each scored into
+    // quintiles — three NTILE(5)s, all three run as the range-bucketed
+    // two-phase rank (plans.OrderedPrefix) instead of one-task global
+    // windows, with SQL NTILE's remainder rule reproduced
+    // arithmetically (the q_ccnet_buckets construction). Output is the
+    // segment-level rollup, so the row count is ≤125 at any scale.
+    // Recency ranks ascending by days (recent = best = tile 1),
+    // frequency/monetary descending by value (biggest = tile 1).
+    QDef("q_rfm_segments",
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT)
+        |      AS rec_days,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS mon
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT o_custkey, rec_days, freq, mon,
+        |    ntile(5) OVER (ORDER BY rec_days, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY CAST(CAST(mon AS STRING) AS DOUBLE) DESC,
+        |                   o_custkey) AS m_score
+        |  FROM o)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(CAST(SUM(mon) AS STRING) AS DOUBLE) AS segment_spend
+        |FROM t GROUP BY 1, 2, 3
+        |""".stripMargin) { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val maxDate = orders.agg(max(col("o_orderdate").cast("date")).as("mx"))
+      val o = DedupOps.loopInput(orders
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(dec(col("o_totalprice"))).as("mon"))
+        .crossJoin(broadcast(maxDate))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_d")).cast("long").as("rec_days"),
+          col("freq"), col("mon")))
+      // NTILE(5) remainder rule from the two-phase rank + group count
+      // (the customer count is invariant across the three scorings —
+      // computed once from the checkpointed aggregate)
+      val cnt = o.agg(count(lit(1)).as("_cnt"))
+      def ntile5(df: org.apache.spark.sql.DataFrame,
+          ord: org.apache.spark.sql.Column,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val ranked = OrderedPrefix.rank(df, Nil, ord, col("o_custkey"), "_rk")
+        ranked.crossJoin(broadcast(cnt))
+          .withColumn("_q", expr("_cnt div 5")).withColumn("_r", col("_cnt") % 5)
+          .withColumn(out,
+            when(col("_rk") <= col("_r") * (col("_q") + 1),
+              expr("(_rk - 1) div (_q + 1)") + 1)
+              .otherwise(col("_r") + 1 +
+                expr("(_rk - _r * (_q + 1) - 1) div greatest(_q, 1)")))
+          .drop("_rk", "_cnt", "_q", "_r")
+      }
+      val scored = ntile5(
+        ntile5(
+          ntile5(o, col("rec_days").cast("double"), "r_score"),
+          -col("freq").cast("double"), "f_score"),
+        -col("mon").cast("double"), "m_score")
+      scored.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("mon")).cast("double").as("segment_spend"))
     },
   )
 }

@@ -66,4 +66,44 @@ class Coverage14Spec extends AnyFunSuite {
     assert(got.forall { case (_, rows, keys, _, share) =>
       share * rows >= rows.toDouble / keys && share <= 1.0 })
   }
+
+  test("q_rfm_segments == explicit NTILE(5) scorer over plain-Scala RFM") {
+    val orders = graft.table(spark, sfDir, "orders")
+      .selectExpr("o_custkey", "cast(cast(o_orderdate as date) as string)",
+        "cast(o_totalprice as decimal(38,10))")
+      .as[(Long, String, BigDecimal)].collect()
+    val mx = orders.map(_._2).max
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def days(a: String, b: String) = java.time.temporal.ChronoUnit.DAYS
+      .between(java.time.LocalDate.parse(a, fmt), java.time.LocalDate.parse(b, fmt))
+    val rfm = orders.groupBy(_._1).map { case (ck, os) =>
+      (ck, days(os.map(_._2).max, mx), os.size.toLong,
+        os.map(_._3).sum.setScale(10))
+    }.toSeq
+    def ntile(xs: Seq[(Long, Double)]): Map[Long, Long] = {
+      // xs: (custkey, sort value); ties broken by custkey
+      val n = xs.length; val q = n / 5; val r = n % 5
+      xs.sortBy { case (ck, v) => (v, ck) }.zipWithIndex.map { case ((ck, _), i) =>
+        val rk = i + 1
+        val tile = if (rk <= r * (q + 1)) (rk - 1) / (q + 1) + 1
+                   else r + 1 + (rk - r * (q + 1) - 1) / math.max(q, 1)
+        ck -> tile.toLong
+      }.toMap
+    }
+    val rs = ntile(rfm.map(x => (x._1, x._2.toDouble)))
+    val fs = ntile(rfm.map(x => (x._1, -x._3.toDouble)))
+    val ms = ntile(rfm.map(x => (x._1, -x._4.toDouble)))
+    val expect = rfm.groupBy(x => (rs(x._1), fs(x._1), ms(x._1)))
+      .map { case (k, xs) =>
+        (k._1, k._2, k._3, xs.size.toLong, xs.map(_._4).sum.toDouble)
+      }.toSet
+    val got = graft.SparkEntry.queries("q_rfm_segments")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+    // quintile populations are near-equal per dimension
+    for (scores <- Seq(rs, fs, ms)) {
+      val sizes = scores.values.groupBy(identity).map(_._2.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
 }
