@@ -176,11 +176,18 @@ object Coverage14 {
                 expr("(_rk - _r * (_q + 1) - 1) div greatest(_q, 1)")))
           .drop("_rk", "_cnt", "_q", "_r")
       }
-      val scored = ntile5(
-        ntile5(
-          ntile5(o, col("rec_days").cast("double"), "r_score"),
-          -col("freq").cast("double"), "f_score"),
-        -col("mon").cast("double"), "m_score")
+      // the three scorings are mutually independent — rank each straight
+      // off the checkpointed RFM aggregate and equi-join the score
+      // frames, instead of chaining (a chained rank re-reads its whole
+      // input for range bounds, re-executing lower levels geometrically)
+      val rs = ntile5(o, col("rec_days").cast("double"), "r_score")
+        .select("o_custkey", "r_score")
+      val fs = ntile5(o, -col("freq").cast("double"), "f_score")
+        .select("o_custkey", "f_score")
+      val ms = ntile5(o, -col("mon").cast("double"), "m_score")
+        .select("o_custkey", "m_score")
+      val scored = o.select("o_custkey", "mon")
+        .join(rs, "o_custkey").join(fs, "o_custkey").join(ms, "o_custkey")
       scored.groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("mon")).cast("double").as("segment_spend"))
