@@ -192,5 +192,38 @@ object Coverage14 {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("mon")).cast("double").as("segment_spend"))
     },
+
+    // ---- day-of-week seasonality profile ---------------------------------
+    // The order-volume seasonality staple: ISO weekday (1 = Monday),
+    // order count, exact decimal revenue, and each weekday's share of
+    // total revenue — one hash aggregation over orders plus a broadcast
+    // 1-row total; the share divides two identical exact-decimal-cast
+    // doubles, so it can't drift cross-engine. Output ≤ 7 rows at any
+    // scale.
+    QDef("q_dow_seasonality",
+      """WITH d AS (
+        |  SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS revd
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+        |        AS STRING) AS DOUBLE) AS tot FROM orders)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_orders,
+        |  CAST(CAST(revd AS STRING) AS DOUBLE) AS revenue,
+        |  round(CAST(CAST(revd AS STRING) AS DOUBLE) / tot, 6) AS rev_share
+        |FROM d, t
+        |""".stripMargin) { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val d = orders
+        .groupBy((weekday(col("o_orderdate").cast("date")) + 1).cast("long")
+          .as("dow"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice")))
+          .as("revd"))
+      val t = orders.agg(sum(dec(col("o_totalprice"))).cast("double").as("tot"))
+      d.crossJoin(broadcast(t))
+        .select(col("dow"), col("n_orders"),
+          col("revd").cast("double").as("revenue"),
+          round(col("revd").cast("double") / col("tot"), 6).as("rev_share"))
+    },
   )
 }

@@ -106,4 +106,27 @@ class Coverage14Spec extends AnyFunSuite {
       assert(sizes.max - sizes.min <= 1)
     }
   }
+
+  test("q_dow_seasonality == plain-Scala ISO-weekday rollup") {
+    val orders = graft.table(spark, sfDir, "orders")
+      .selectExpr("cast(cast(o_orderdate as date) as string)",
+        "cast(o_totalprice as decimal(38,10))")
+      .as[(String, BigDecimal)].collect()
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val tot = orders.map(_._2).sum.toDouble
+    val expect = orders.groupBy { case (d, _) =>
+      java.time.LocalDate.parse(d, fmt).getDayOfWeek.getValue.toLong
+    }.map { case (dow, os) =>
+      val rev = os.map(_._2).sum.toDouble
+      (dow, os.size.toLong, rev,
+        BigDecimal(rev / tot).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toSet
+    val got = graft.SparkEntry.queries("q_dow_seasonality")(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expect)
+    // shares sum to ~1 over ≤7 rows
+    val shareSum = got.toSeq.map(_._4).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+  }
 }

@@ -89,4 +89,20 @@ class WavDecoderSpec extends AnyFunSuite {
       .collect()
     feats.foreach(f => assert(math.abs(f.rms - 0.6 / math.sqrt(2)) < 1e-2))
   }
+
+  test("q_media_clips == closed-form clip geometry from synthesis params") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val expect = graft.table(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect().filter(_ % 7 == 3).flatMap { id =>
+        val n = (8 + 2 * (id % 5)) * (50 + id % 50)
+        val nClips = ((n + 399) / 400).toInt
+        (0 until nClips).map(i =>
+          (id, i, i * 50L, math.min(400L, n - i * 400L)))
+      }.toSet
+    val got = graft.SparkEntry.queries("q_media_clips")(spark, sfDir)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
