@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-files compaction — the table-maintenance pass every long-lived
+  * 100 TB lake needs: streaming sinks and per-batch appends leave
+  * thousands of KB-sized parquet files per partition, and scan
+  * planning / task scheduling costs scale with FILE COUNT, not bytes
+  * (one Spark task per file at the extreme; the reference's
+  * row-at-a-time JDBC loop has the same pathology in table form).
+  *
+  * Policy: size the output file count from the table's actual on-disk
+  * bytes (`targetBytes` per output file), never a hardcoded partition
+  * count — `repartition(n)` with round-robin assignment yields
+  * near-equal file sizes at any input skew. Callers compacting a
+  * layout-sensitive table pass `preserveSortWithin` to re-establish a
+  * per-file sort (cheap local sort, no exchange beyond the
+  * repartition), keeping min/max pruning effective after the rewrite.
+  *
+  * The rewrite goes through a sibling temp dir + atomic-ish rename
+  * swap rather than `overwrite` on the live path, so a reader that
+  * loses the race sees either the old file set or the new one, not a
+  * half-deleted directory. (A real lakehouse uses a transactional
+  * table format for this; the swap is the plain-parquet equivalent and
+  * the spec covers the data-equality contract, not concurrent
+  * readers.)
+  */
+object Compaction {
+
+  /** On-disk bytes and file count of a parquet directory (recursive,
+    * data files only). */
+  def stats(spark: SparkSession, dir: String): (Long, Int) = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val files = walk(new java.io.File(dir))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    (files.map(_.length()).sum, files.size)
+  }
+
+  /** Rewrite `dir` into ~`targetBytes`-sized parquet files; returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long,
+      preserveSortWithin: Seq[String] = Nil): (Int, Int) = {
+    val (bytes, before) = stats(spark, dir)
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val rewritten = {
+      val rep = df.repartition(n)
+      if (preserveSortWithin.nonEmpty)
+        rep.sortWithinPartitions(preserveSortWithin.map(col): _*)
+      else rep
+    }
+    val tmp = dir.stripSuffix("/") + "_compact_tmp"
+    val old = dir.stripSuffix("/") + "_compact_old"
+    rewritten.write.mode("overwrite").parquet(tmp)
+    val dirF = new java.io.File(dir); val tmpF = new java.io.File(tmp)
+    val oldF = new java.io.File(old)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(oldF)
+    require(dirF.renameTo(oldF), s"swap failed: $dir -> $old")
+    require(tmpF.renameTo(dirF), s"swap failed: $tmp -> $dir")
+    rm(oldF)
+    val (_, after) = stats(spark, dir)
+    (before, after)
+  }
+}
