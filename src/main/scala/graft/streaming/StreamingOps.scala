@@ -55,6 +55,25 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  /** Sliding 7-day × 1-day DISTINCT active users — the live DAU/WAU
+    * board, and the one windowed shape none of the plain aggs cover
+    * (COUNT(DISTINCT) isn't an algebraic window aggregate).
+    * Two chained stateful operators: dropDuplicates on
+    * (user_id, window) bounds each user to ONE state row per window it
+    * touches — state O(users × 7), the dedup key includes the
+    * event-time window so the watermark evicts closed windows — and
+    * the downstream count is then an ordinary windowed aggregation.
+    * Batch twin: q_rolling_active_users (equality spec per window). */
+  def activeUsers(events: DataFrame, watermark: String = "14 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), window(col("ts"), "7 days", "1 day").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wau"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"),
+        col("w.end").cast("timestamp_ntz").as("we"), col("wau"))
+
   /** Running count per event_type (update-mode friendly, unbounded key
     * space bounded by the type dictionary). */
   def runningCounts(events: DataFrame): DataFrame =
