@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * `ord` is cast to DOUBLE for bucketing and intra-bucket ordering: the
   * cast must be order-faithful (monotone always holds; collisions are
   * fine — `tie` breaks them — but the caller's oracle must order by the
-  * same double).
+  * same double). `ord` must be NON-NULL: a null order key has no
+  * position in the total order, and rows carrying one are DROPPED (the
+  * null bucket matches no offset row — the contract OrderedPrefixSpec
+  * pins). Callers with nullable order columns filter or coalesce
+  * first, exactly as they would have to define ORDER BY semantics for
+  * the null.
   */
 object OrderedPrefix {
   private val NB = 254
@@ -46,12 +51,19 @@ object OrderedPrefix {
       if (keys.isEmpty) keyed.crossJoin(broadcast(bounds))
       else keyed.join(broadcast(bounds), keys)
     joined
+      // null ord explicitly maps to a null bucket and is dropped — the
+      // documented contract. Without the isNull arm, least() would SKIP
+      // the null width_bucket and silently file null-ord rows into the
+      // last bucket, mis-ranking them instead of excluding them (the
+      // bug OrderedPrefixSpec's null test exists to keep dead).
       .withColumn("_op_bucket",
-        when(col("_op_hi") <= col("_op_lo"), lit(1L))
+        when(col("_op_ord").isNull, lit(null))
+          .when(col("_op_hi") <= col("_op_lo"), lit(1L))
           .otherwise(least(
             width_bucket(col("_op_ord"), col("_op_lo"), col("_op_hi"), lit(NB)),
             lit(NB.toLong)))
           .cast("int"))
+      .filter(col("_op_bucket").isNotNull)
       .drop("_op_lo", "_op_hi")
   }
 

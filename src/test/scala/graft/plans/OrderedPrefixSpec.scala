@@ -85,6 +85,20 @@ class OrderedPrefixSpec extends AnyFunSuite {
     assert(ranks.toMap == (0L until 1500L).map(i => i -> (i + 1)).toMap)
   }
 
+  test("null order keys drop, non-null rows rank as if nulls were absent") {
+    // the documented contract: a null ord has no position in the total
+    // order — rows carrying one are dropped, never mis-ranked
+    val df = spark.range(100).select(col("id"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id").cast("double"))
+        .as("ord"))
+    val got = OrderedPrefix.rank(df, Nil, col("ord"), col("id"), "rk")
+      .select("id", "rk").as[(Long, Long)].collect()
+    assert(got.length == 90)
+    val expect = (0L until 100L).filter(_ % 10 != 0)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    assert(got.toMap == expect)
+  }
+
   test("no data-sized unpartitioned window in the plan") {
     val df = mkRows(1000)
     val plan = OrderedPrefix.rankSum(df, Nil, col("ord"), col("id"),
