@@ -1,8 +1,9 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** SCD2 audit history over a change feed: every version a key ever had,
   * with its validity interval — the Type-2 dual of the reference's
@@ -30,11 +31,25 @@ object Scd2History {
   /** History of every table in the raw Kafka-shaped batch. PK columns
     * surface as `key_json` (ordered per catalog precedence); the row
     * image as `image` (JSON — audit view, not a typed mirror). */
+  /** Output schema — also what an EMPTY feed (nothing decodable, or
+    * all null-ts) returns, so CLI/composition callers never hit a
+    * reduce-on-empty crash. */
+  val schema: StructType = StructType(Seq(
+    StructField("db", StringType), StructField("table", StringType),
+    StructField("key_json", StringType),
+    StructField("valid_from_ms", LongType),
+    StructField("valid_to_ms", LongType),
+    StructField("is_current", BooleanType, nullable = false),
+    StructField("image", StringType)))
+
   def history(raw: DataFrame, catalog: CdcCatalog): DataFrame = {
     val dec = Decode.decode(raw, Envelope.dynamicRowSchema)
       .filter(col("ts_ms").isNotNull)
     val groups = dec.select("db", "table").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
+    if (groups.isEmpty)
+      return raw.sparkSession.createDataFrame(
+        raw.sparkSession.sparkContext.emptyRDD[Row], schema)
     val parts = groups.toSeq.map { case (db, tbl) =>
       val pks = catalog.pkFor(db, tbl)
       val d = dec.filter(col("db") === db && col("table") === tbl)

@@ -64,6 +64,16 @@ class Scd2HistorySpec extends AnyFunSuite {
     assert(current.sorted.toSeq == current.distinct.sorted.toSeq)
   }
 
+  test("empty / undecodable feed yields an empty history, not a crash") {
+    val junk = Seq(
+      ("mysql.app.customers", """{"id": 1}""", "not json at all {{{", 0, 0L),
+      ("mysql.app.customers", null, null, 0, 1L)) // tombstone
+      .toDF("topic", "key", "value", "partition", "offset")
+    val got = Scd2History.history(junk, catalog)
+    assert(got.schema == Scd2History.schema)
+    assert(got.count() == 0)
+  }
+
   test("materialized state at any T == the intervals covering T") {
     // cross-check vs the as-of materializer on the same feed: a key is
     // live at T iff exactly one history interval covers T
