@@ -81,6 +81,16 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(38,10)")).as("sum_value"))
 
+  /** Stream–static enrichment: join each event to a STATIC dimension
+    * (the CDC mirror's lookup pattern — stream of facts, slowly-read
+    * dim snapshot). Stateless, unlike the stream-stream join below: the
+    * static side re-plans per micro-batch, and with `broadcast()` the
+    * stream side never shuffles — the same plan a 100 TB fact stream
+    * wants. Inner semantics; rows with no dim match drop. */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Watermarked stream-stream join: each purchase joined to the same
     * user's views within the preceding hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so
