@@ -282,13 +282,15 @@ object Coverage7 {
     // over a near-complete random graph: measured 57 s at sf0.1 before
     // the threshold, sub-second after). Triangles: the ordered 2-path
     // join (e1.p2 = e2.p1) closed by a third edge lookup — each
-    // triangle enumerated exactly once (p1 < p2 < p3 by construction),
-    // all keyed hash joins. For graphs that stay dense AFTER
-    // thresholding, the further mitigation is degree-ordered
-    // orientation (orient each edge toward its higher-degree endpoint;
-    // every triangle still counted exactly once under the total order,
-    // 2-path fan-out drops from Σ deg² to O(m^1.5)) — the same joins
-    // over the oriented edge table.
+    // triangle enumerated exactly once, all keyed hash joins. The
+    // 2-path stage runs over the DEGREE-ORIENTED edge table
+    // (plans.OrientedTriangles: each edge toward its higher-(deg, id)
+    // endpoint), which caps the fan-out at O(m^1.5) even when the
+    // graph stays dense after thresholding — an id-ordered orientation
+    // has no such bound (a mid-id hub keeps indeg·outdeg ≈ deg²/4;
+    // OrientedTrianglesSpec plants that graph and measures the gap).
+    // The count is orientation-invariant, so the id-ordered SQL
+    // self-join stays the cross-engine oracle.
     QDef("q_triangle_count",
       """WITH e AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
@@ -316,11 +318,9 @@ object Coverage7 {
         .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("p1", "p2")
-      e.alias("e1")
-        .join(e.alias("e2"), col("e1.p2") === col("e2.p1"))
-        .join(e.alias("e3"),
-          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-        .agg(count(lit(1)).as("n_tri"))
+      // loopInput: the thresholded edge list feeds the degree agg plus
+      // three oriented-join legs — materialize once, not 4×.
+      graft.plans.OrientedTriangles.triangleCount(DedupOps.loopInput(e))
     }
   )
 }

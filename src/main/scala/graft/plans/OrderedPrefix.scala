@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.BucketSearch
+
 /** Range-bucketed two-phase prefix aggregation over an ARBITRARY numeric
   * total order — the generalization of [[ShuffleRank]] (md5-hex order) and
   * [[PrefixSum]] (per-key md5-hex order) to orders given by a data column
@@ -11,60 +13,89 @@ import org.apache.spark.sql.functions._
   * (ord, tie) order, computed without ever sorting more than ~1/254 of
   * the input (or of one key's input) in a single task.
   *
-  * Hex-prefix bucketing doesn't apply to a value order, so rows bucket by
-  * `width_bucket` over the [min, max] range of the order key (broadcast
-  * 1-row bounds; per-key bounds when `keys` is non-empty). width_bucket
-  * is monotone, so buckets are contiguous slices of the order; per-bucket
-  * summaries reduce to prefix offsets via a window over ≤254 summary rows
-  * per key (bounded-domain — and still partitioned by `keys`, parallel
-  * across keys), and every per-row window partitions by (keys, bucket).
+  * Buckets are EQUI-DEPTH, not equal-width: boundaries are sampled
+  * quantile cutoffs of the COMPOSITE (ord, tie) order (the same statistic
+  * Spark's own RangePartitioner draws for a global sort), so a heavily
+  * skewed value order — 90% identical timestamps, zipfian revenue —
+  * still splits into ~NB even slices, where the previous
+  * `width_bucket([min, max])` bounds collapsed most rows into one bucket
+  * and the intra-bucket window degenerated toward a single data-sized
+  * sort. Bucketing by the composite matters: cutoffs over `ord` alone
+  * cannot separate rows with EQUAL ord values, which is exactly what a
+  * skewed order is made of; including the tie (always part of the
+  * window's ORDER BY) keeps the assignment monotone in the total order
+  * while splitting the heavy value by tie range.
   *
-  * Unlike the hash orders, a VALUE order can be arbitrarily skewed (all
-  * rows equal → one bucket, and the intra-bucket window degenerates to a
-  * key-sized sort) — callers order by value-like columns (event times,
-  * prices) where range spread is the norm; OrderedPrefixSpec pins the
-  * degenerate case for correctness, not speed.
+  * Cutoff selection is fully distributed and bounded: a ~1/NB Bernoulli
+  * sample is hashed into NB cells, each cell sorts its slice and picks
+  * ≤ NB-1 equally-spaced local candidates (per-task buffer ≈ N/NB² rows),
+  * and the ≤ NB² candidates merge into the final ≤ NB-1 cutoffs —
+  * broadcast like the old bounds row. Per-row assignment is
+  * [[graft.functions.CompositeLowerBound]], an O(log NB) binary search
+  * inside whole-stage codegen. Sampling noise moves bucket BOUNDARIES
+  * only: any monotone assignment yields identical ranks/sums/maxes, so
+  * results never depend on the sample (OrderedPrefixSpec pins output
+  * invariance under adversarial repartitionings).
   *
   * `ord` is cast to DOUBLE for bucketing and intra-bucket ordering: the
   * cast must be order-faithful (monotone always holds; collisions are
   * fine — `tie` breaks them — but the caller's oracle must order by the
   * same double). `ord` must be NON-NULL: a null order key has no
   * position in the total order, and rows carrying one are DROPPED (the
-  * null bucket matches no offset row — the contract OrderedPrefixSpec
-  * pins). Callers with nullable order columns filter or coalesce
-  * first, exactly as they would have to define ORDER BY semantics for
-  * the null.
+  * contract OrderedPrefixSpec pins). Callers with nullable order
+  * columns filter or coalesce first, exactly as they would have to
+  * define ORDER BY semantics for the null. A null `tie` sorts FIRST
+  * (Spark's asc default), consistently in sampling and search.
   */
 object OrderedPrefix {
   private val NB = 254
+  private val SEED = 0xC0FFEE
 
-  /** Attach `_op_ord` (double order key) and `_op_bucket` ∈ [1, NB]. */
-  private def bucketed(rows: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
-    val keyed = rows.withColumn("_op_ord", ord.cast("double"))
-    val bounds =
-      if (keys.isEmpty)
-        keyed.agg(min(col("_op_ord")).as("_op_lo"), max(col("_op_ord")).as("_op_hi"))
-      else
-        keyed.groupBy(keys.map(col): _*)
-          .agg(min(col("_op_ord")).as("_op_lo"), max(col("_op_ord")).as("_op_hi"))
+  /** ≤ NB-1 equally-spaced 1-based picks from a sorted array column. */
+  private def pickEvery(sorted: Column): Column = {
+    val picks = transform(sequence(lit(1), lit(NB - 1)),
+      i => try_element_at(sorted,
+        (floor(i.cast("double") * size(sorted) / NB) + 1).cast("int")))
+    array_distinct(filter(picks, x => x.isNotNull))
+  }
+
+  /** Attach `_op_ord` (double order key), `_op_tie`, and `_op_bucket`
+    * (equi-depth composite bucket, contiguous in (ord, tie) order).
+    * Exposed to the spec so bucket balance under skew is assertable.
+    */
+  private[plans] def bucketed(rows: DataFrame, keys: Seq[String], ord: Column,
+      tie: Column): DataFrame = {
+    val keyed = rows
+      .withColumn("_op_ord", ord.cast("double"))
+      .withColumn("_op_tie", tie)
+      .filter(col("_op_ord").isNotNull)
+    val kcols = keys.map(col)
+    val cand = struct(col("_op_ord").as("o"), col("_op_tie").as("t"))
+    val sampled = keyed
+      .sample(withReplacement = false, 1.0 / NB, SEED)
+      .select(kcols :+ cand.as("_op_c")
+        :+ pmod(xxhash64(col("_op_ord"), col("_op_tie")), lit(NB)).as("_op_cell"): _*)
+    // level 1: per (key, cell) sorted slice → local equally-spaced picks
+    val level1 = sampled
+      .groupBy(kcols :+ col("_op_cell"): _*)
+      .agg(pickEvery(sort_array(collect_list(col("_op_c")))).as("_op_picks"))
+    // level 2: merge ≤ NB×(NB-1) candidates → final cutoffs, split into
+    // parallel (ord, tie) arrays for the binary-search expression
+    val mergedPick = pickEvery(sort_array(flatten(collect_list(col("_op_picks")))))
+    val cuts0 =
+      if (keys.isEmpty) level1.agg(mergedPick.as("_op_cuts"))
+      else level1.groupBy(kcols: _*).agg(mergedPick.as("_op_cuts"))
+    val cuts = cuts0.select(kcols
+      :+ transform(col("_op_cuts"), c => c.getField("o")).as("_op_co")
+      :+ transform(col("_op_cuts"), c => c.getField("t")).as("_op_ct"): _*)
     val joined =
-      if (keys.isEmpty) keyed.crossJoin(broadcast(bounds))
-      else keyed.join(broadcast(bounds), keys)
+      if (keys.isEmpty) keyed.crossJoin(broadcast(cuts))
+      else keyed.join(broadcast(cuts), keys, "left") // absent key → bucket 1
+    BucketSearch.register(rows.sparkSession)
     joined
-      // null ord explicitly maps to a null bucket and is dropped — the
-      // documented contract. Without the isNull arm, least() would SKIP
-      // the null width_bucket and silently file null-ord rows into the
-      // last bucket, mis-ranking them instead of excluding them (the
-      // bug OrderedPrefixSpec's null test exists to keep dead).
       .withColumn("_op_bucket",
-        when(col("_op_ord").isNull, lit(null))
-          .when(col("_op_hi") <= col("_op_lo"), lit(1L))
-          .otherwise(least(
-            width_bucket(col("_op_ord"), col("_op_lo"), col("_op_hi"), lit(NB)),
-            lit(NB.toLong)))
-          .cast("int"))
-      .filter(col("_op_bucket").isNotNull)
-      .drop("_op_lo", "_op_hi")
+        expr("composite_lower_bound(_op_co, _op_ct, _op_ord, _op_tie)"))
+      .drop("_op_co", "_op_ct")
   }
 
   private def bucketWindow(keys: Seq[String]) =
@@ -79,7 +110,7 @@ object OrderedPrefix {
     */
   def runningMax(rows: DataFrame, keys: Seq[String], ord: Column, tie: Column,
                  value: Column, out: String, inclusive: Boolean = true): DataFrame = {
-    val b = bucketed(rows.withColumn("_op_val", value), keys, ord)
+    val b = bucketed(rows.withColumn("_op_val", value), keys, ord, tie)
     val kcols = keys.map(col)
     val summaries = b.groupBy(kcols :+ col("_op_bucket"): _*)
       .agg(max(col("_op_val")).as("_op_bmax"))
@@ -87,13 +118,13 @@ object OrderedPrefix {
       .withColumn("_op_prev", max(col("_op_bmax")).over(bucketWindow(keys)))
       .select(kcols :+ col("_op_bucket") :+ col("_op_prev"): _*)
     val wi = Window.partitionBy(kcols :+ col("_op_bucket"): _*)
-      .orderBy(col("_op_ord"), tie)
+      .orderBy(col("_op_ord"), col("_op_tie"))
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0L else -1L)
     // greatest() skips nulls: first bucket has no _op_prev, first row of a
     // bucket has no exclusive intra max — null only when both are absent.
     b.join(broadcast(offsets), keys :+ "_op_bucket")
       .withColumn(out, greatest(col("_op_prev"), max(col("_op_val")).over(wi)))
-      .drop("_op_ord", "_op_val", "_op_bucket", "_op_prev")
+      .drop("_op_ord", "_op_tie", "_op_val", "_op_bucket", "_op_prev")
   }
 
   /** 1-based rank and inclusive running sum of `value` in (ord, tie)
@@ -104,7 +135,7 @@ object OrderedPrefix {
     */
   def rankSum(rows: DataFrame, keys: Seq[String], ord: Column, tie: Column,
               value: Column, rankOut: String, sumOut: String): DataFrame = {
-    val b = bucketed(rows.withColumn("_op_val", value), keys, ord)
+    val b = bucketed(rows.withColumn("_op_val", value), keys, ord, tie)
     val kcols = keys.map(col)
     val summaries = b.groupBy(kcols :+ col("_op_bucket"): _*)
       .agg(count(lit(1)).as("_op_bcnt"), sum(col("_op_val")).as("_op_bsum"))
@@ -114,13 +145,13 @@ object OrderedPrefix {
       .withColumn("_op_soff", sum(col("_op_bsum")).over(wb))
       .select(kcols :+ col("_op_bucket") :+ col("_op_coff") :+ col("_op_soff"): _*)
     val wi = Window.partitionBy(kcols :+ col("_op_bucket"): _*)
-      .orderBy(col("_op_ord"), tie)
+      .orderBy(col("_op_ord"), col("_op_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val intraSum = sum(col("_op_val")).over(wi)
     b.join(broadcast(offsets), keys :+ "_op_bucket")
       .withColumn(rankOut, (col("_op_coff") + row_number().over(wi)).cast("long"))
       .withColumn(sumOut, coalesce(col("_op_soff") + intraSum, intraSum))
-      .drop("_op_ord", "_op_val", "_op_bucket", "_op_coff", "_op_soff")
+      .drop("_op_ord", "_op_tie", "_op_val", "_op_bucket", "_op_coff", "_op_soff")
   }
 
   /** Rank only (1-based position in (ord, tie) order within `keys`). */

@@ -117,7 +117,20 @@ object RankStress {
     val tMaxOld = time("runningmax_global_window", "rm")(rmaxNaive(docs))
     val tMaxNew = time("runningmax_rangebucketed", "rm")(rmaxSegmented(docs))
 
-    println(f"""{"summary":"rank_stress","rows":$n,"keys":$nKeys,"rank_speedup":${tRankOld / tRankNew}%.2f,"prefix_speedup":${tPfxOld / tPfxNew}%.2f,"runningmax_speedup":${tMaxOld / tMaxNew}%.2f}""")
+    // ---- value-ordered running max under HEAVY skew -----------------------
+    // 90% of rows share one order value — the distribution that
+    // collapsed the old width_bucket bounds into a single bucket.
+    // Equi-depth composite (ord, tie) cutoffs must keep the two-phase
+    // ratio alive here, not just on spread orders.
+    def skewed = docs.withColumn("ord",
+      when(pmod(col("id"), lit(10)) < 9, lit(1234.5)).otherwise(col("ord")))
+    diff = rmaxNaive(skewed).exceptAll(rmaxSegmented(skewed)).count() +
+      rmaxSegmented(skewed).exceptAll(rmaxNaive(skewed)).count()
+    require(diff == 0, s"skewed running-max plans disagree on $diff rows")
+    val tSkewOld = time("runningmax_skew_global_window", "rm")(rmaxNaive(skewed))
+    val tSkewNew = time("runningmax_skew_equidepth", "rm")(rmaxSegmented(skewed))
+
+    println(f"""{"summary":"rank_stress","rows":$n,"keys":$nKeys,"rank_speedup":${tRankOld / tRankNew}%.2f,"prefix_speedup":${tPfxOld / tPfxNew}%.2f,"runningmax_speedup":${tMaxOld / tMaxNew}%.2f,"runningmax_skew_speedup":${tSkewOld / tSkewNew}%.2f}""")
     spark.stop()
   }
 }

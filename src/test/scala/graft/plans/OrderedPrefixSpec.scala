@@ -99,6 +99,34 @@ class OrderedPrefixSpec extends AnyFunSuite {
     assert(got.toMap == expect)
   }
 
+  test("equi-depth buckets stay balanced under 90%-identical order values") {
+    // The shape that killed the old width_bucket bounds: 90% of rows
+    // share ONE order value (think a default timestamp), the rest
+    // spread. Equal-width bucketing files all mode rows into one
+    // bucket → one task sorts 90% of the data. Composite (ord, tie)
+    // equi-depth cutoffs split the heavy value by tie range, so the
+    // largest bucket stays within a small multiple of the even share.
+    val n = 100000
+    val df = spark.range(n).select(
+      col("id"),
+      when(pmod(col("id"), lit(10)) < 9, lit(1234.5))
+        .otherwise(col("id").cast("double") / 1000).as("ord"))
+    val sizes = OrderedPrefix.bucketed(df, Nil, col("ord"), col("id"))
+      .groupBy("_op_bucket").count()
+      .select("count").as[Long].collect()
+    assert(sizes.sum == n)
+    val even = n.toDouble / 254
+    assert(sizes.max <= 8 * even,
+      s"largest bucket ${sizes.max} vs even share $even — skew not split")
+    // and the result on this distribution still matches the brute force
+    val rows = df.select("id", "ord").as[(Long, Double)].collect()
+      .sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val got = OrderedPrefix.rank(df, Nil, col("ord"), col("id"), "rk")
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(got == rows)
+  }
+
   test("no data-sized unpartitioned window in the plan") {
     val df = mkRows(1000)
     val plan = OrderedPrefix.rankSum(df, Nil, col("ord"), col("id"),
