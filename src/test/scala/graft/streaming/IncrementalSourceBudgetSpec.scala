@@ -16,7 +16,8 @@ class IncrementalSourceBudgetSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private val Budget = 600L
 
-  private def streamed(nBatches: Int): Seq[IncrementalSourceBudget.BAdmit] = {
+  private def streamed(nBatches: Int, replayBatch: Option[Int] = None)
+      : Seq[IncrementalSourceBudget.BAdmit] = {
     val docs = IncrementalSourceBudget
       .fromDocuments(graft.table(spark, sfDir, "documents"))
       .collect().sortBy(d => (d.ord, d.doc_id))
@@ -26,10 +27,14 @@ class IncrementalSourceBudgetSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      docs.grouped(math.max(1, docs.length / nBatches + 1)).foreach { chunk =>
-        ms.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
+      docs.grouped(math.max(1, docs.length / nBatches + 1)).zipWithIndex
+        .foreach { case (chunk, i) =>
+          val times = if (replayBatch.contains(i)) 2 else 1
+          (1 to times).foreach { _ =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        }
     } finally q.stop()
     spark.table(name).as[IncrementalSourceBudget.BAdmit].collect().toSeq
   }
@@ -47,6 +52,19 @@ class IncrementalSourceBudgetSpec extends AnyFunSuite {
   test("single batch also matches (whole fold in one group iterator)") {
     assert(streamed(1).map(a => (a.doc_id, a.source, a.toks, a.cum_tokens))
       .toSet === batchRows)
+  }
+
+  test("redelivered micro-batch neither double-charges nor re-admits") {
+    // at-least-once simulation: batch 1 (0-indexed) of 3 is delivered
+    // TWICE. The admitted-id ledger must absorb the replay: admissions,
+    // running totals, and row multiplicities all identical to the
+    // clean run — exactly-once admission effect.
+    val clean = streamed(3).map(a => (a.doc_id, a.source, a.toks, a.cum_tokens))
+    val replayed = streamed(3, replayBatch = Some(1))
+      .map(a => (a.doc_id, a.source, a.toks, a.cum_tokens))
+    assert(replayed.sorted === clean.sorted)
+    assert(replayed.size === replayed.toSet.size, "a row was emitted twice")
+    assert(clean.toSet === batchRows)
   }
 
   test("greedy invariant holds per source: within one doc of quota") {
