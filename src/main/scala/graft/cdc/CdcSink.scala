@@ -80,18 +80,30 @@ class JdbcUpsertSink(factory: ConnectionFactory, batchSize: Int = 500,
     val (f, bs) = (factory, batchSize)
     df.foreachPartition { rows: Iterator[Row] =>
       JdbcUpsertSink.withConnection(f) { conn =>
-        val sts = units.map { case (sql, idx) => conn.prepareStatement(sql) -> idx }
-        var n = 0
-        def flush(): Unit = sts.foreach(_._1.executeBatch())
-        rows.foreach { r =>
-          sts.foreach { case (st, idx) =>
-            idx.zipWithIndex.foreach { case (ri, pi) => st.setObject(pi + 1, r.get(ri)) }
-            st.addBatch()
-          }
-          n += 1
-          if (n % bs == 0) flush()
+        JdbcUpsertSink.writeRows(conn, rows, units, bs)
+        conn.commit()
+      }
+    }
+  }
+
+  /** Like [[run]], but each partition first consults the batch ledger
+    * and skips its writes entirely when `(target, batchId, unit,
+    * partition)` was already committed — the ledger row is inserted in
+    * the SAME transaction as the data, so a crash before commit leaves
+    * no ledger entry and the replay re-applies cleanly. */
+  private def runIdempotent(df: DataFrame, units: Seq[(String, Seq[Int])],
+      target: String, batchId: Long, unit: String): Unit = {
+    val (f, bs) = (factory, batchSize)
+    df.foreachPartition { rows: Iterator[Row] =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      JdbcUpsertSink.withConnection(f) { conn =>
+        if (!JdbcUpsertSink.batchApplied(conn, target, batchId, unit, pid)) {
+          JdbcUpsertSink.writeRows(conn, rows, units, bs)
+          JdbcUpsertSink.recordBatch(conn, target, batchId, unit, pid)
+          conn.commit()
+        } else {
+          conn.rollback() // release the probe's read transaction
         }
-        flush(); conn.commit()
       }
     }
   }
@@ -103,6 +115,34 @@ class JdbcUpsertSink(factory: ConnectionFactory, batchSize: Int = 500,
     run(deleteKeys,
       Seq(JdbcUpsertSink.deleteSql(target, pks) -> deleteKeys.columns.indices.toSeq))
   }
+
+  /** [[applyChanges]] with an exactly-once EFFECT under replay: a
+    * transactional `(target, batch_id, unit, partition)` ledger row
+    * commits atomically with each partition's writes, and an
+    * already-ledgered partition skips the wire entirely.
+    *
+    * The reference's contract is at-least-once + idempotent row
+    * semantics (SURVEY §2-A C1) — replays converge but RE-WRITE every
+    * row. This upgrade makes the replay wire-invisible: zero statements
+    * reach the database the second time (JdbcSinkLiveSpec counts them,
+    * and proves via an out-of-band sentinel that a replay cannot even
+    * overwrite a concurrent manual fix). Defense in depth, not a
+    * replacement: if a replay arrives with a DIFFERENT partitioning
+    * (repartitioned job, changed AQE plan), unledgered partitions fall
+    * back to the idempotent upsert path and converge as before.
+    * `batchId` is the streaming micro-batch id (foreachBatch's) or any
+    * monotone replay-stable epoch.
+    */
+  def applyChangesIdempotent(target: String, pks: Seq[String],
+      upserts: DataFrame, deleteKeys: DataFrame, batchId: Long): Unit = {
+    JdbcUpsertSink.ensureLedger(factory)
+    val upCols = upserts.columns.toSeq.map(_.toLowerCase)
+    runIdempotent(upserts, dialect.upsert(target, upCols, pks),
+      target, batchId, "u")
+    runIdempotent(deleteKeys,
+      Seq(JdbcUpsertSink.deleteSql(target, pks) -> deleteKeys.columns.indices.toSeq),
+      target, batchId, "d")
+  }
 }
 
 object JdbcUpsertSink {
@@ -111,6 +151,68 @@ object JdbcUpsertSink {
       (f: java.sql.Connection => Unit): Unit = {
     val conn = factory.connect()
     try { conn.setAutoCommit(false); f(conn) } finally conn.close()
+  }
+
+  /** The shared prepared-statement write loop: every row through every
+    * unit's statement, flushed in `bs`-sized JDBC batches. Commits are
+    * the caller's responsibility. */
+  private[cdc] def writeRows(conn: java.sql.Connection, rows: Iterator[Row],
+      units: Seq[(String, Seq[Int])], bs: Int): Unit = {
+    val sts = units.map { case (sql, idx) => conn.prepareStatement(sql) -> idx }
+    var n = 0
+    def flush(): Unit = sts.foreach(_._1.executeBatch())
+    rows.foreach { r =>
+      sts.foreach { case (st, idx) =>
+        idx.zipWithIndex.foreach { case (ri, pi) => st.setObject(pi + 1, r.get(ri)) }
+        st.addBatch()
+      }
+      n += 1
+      if (n % bs == 0) flush()
+    }
+    flush()
+  }
+
+  /** Batch ledger: `(target, batch_id, unit, part_id)` primary key;
+    * `target` is a parameterized VALUE here (never interpolated), so
+    * arbitrary table names can't reach the ledger SQL. */
+  private[cdc] val LedgerTable = "graft_applied_batches"
+
+  private[cdc] def ensureLedger(factory: ConnectionFactory): Unit =
+    withConnection(factory) { conn =>
+      try {
+        conn.createStatement().execute(
+          s"CREATE TABLE $LedgerTable (target VARCHAR(128) NOT NULL, " +
+            "batch_id BIGINT NOT NULL, unit VARCHAR(8) NOT NULL, " +
+            "part_id INT NOT NULL, " +
+            "PRIMARY KEY (target, batch_id, unit, part_id))")
+        conn.commit()
+      } catch {
+        case _: java.sql.SQLException =>
+          conn.rollback() // table exists (no portable IF NOT EXISTS);
+          // probe it — anything else (permissions, bad schema) rethrows
+          conn.createStatement()
+            .executeQuery(s"SELECT COUNT(*) FROM $LedgerTable").close()
+          conn.rollback() // release the probe's read transaction
+      }
+    }
+
+  private[cdc] def batchApplied(conn: java.sql.Connection, target: String,
+      batchId: Long, unit: String, partId: Int): Boolean = {
+    val st = conn.prepareStatement(s"SELECT 1 FROM $LedgerTable " +
+      "WHERE target = ? AND batch_id = ? AND unit = ? AND part_id = ?")
+    st.setString(1, target); st.setLong(2, batchId)
+    st.setString(3, unit); st.setInt(4, partId)
+    val rs = st.executeQuery()
+    try rs.next() finally { rs.close(); st.close() }
+  }
+
+  private[cdc] def recordBatch(conn: java.sql.Connection, target: String,
+      batchId: Long, unit: String, partId: Int): Unit = {
+    val st = conn.prepareStatement(s"INSERT INTO $LedgerTable " +
+      "(target, batch_id, unit, part_id) VALUES (?, ?, ?, ?)")
+    st.setString(1, target); st.setLong(2, batchId)
+    st.setString(3, unit); st.setInt(4, partId)
+    st.executeUpdate(); st.close()
   }
 
   // Identifier whitelist: values are parameterized but identifiers are

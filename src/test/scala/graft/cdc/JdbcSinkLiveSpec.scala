@@ -59,6 +59,72 @@ class JdbcSinkLiveSpec extends AnyFunSuite {
     assert(after(1) == ("A2", "a2@x") && !after.contains(2) && after.size == 4)
   }
 
+  test("live Derby: batch-id ledger makes a replay wire-invisible") {
+    withConn(_.createStatement().execute(
+      "CREATE TABLE accounts (id INT PRIMARY KEY, val VARCHAR(64))"))
+    val sink = new JdbcUpsertSink(DriverManagerFactory(url, "", ""),
+      batchSize = 2, dialect = PortableUpsertDialect)
+    def state(): Map[Int, String] = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT id, val FROM accounts")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getInt(1) -> r.getString(2)).toMap
+    }
+    val ups = Seq((1, "v1"), (2, "v2"), (3, "v3")).toDF("id", "val")
+      .repartition(2)
+    val noDels = Seq.empty[Int].toDF("id")
+
+    sink.applyChangesIdempotent("accounts", Seq("id"), ups, noDels, batchId = 7L)
+    assert(state() == Map(1 -> "v1", 2 -> "v2", 3 -> "v3"))
+
+    // out-of-band sentinel: a plain idempotent replay would converge to
+    // the same values and hide the rewrite; the sentinel only survives
+    // if the replay truly sends ZERO statements
+    withConn(_.createStatement()
+      .executeUpdate("UPDATE accounts SET val = 'sentinel' WHERE id = 1"))
+    sink.applyChangesIdempotent("accounts", Seq("id"), ups, noDels, batchId = 7L)
+    assert(state()(1) == "sentinel", "replay re-wrote a ledgered partition")
+
+    // a NEW batch id is not ledgered and writes normally
+    sink.applyChangesIdempotent("accounts", Seq("id"),
+      Seq((1, "v9")).toDF("id", "val"), noDels, batchId = 8L)
+    assert(state()(1) == "v9")
+
+    val ledgered = withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM ${JdbcUpsertSink.LedgerTable} WHERE target = 'accounts'")
+      rs.next(); rs.getInt(1)
+    }
+    assert(ledgered >= 3) // 2 upsert partitions from batch 7 + batch 8's
+  }
+
+  test("recording fake: ledgered replay sends zero data statements") {
+    RecordingJdbc.log.clear(); RecordingJdbc.ledgerApplied = false
+    val sink = new JdbcUpsertSink(RecordingJdbc.Factory(), batchSize = 2)
+    val ups = Seq((1, "A"), (2, "B"), (3, "C"))
+      .toDF("id", "first_name").coalesce(1)
+    val noDels = Seq.empty[Int].toDF("id")
+    import scala.jdk.CollectionConverters._
+
+    sink.applyChangesIdempotent("customers", Seq("id"), ups, noDels, 3L)
+    val first = RecordingJdbc.log.asScala.toSeq
+    assert(first.exists(_.startsWith("exec(")), "first delivery must write")
+    assert(first.exists(_.startsWith(
+      s"update: INSERT INTO ${JdbcUpsertSink.LedgerTable}")),
+      "ledger row must be inserted with the data")
+    // 2 commits: ensureLedger's DDL transaction + the single data
+    // partition's (ledger row + rows, atomically)
+    assert(first.count(_ == "commit") == 2, "ledger + data in ONE transaction")
+
+    RecordingJdbc.log.clear(); RecordingJdbc.ledgerApplied = true
+    sink.applyChangesIdempotent("customers", Seq("id"), ups, noDels, 3L)
+    val replay = RecordingJdbc.log.asScala.toSeq
+    assert(replay.exists(_.startsWith("query(")), "replay consults the ledger")
+    assert(!replay.exists(_.startsWith("exec(")), "replay must not write data")
+    assert(!replay.exists(_.startsWith("update:")), "replay must not re-ledger")
+    // only ensureLedger's DDL transaction commits — zero data commits
+    assert(replay.count(_ == "commit") == 1, "replay must not commit data")
+  }
+
   test("recording fake: batch boundaries at batchSize and one commit per partition") {
     RecordingJdbc.log.clear()
     val sink = new JdbcUpsertSink(RecordingJdbc.Factory(), batchSize = 2)
@@ -92,6 +158,34 @@ object RecordingJdbc {
   val log: java.util.List[String] =
     java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
 
+  /** What the fake ledger answers to `batchApplied` probes. */
+  @volatile var ledgerApplied = false
+
+  private def resultSet(firstNext: Boolean): java.sql.ResultSet = {
+    var consumed = false
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.ResultSet]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "next" =>
+            val r = !consumed && firstNext; consumed = true
+            java.lang.Boolean.valueOf(r)
+          case _ => defaultFor(m.getReturnType)
+        }
+      }).asInstanceOf[java.sql.ResultSet]
+  }
+
+  private def plainStatement(): java.sql.Statement =
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "execute" => log.add(s"ddl: ${args(0)}"); java.lang.Boolean.FALSE
+          case "executeQuery" => resultSet(firstNext = true)
+          case _ => defaultFor(m.getReturnType)
+        }
+      }).asInstanceOf[java.sql.Statement]
+
   private def defaultFor(t: Class[_]): AnyRef = t match {
     case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
     case java.lang.Integer.TYPE => Integer.valueOf(0)
@@ -110,6 +204,10 @@ object RecordingJdbc {
           case "executeBatch" =>
             if (pending > 0) log.add(s"exec($pending): $sql")
             val r = Array.fill(pending)(1); pending = 0; r
+          case "executeQuery" =>
+            log.add(s"query($sql)"); resultSet(ledgerApplied)
+          case "executeUpdate" =>
+            log.add(s"update: $sql"); Integer.valueOf(1)
           case "close" => null
           case other => defaultFor(m.getReturnType)
         }
@@ -122,6 +220,7 @@ object RecordingJdbc {
         new InvocationHandler {
           def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
             case "setAutoCommit" => log.add(s"autocommit(${args(0)})"); null
+            case "createStatement" => plainStatement()
             case "prepareStatement" => statement(args(0).toString)
             case "commit" => log.add("commit"); null
             case "close" => log.add("close"); null
