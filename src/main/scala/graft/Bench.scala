@@ -130,16 +130,47 @@ object Bench {
         okByName(name) = perRun.forall(_._3)
       }
     }
+    // Dedicated memo-cold runs (round-7 verdict #5): a memo_mixed
+    // query's cold basis can shrink to a SINGLE sample — one noisy
+    // window away from a misleading official median. Each mixed query
+    // gets one extra timed execution with the memos cleared immediately
+    // before it, so its official median covers >= 2 same-condition
+    // (memo-cold) samples. Listed in "cold_extra" in the JSON.
+    val coldExtra = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def timedColdRun(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Option[Double] = {
+      graft.operators.DedupOps.clearMemos()
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] cold run $name FAILED: ${e.getMessage}"); false }
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    }
+    selected.foreach { case (name, fn) =>
+      if (memoMixed.contains(name) && okByName.getOrElse(name, false)) {
+        timedColdRun(name, fn) match {
+          case Some(secs) =>
+            basisByName(name) = basisByName(name) :+ secs
+            coldExtra(name) = 1
+          case None => okByName(name) = false
+        }
+      }
+    }
     // Retry pass (round-6 verdict #1): a loaded driver box can land
     // noise in 2-of-3 runs of a scattered query, putting the median far
-    // above the min on an already-audited trivial plan. Any never-memo-
-    // served query whose median exceeds 2x its min (and by more than
-    // 0.1 s — sub-0.1 s jitter is not noise worth chasing) gets extra
-    // timed executions, one at a time, medians recomputed over the grown
-    // sample set, until the ratio clears or the retry budget (default 3
-    // per query) runs out. Memo-consuming queries are excluded: a retry
-    // here would serve from whatever memo state the last run left, which
-    // is neither condition.
+    // above the min on an already-audited trivial plan. Any query whose
+    // median exceeds 2x its min (and by more than 0.1 s — sub-0.1 s
+    // jitter is not noise worth chasing) gets extra timed executions,
+    // one at a time, medians recomputed over the grown sample set,
+    // until the ratio clears or the retry budget (default 3 per query)
+    // runs out. Every retry clears the memos first, so memo-MIXED
+    // queries retry under the same memo-cold condition their official
+    // basis now measures (round-7 verdict #5 — previously every
+    // memo-consuming query was exempt and showed the residual noise).
+    // Only queries memo-served in ALL runs stay exempt: their basis is
+    // consistently the served condition, which a cold retry would
+    // contaminate rather than defend.
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def suspect(xs: Seq[Double]): Boolean = {
@@ -147,21 +178,16 @@ object Bench {
       m > 2 * mn && m - mn > 0.1
     }
     selected.foreach { case (name, fn) =>
-      if (!memoServed.contains(name) && basisByName.contains(name) &&
-          okByName(name)) {
+      val allServed = memoServed.contains(name) && !memoMixed.contains(name)
+      if (!allServed && basisByName.contains(name) && okByName(name)) {
         var extra = 0
         while (suspect(basisByName(name)) && extra < maxRetries) {
-          System.gc()
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case e: Throwable =>
-                     System.err.println(s"[bench] retry $name FAILED: ${e.getMessage}"); false }
-          val secs = (System.nanoTime() - t0) / 1e9
-          if (!ok) { okByName(name) = false; extra = maxRetries }
-          else {
-            basisByName(name) = basisByName(name) :+ secs
-            extra += 1
-            retried(name) = extra
+          timedColdRun(name, fn) match {
+            case Some(secs) =>
+              basisByName(name) = basisByName(name) :+ secs
+              extra += 1
+              retried(name) = extra
+            case None => okByName(name) = false; extra = maxRetries
           }
         }
       }
@@ -186,6 +212,8 @@ object Bench {
     val mixedJson = memoMixed.map(q => s"\"" + q + "\"").mkString("[", ",", "]")
     val retriedJson = retried.map { case (q, n) => s"\"" + q + "\":" + n }
       .mkString("{", ",", "}")
+    val coldExtraJson = coldExtra.map { case (q, n) => s"\"" + q + "\":" + n }
+      .mkString("{", ",", "}")
     // "total" is a sum of per-query medians, not one wall-clock pass;
     // "total_min" (sum of per-query minima) is the noise floor — the
     // defensible figure when the capture ran on a loaded box, promoted to
@@ -194,7 +222,7 @@ object Bench {
     val totalMin = results.map(_._3).sum
     val completedRuns = timings.size
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"cold_extra":$coldExtraJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout capture upstream truncates long output and keeps the TAIL:
     // end with a short self-contained summary line (total + slowest 5)
