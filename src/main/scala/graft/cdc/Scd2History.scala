@@ -43,8 +43,13 @@ object Scd2History {
     StructField("image", StringType)))
 
   def history(raw: DataFrame, catalog: CdcCatalog): DataFrame = {
-    val dec = Decode.decode(raw, Envelope.dynamicRowSchema)
-      .filter(col("ts_ms").isNotNull)
+    // loopInput (lazy localCheckpoint): the decoded feed is read once
+    // per table branch PLUS once for the distinct listing — without it
+    // the raw JSON re-parses (tables + 1) times (round-7 advice #3;
+    // the same pattern every CC loop in DedupOps uses).
+    val dec = graft.operators.DedupOps.loopInput(
+      Decode.decode(raw, Envelope.dynamicRowSchema)
+        .filter(col("ts_ms").isNotNull))
     val groups = dec.select("db", "table").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
     if (groups.isEmpty)

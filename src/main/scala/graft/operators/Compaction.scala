@@ -40,7 +40,16 @@ object Compaction {
   }
 
   /** Rewrite `dir` into ~`targetBytes`-sized parquet files; returns
-    * (filesBefore, filesAfter). */
+    * (filesBefore, filesAfter).
+    *
+    * LOCAL FILESYSTEM ONLY: the stats walk and the rename swap go
+    * through `java.io.File`, so `dir` must be a local path — HDFS/S3
+    * object stores have no atomic directory rename and need a
+    * transactional table format instead. If the second rename of the
+    * swap fails, the old file set is rolled back to the live path
+    * before the error surfaces — a crash can strand a stale
+    * `_compact_tmp`/`_compact_old` sibling (cleaned on the next run),
+    * but the live path always holds a complete file set. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
       preserveSortWithin: Seq[String] = Nil): (Int, Int) = {
     val (bytes, before) = stats(spark, dir)
@@ -63,7 +72,14 @@ object Compaction {
     }
     rm(oldF)
     require(dirF.renameTo(oldF), s"swap failed: $dir -> $old")
-    require(tmpF.renameTo(dirF), s"swap failed: $tmp -> $dir")
+    if (!tmpF.renameTo(dirF)) {
+      // restore the live path before surfacing the failure — the table
+      // must never stay stranded at _compact_old
+      val restored = oldF.renameTo(dirF)
+      throw new IllegalStateException(s"swap failed: $tmp -> $dir" +
+        (if (restored) " (old file set rolled back)"
+         else s"; ROLLBACK ALSO FAILED — table is at $old"))
+    }
     rm(oldF)
     val (_, after) = stats(spark, dir)
     (before, after)

@@ -144,7 +144,7 @@ object Coverage13 {
         |  SELECT doc_id, lang,
         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
         |      / length(text) AS score
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |t AS (
         |  SELECT lang, score,
         |    ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id) AS tile
@@ -158,7 +158,13 @@ object Coverage13 {
       // loopInput: the scored projection feeds the per-key rank, its
       // range bounds, and the per-language counts — checkpointing the
       // (doc_id, lang, score) rows runs the regexp scan once, not 3×.
+      // Empty documents are filtered BEFORE scoring on both engines: a
+      // 0-length text yields a null score, which OrderedPrefix would
+      // drop from the rank while `cnt` still counted it, skewing the
+      // NTILE arithmetic (round-7 advice #2 — latent until a corpus
+      // regeneration ships an empty text).
       val sc = DedupOps.loopInput(table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("lang"),
           (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
             / length(col("text"))).as("score")))
