@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgMaxBy, FreqSketch, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot, ZInterleave}
+import graft.functions.{ArgMaxBy, CompositeLowerBound, FreqSketch, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot, ZInterleave}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -63,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),
       (children: Seq[Expression]) =>
         graft.functions.SrpExpressions.bucketsBuilder(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("composite_lower_bound"),
+      new ExpressionInfo(classOf[CompositeLowerBound].getName,
+        "composite_lower_bound"),
+      (children: Seq[Expression]) =>
+        CompositeLowerBound(children(0), children(1), children(2), children(3))))
   }
 }

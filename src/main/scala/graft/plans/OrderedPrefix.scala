@@ -51,7 +51,14 @@ object OrderedPrefix {
   private val NB = 254
   private val SEED = 0xC0FFEE
 
-  /** ≤ NB-1 equally-spaced 1-based picks from a sorted array column. */
+  /** ≤ NB-1 equally-spaced 1-based picks from a sorted array column.
+    * `sorted` MUST be a bound column reference, not a computed
+    * expression: it is referenced from inside the `transform` lambda,
+    * and Spark does not common-subexpression-eliminate across lambda
+    * boundaries — a nested `sort_array(...)` here re-sorts the array
+    * once per generated index (253× per row; measured 10× the entire
+    * bucketing cost before the callers materialized the sort into its
+    * own projection). */
   private def pickEvery(sorted: Column): Column = {
     val picks = transform(sequence(lit(1), lit(NB - 1)),
       i => try_element_at(sorted,
@@ -75,16 +82,20 @@ object OrderedPrefix {
       .sample(withReplacement = false, 1.0 / NB, SEED)
       .select(kcols :+ cand.as("_op_c")
         :+ pmod(xxhash64(col("_op_ord"), col("_op_tie")), lit(NB)).as("_op_cell"): _*)
-    // level 1: per (key, cell) sorted slice → local equally-spaced picks
+    // level 1: per (key, cell) sorted slice → local equally-spaced
+    // picks. The sort lands in its OWN projection so pickEvery reads a
+    // bound reference (see pickEvery's lambda-CSE note).
     val level1 = sampled
       .groupBy(kcols :+ col("_op_cell"): _*)
-      .agg(pickEvery(sort_array(collect_list(col("_op_c")))).as("_op_picks"))
+      .agg(sort_array(collect_list(col("_op_c"))).as("_op_sorted"))
+      .select(kcols :+ pickEvery(col("_op_sorted")).as("_op_picks"): _*)
     // level 2: merge ≤ NB×(NB-1) candidates → final cutoffs, split into
     // parallel (ord, tie) arrays for the binary-search expression
-    val mergedPick = pickEvery(sort_array(flatten(collect_list(col("_op_picks")))))
+    val merged = sort_array(flatten(collect_list(col("_op_picks"))))
     val cuts0 =
-      if (keys.isEmpty) level1.agg(mergedPick.as("_op_cuts"))
-      else level1.groupBy(kcols: _*).agg(mergedPick.as("_op_cuts"))
+      (if (keys.isEmpty) level1.agg(merged.as("_op_all"))
+       else level1.groupBy(kcols: _*).agg(merged.as("_op_all")))
+        .select(kcols :+ pickEvery(col("_op_all")).as("_op_cuts"): _*)
     val cuts = cuts0.select(kcols
       :+ transform(col("_op_cuts"), c => c.getField("o")).as("_op_co")
       :+ transform(col("_op_cuts"), c => c.getField("t")).as("_op_ct"): _*)

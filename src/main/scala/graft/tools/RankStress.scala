@@ -121,14 +121,26 @@ object RankStress {
     // 90% of rows share one order value — the distribution that
     // collapsed the old width_bucket bounds into a single bucket.
     // Equi-depth composite (ord, tie) cutoffs must keep the two-phase
-    // ratio alive here, not just on spread orders.
+    // ratio alive here, not just on spread orders. The tiebreaker is
+    // the md5 `key` (OrderedPrefix's tie is type-generic), NOT `id`:
+    // with tie=id the mode rows arrive already id-sorted, so the naive
+    // single-task sort gets near-linear TimSort runs as a generation
+    // artifact — real skewed orders don't ship a presorted tiebreaker.
     def skewed = docs.withColumn("ord",
       when(pmod(col("id"), lit(10)) < 9, lit(1234.5)).otherwise(col("ord")))
-    diff = rmaxNaive(skewed).exceptAll(rmaxSegmented(skewed)).count() +
-      rmaxSegmented(skewed).exceptAll(rmaxNaive(skewed)).count()
+    def rmaxSkewNaive(d: DataFrame): DataFrame = {
+      val w = Window.orderBy("ord", "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("rm", max(col("v")).over(w)).select("id", "rm")
+    }
+    def rmaxSkewSegmented(d: DataFrame): DataFrame =
+      graft.plans.OrderedPrefix.runningMax(d, Nil, col("ord"), col("key"),
+        col("v"), "rm").select("id", "rm")
+    diff = rmaxSkewNaive(skewed).exceptAll(rmaxSkewSegmented(skewed)).count() +
+      rmaxSkewSegmented(skewed).exceptAll(rmaxSkewNaive(skewed)).count()
     require(diff == 0, s"skewed running-max plans disagree on $diff rows")
-    val tSkewOld = time("runningmax_skew_global_window", "rm")(rmaxNaive(skewed))
-    val tSkewNew = time("runningmax_skew_equidepth", "rm")(rmaxSegmented(skewed))
+    val tSkewOld = time("runningmax_skew_global_window", "rm")(rmaxSkewNaive(skewed))
+    val tSkewNew = time("runningmax_skew_equidepth", "rm")(rmaxSkewSegmented(skewed))
 
     println(f"""{"summary":"rank_stress","rows":$n,"keys":$nKeys,"rank_speedup":${tRankOld / tRankNew}%.2f,"prefix_speedup":${tPfxOld / tPfxNew}%.2f,"runningmax_speedup":${tMaxOld / tMaxNew}%.2f,"runningmax_skew_speedup":${tSkewOld / tSkewNew}%.2f}""")
     spark.stop()
