@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgMaxBy, CompositeLowerBound, FreqSketch, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot, ZInterleave}
+import graft.functions.{ArgMaxBy, BloomMightContain, CompositeLowerBound, FreqSketch, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot, ZInterleave}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),
       (children: Seq[Expression]) =>
         graft.functions.SrpExpressions.bucketsBuilder(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("composite_lower_bound"),
       new ExpressionInfo(classOf[CompositeLowerBound].getName,

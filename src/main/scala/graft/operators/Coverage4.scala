@@ -222,13 +222,16 @@ object Coverage4 {
       // wastes a few MB of broadcast, and a production eval suite has a
       // known size to plug in here. 4M grams @ 1% fpp ≈ 4.8 MB.
       val bloom = ev.stat.bloomFilter("gh", 4L * 1024 * 1024, 0.01)
-      val bloomBc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((h: Long) => bloomBc.value.mightContain(h))
       // prefilter on the 8-byte hash (cheap, scan-side); JOIN on the
       // gram string (exact — hash collisions die here, not in the
       // output). The hash is dropped before the exchange on BOTH sides:
-      // it exists only for the scan-side filter.
-      tr.filter(mightContain(col("gh"))).select("train_id", "g")
+      // it exists only for the scan-side filter. The probe is the
+      // codegen'd BloomMightContain expression (no per-row boxing, the
+      // whole-stage span over the scan stays intact); the serialized
+      // filter rides the plan, which Spark ships once per executor via
+      // the broadcast task binary.
+      tr.filter(graft.functions.BloomExpressions.probe(s, bloom, col("gh")))
+        .select("train_id", "g")
         .join(ev.drop("gh"), "g")
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("shared_ngrams"))
