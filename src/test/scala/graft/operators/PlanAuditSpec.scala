@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: converts each round's manual finalized-
+  * plan audit (the judge's scale review) into enforced invariants, so a
+  * future edit that silently degrades a headline plan — a broadcast
+  * that becomes a sort-merge join, a pushed filter that stops reaching
+  * the scan, an extra exchange sneaking into a dedup pipeline — fails
+  * CI instead of surfacing in the next round's bench.
+  *
+  * Checks per audited query (finalized ADAPTIVE plan at sf0.001, the
+  * same condition `Explain --summary` reports):
+  *
+  *  - NO `CartesianProduct` anywhere, ever (the round-7 audit found
+  *    zero data-sized cartesians across all 219 — pinned here);
+  *  - `SortMergeJoin` only where the audit justifies it (q_join_full:
+  *    full-outer on a data-sized pair cannot broadcast) — everything
+  *    else must keep resolving to broadcast-hash (or hashed-shuffle)
+  *    joins at dimension-table sizes;
+  *  - hash-exchange count stays within a pinned per-query budget
+  *    (budgets are the audited r8 counts — a regression that ADDS a
+  *    shuffle to these plans must be deliberate and re-pin);
+  *  - no `ScalaUDF` in any audited plan (the codegen-span discipline:
+  *    the only intentional UDFs live in q_udf_* which are not audited).
+  *
+  * Plan strings are AQE-finalized: the query is EXECUTED via its own
+  * `queryExecution.toRdd` (a derivative action like count() would plan
+  * a different tree and leave this one un-finalized — the
+  * Explain.scala lesson), then the executedPlan rendered.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private case class Budget(maxExchanges: Int, allowSmj: Boolean = false)
+
+  /** The audited set: the bench's expensive five, TPC-H's heaviest
+    * topologies, one representative per major family, and the one
+    * justified sort-merge join. Budgets = observed r8 counts. */
+  private val audited: Seq[(String, Budget)] = Seq(
+    "q_tpch_q1" -> Budget(maxExchanges = 1),
+    "q_tpch_q3" -> Budget(maxExchanges = 1),
+    "q_tpch_q9" -> Budget(maxExchanges = 2),
+    "q_tpch_q21" -> Budget(maxExchanges = 1),
+    "q_join_full" -> Budget(maxExchanges = 2, allowSmj = true),
+    "q_dedup_minhash_lsh" -> Budget(maxExchanges = 1),
+    "q_dedup_containment_capped" -> Budget(maxExchanges = 6),
+    "q_dedup_threshold_curve" -> Budget(maxExchanges = 6),
+    "q_triangle_count" -> Budget(maxExchanges = 5),
+    // three independent OrderedPrefix two-phase ranks (sample, bucket
+    // aggregate, intra-bucket window each) + the score joins — wide by
+    // design; the budget pins it from growing further
+    "q_rfm_segments" -> Budget(maxExchanges = 17),
+    "q_corpus_prep" -> Budget(maxExchanges = 5),
+    "q_sim_topk" -> Budget(maxExchanges = 0),
+    "q_decontaminate_bloom" -> Budget(maxExchanges = 1),
+    "q_state_at" -> Budget(maxExchanges = 1)
+  )
+
+  private def finalizedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    // AdaptiveSparkPlan toString renders "Final Plan" AND "Initial
+    // Plan" sections — cut at the initial marker or every pre-AQE node
+    // (including SMJs that the runtime replaced with broadcasts) counts
+    // as if it survived (the Explain.scala lesson).
+    val full = df.queryExecution.executedPlan.toString
+    full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+  }
+
+  audited.foreach { case (name, budget) =>
+    test(s"$name: finalized plan within audit budget") {
+      val plan = finalizedPlan(name)
+      val exchanges = "Exchange (hash|range|SinglePartition)".r
+        .findAllIn(plan).size
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      val cartesian = plan.contains("CartesianProduct")
+      val scalaUdf = plan.contains("ScalaUDF")
+      info(s"$name: exchanges=$exchanges smj=$smj")
+      assert(!cartesian, s"$name grew a CartesianProduct:\n${plan.take(1500)}")
+      assert(!scalaUdf, s"$name has a ScalaUDF in the hot path:\n${plan.take(1500)}")
+      if (!budget.allowSmj)
+        assert(smj == 0,
+          s"$name fell back to SortMergeJoin ($smj):\n${plan.take(1500)}")
+      assert(exchanges <= budget.maxExchanges,
+        s"$name exchange count grew: $exchanges > ${budget.maxExchanges}\n" +
+          plan.take(1500))
+    }
+  }
+}
