@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The incrementally-maintained IVF index must be indistinguishable
+  * from a one-shot assignment against the same fixed centroids:
+  *
+  *  1. stream==batch — ingesting the corpus as bootstrap + 2
+  *     micro-batches yields exactly the (vec_id, centroid_id)
+  *     assignment of `ivfAssignTo(fullCorpus, centroids)`, and
+  *     `IvfIndex.search` over the maintained directory returns exactly
+  *     `SimilarityOps.ivfSearch` over that one-shot assignment;
+  *  2. replay-idempotence — re-processing an already-ingested batch id
+  *     (foreachBatch at-least-once) leaves the index byte-identical:
+  *     the batch-id-keyed overwrite replaces its own previous attempt;
+  *  3. pruning — the probe's scan selects only the probed centroid_id
+  *     directories (across batch= subdirs), not the whole index.
+  */
+class IncrementalIvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def corpus = graft.table(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private def assignedSet(dir: String): Set[(Long, Long)] =
+    spark.read.parquet(s"$dir/assigned")
+      .select(col("vec_id").cast("long"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("stream-maintained index == one-shot assignment; replay idempotent; probe prunes") {
+    val dir = Files.createTempDirectory("inc-ivf").toString
+    val ckpt = Files.createTempDirectory("inc-ivf-ckpt").toString
+
+    val boot = corpus.filter(col("vec_id") % 3 === 0)
+    // modulus 23 over the %3 bootstrap slice → ids ≡ 0 (mod 69): ~8
+    // centroids at sf0.001, enough that a 2-query nprobe=2 probe CAN'T
+    // cover them all and the pruning assertion below is meaningful
+    IncrementalIvf.bootstrap(boot, dir, 23)
+
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = IncrementalIvf.start(
+      ms.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    try {
+      (1 to 2).foreach { m =>
+        ms.addData(corpus.filter(col("vec_id") % 3 === m)
+          .as[(Long, Array[Float])].collect().toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // 1a. assignment equality with the one-shot twin (same centroids)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val oneShot = SimilarityOps.ivfAssignTo(corpus, centroids)
+    val expected = oneShot.select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = assignedSet(dir)
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.size == corpus.count(), "duplicate or dropped vectors")
+
+    // 1b. search equality through the shared probe path
+    val queries = corpus.filter(col("vec_id") % 101 === 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    assert(queries.count() >= 2)
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaIndex = asSet(
+      IncrementalIvf.index(spark, dir).search(queries, k = 5, nprobe = 2))
+    val viaBatch = asSet(
+      SimilarityOps.ivfSearch(oneShot, centroids, queries, k = 5, nprobe = 2))
+    assert(viaIndex == viaBatch, s"diff=${(viaIndex -- viaBatch).take(3)}")
+    assert(viaIndex.nonEmpty)
+
+    // 2. replay: redeliver stream batch 1 (the m==2 slice landed as
+    // batch=2: stream ids are 0-based and shifted past the bootstrap)
+    IncrementalIvf.processBatch(
+      corpus.filter(col("vec_id") % 3 === 2), dir, 2L)
+    assert(assignedSet(dir) == got, "replayed batch changed the index")
+
+    // 3. probe pruning: the search scan must select only probed
+    // centroid_id leaves, not every (batch, centroid) directory
+    val totalLeaves = spark.read.parquet(s"$dir/assigned")
+      .select("batch", "centroid_id").distinct().count()
+    val searchDf =
+      IncrementalIvf.index(spark, dir).search(queries, k = 5, nprobe = 2)
+    searchDf.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++ (other match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      })
+    }
+    val selected = scans(searchDf.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    assert(selected.nonEmpty && selected.forall(_ > 0))
+    assert(selected.max < totalLeaves,
+      s"probe scanned all $totalLeaves leaves (selected=$selected)")
+  }
+}
