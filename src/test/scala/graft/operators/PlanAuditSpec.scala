@@ -51,8 +51,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_triangle_count" -> Budget(maxExchanges = 5),
     // three independent OrderedPrefix two-phase ranks (sample, bucket
     // aggregate, intra-bucket window each) + the score joins — wide by
-    // design; the budget pins it from growing further
-    "q_rfm_segments" -> Budget(maxExchanges = 17),
+    // design; the budget pins it from growing further. 17 observed
+    // alone; +2 slack because exchange REUSE (which prints a reused
+    // node instead of an Exchange) varies with suite execution order
+    "q_rfm_segments" -> Budget(maxExchanges = 19),
     "q_corpus_prep" -> Budget(maxExchanges = 5),
     "q_sim_topk" -> Budget(maxExchanges = 0),
     "q_decontaminate_bloom" -> Budget(maxExchanges = 1),
@@ -70,6 +72,28 @@ class PlanAuditSpec extends AnyFunSuite {
     full.indexOf("== Initial Plan ==") match {
       case -1 => full
       case i => full.substring(0, i)
+    }
+  }
+
+  /** Pushdown dimension: for queries whose selectivity lives in scan
+    * predicates, the parquet scan must carry non-empty PushedFilters —
+    * a filter evaluated post-scan instead reads the whole column set
+    * of the whole corpus at 100 TB. */
+  // (not q_tpch_q19: its triple-brand predicate matches ZERO rows at
+  // sf0.001 and AQE's EmptyRelation propagation erases the scans —
+  // nothing left to audit; its OR-extraction pushdown is visible via
+  // Explain at sf0.01)
+  private val mustPushFilters = Seq("q_tpch_q6", "q_proj_filter", "q_filter_like")
+
+  mustPushFilters.foreach { name =>
+    test(s"$name: selective predicates reach the parquet scan") {
+      val plan = finalizedPlan(name)
+      // plan toString truncates long filter lists ("...", no closing
+      // bracket) — only require a non-empty list start
+      val pushed = "PushedFilters: \\[(?!\\])[^,\\n]+".r.findAllIn(plan).toList
+      assert(pushed.nonEmpty,
+        s"$name has no non-empty PushedFilters:\n${plan.take(2000)}")
+      info(s"$name: ${pushed.head.take(140)}")
     }
   }
 
