@@ -35,11 +35,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    assignments to one-shot `ivfAssignTo` against the same
   *    centroids. Retraining (drifted corpus) is the offline path —
   *    `IvfIndex.buildTrained` into a fresh directory, then swap;
-  *  - many small batches accumulate small files: compact per
-  *    centroid with [[graft.operators.Compaction]] during retention
-  *    maintenance (the batch= level is an implementation detail a
-  *    compaction pass may collapse, because search never filters on
-  *    it).
+  *  - many small batches accumulate small files: [[consolidate]] rolls
+  *    the whole batch history into a single `batch=0` in a FRESH
+  *    directory (same centroids, swap readers when done) — root-level
+  *    [[graft.operators.Compaction]] would flatten the partition
+  *    directories and cost search its file-level pruning, so the
+  *    maintenance pass must rewrite through `partitionBy` instead.
   */
 object IncrementalIvf {
 
@@ -81,6 +82,24 @@ object IncrementalIvf {
         processBatch(batch, dir, id + 1)
       }
       .start()
+
+  /** Small-files maintenance: rewrite the accumulated batch history as
+    * one consolidated `batch=0` under `intoDir` (centroids copied
+    * unchanged), preserving the partition layout — and therefore
+    * search's file pruning — that a flat compaction of the root would
+    * destroy. Offline pass: swap readers to `intoDir` when it
+    * completes, then resume the stream against it (next batch ids
+    * continue from the stream's checkpoint; collisions are impossible
+    * because batch=0 is reserved for bootstrap/consolidation). */
+  def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    spark.read.parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$intoDir/centroids")
+    spark.read.parquet(s"$dir/assigned")
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$intoDir/assigned/batch=0")
+  }
 
   /** Open the maintained index for search (same probe path as the
     * batch-built index — the layout contract is shared). */

@@ -97,6 +97,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_tpch_q19: per-side OR-extraction reaches both scans (sf0.01)") {
+    // the disjunctive-predicate showcase — Catalyst must extract the
+    // per-side disjunctions from the OR-of-ANDs and push them to BOTH
+    // scans (l_quantity range union to lineitem, brand/size union to
+    // part). Run at sf0.01: at sf0.001 the predicate matches zero rows
+    // and AQE's EmptyRelation propagation erases the scans.
+    val df = SparkEntry.queries("q_tpch_q19")(spark, "/root/testdata/sf0.01")
+    df.queryExecution.toRdd.count()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert("PushedFilters: \\[[^\\n]*l_quantity".r.findAllIn(plan).nonEmpty,
+      s"lineitem scan lost the extracted quantity disjunction:\n${plan.take(2000)}")
+    assert("PushedFilters: \\[[^\\n]*p_brand".r.findAllIn(plan).nonEmpty,
+      s"part scan lost the extracted brand/size disjunction:\n${plan.take(2000)}")
+  }
+
   audited.foreach { case (name, budget) =>
     test(s"$name: finalized plan within audit budget") {
       val plan = finalizedPlan(name)

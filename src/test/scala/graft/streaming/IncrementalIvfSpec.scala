@@ -108,5 +108,18 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(selected.nonEmpty && selected.forall(_ > 0))
     assert(selected.max < totalLeaves,
       s"probe scanned all $totalLeaves leaves (selected=$selected)")
+
+    // 4. consolidation: batch history rolled into one batch=0 in a
+    // fresh dir — same assignments, same search results, layout (and
+    // pruning) preserved
+    val dir2 = Files.createTempDirectory("inc-ivf-consolidated").toString
+    IncrementalIvf.consolidate(spark, dir, dir2)
+    assert(assignedSet(dir2) == got, "consolidation changed assignments")
+    val viaConsolidated = asSet(
+      IncrementalIvf.index(spark, dir2).search(queries, k = 5, nprobe = 2))
+    assert(viaConsolidated == viaIndex, "consolidation changed search results")
+    val leaves2 = spark.read.parquet(s"$dir2/assigned")
+      .select("batch", "centroid_id").distinct().count()
+    assert(leaves2 < totalLeaves, "consolidation did not reduce leaf count")
   }
 }
