@@ -67,4 +67,27 @@ object OrderedPrefixProps extends Properties("ordered_prefix") {
         }.toMap
       got == expect
     }
+
+  // STRING tiebreakers drive CompositeLowerBound's type-generic compare
+  // (ctx.genComp / getInterpretedOrdering on UTF8String) — the path the
+  // long-tie properties above never touch. Same contract: rank equals
+  // the sequential fold sorted by (ord, tieString).
+  property("rank with STRING ties == sequential fold (genComp path)") =
+    Prop.forAll(rowsGen) { xs =>
+      import spark.implicits._
+      val df = xs.zipWithIndex
+        .map { case ((ord, v), i) =>
+          (i.toLong, s"t${(v * 7919 + i) % 97}%02d-$i", ord) }
+        .toDF("id", "tie", "ord")
+      val got = OrderedPrefix.rank(df, Nil, col("ord"), col("tie"), "rk")
+        .select(col("id"), col("rk"))
+        .as[(Long, Long)].collect().toMap
+      val expect = xs.zipWithIndex
+        .map { case ((ord, v), i) =>
+          (i.toLong, s"t${(v * 7919 + i) % 97}%02d-$i", ord) }
+        .sortBy { case (_, tie, ord) => (ord, tie) }
+        .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1).toLong }
+        .toMap
+      got == expect
+    }
 }
