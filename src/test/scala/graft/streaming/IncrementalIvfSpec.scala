@@ -121,5 +121,23 @@ class IncrementalIvfSpec extends AnyFunSuite {
     val leaves2 = spark.read.parquet(s"$dir2/assigned")
       .select("batch", "centroid_id").distinct().count()
     assert(leaves2 < totalLeaves, "consolidation did not reduce leaf count")
+
+    // 5. checkpoint restart: a NEW query over the same checkpoint and
+    // source continues the batch-id sequence — earlier batches are not
+    // rewritten and the new vectors land in the next batch dir
+    val extra = corpus.filter(col("vec_id") % 3 === 1)
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id + 100000L, e) }.toSeq
+    val q2 = IncrementalIvf.start(
+      ms.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    try {
+      ms.addData(extra)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(new java.io.File(s"$dir/assigned/batch=3").isDirectory,
+      "restarted stream did not continue the batch-id sequence")
+    val after = assignedSet(dir)
+    assert(after.map(_._1) == got.map(_._1) ++ extra.map(_._1).toSet,
+      "restart lost or duplicated vectors")
   }
 }
