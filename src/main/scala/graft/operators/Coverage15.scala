@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 extension wave: corpus-hygiene operators that finish the
+  * document-dedup story — exact repeated-SUBSTRING detection (the
+  * suffix-array-style step that document- and passage-level dedup both
+  * miss) and weighted deterministic sampling.
+  *
+  * Reference scope: the reference has no analytics surface beyond mirror
+  * SELECTs (/root/reference/README.md:85-134); these are LLM-pipeline
+  * extensions over the driver corpus, per the §2-B extension rows.
+  */
+object Coverage15 {
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- exact substring dedup (sliding 8-gram spans, keep-first) ------
+    // The dedup layer BETWEEN exact-document and fixed-passage dedup:
+    // find every maximal token span whose 8-gram content occurred
+    // earlier in the corpus (global (doc_id, pos) order) and measure
+    // what a keep-first-occurrence substring dedup would remove per
+    // document. Unlike q_dedup_passages (fixed 8-word segmentation,
+    // removes ALL occurrences of frequent segments), this slides the
+    // window by 1 token — so repeats are caught at ANY alignment — and
+    // keeps the first occurrence, the suffix-array dedup contract
+    // (Lee et al. 2022's ExactSubstr, re-expressed relationally: a
+    // suffix array is infeasible to build distributed-shared, but
+    // "some ≥8-token repeat covers this position" is equivalent to
+    // "some duplicated 8-gram covers it", and 8-grams are a keyed
+    // aggregation).
+    //
+    // Scale shape: one shuffle on the gram string (exact — a 64-bit
+    // hash key collides inside 100 TB's ~2^40 distinct grams; cf.
+    // q_decontaminate's note), where min(struct(doc_id, pos)) and
+    // count partial-aggregate map-side; only grams with count ≥ 2
+    // (heavy-tailed minority) join back. Span assembly is per-doc
+    // windows over DUPLICATE grams only — bounded by doc length, never
+    // corpus-sized. Output is a per-doc report (counts + ratio);
+    // reassembling cleaned text is q_dedup_passages' demonstrated move.
+    QDef("q_dedup_substring",
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+8)], ' ') AS g
+        |  FROM docs, unnest(range(len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |firsts AS (
+        |  SELECT g, min(ROW(doc_id, pos)) AS f
+        |  FROM grams GROUP BY g HAVING count(*) >= 2),
+        |dups AS (
+        |  SELECT gr.doc_id, gr.pos AS s, gr.pos + 7 AS e
+        |  FROM grams gr JOIN firsts f USING (g)
+        |  WHERE ROW(gr.doc_id, gr.pos) <> f.f),
+        |ord1 AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM dups),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS isl
+        |  FROM ord1),
+        |spans AS (
+        |  SELECT doc_id, isl, min(s) AS ss, max(e) AS ee
+        |  FROM isl GROUP BY doc_id, isl),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |  round(coalesce(a.dup_tokens, 0) / CAST(len(d.w) AS DOUBLE), 6) AS dup_ratio
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      val grams = docs.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(w) - 8)," +
+            " i -> array_join(slice(w, i + 1, 8), ' '))"))
+          .as(Seq("pos", "g")))
+      // Global first occurrence per gram, (doc_id, pos)-lexicographic —
+      // min(struct) partial-aggregates; HAVING count >= 2 shrinks the
+      // join-back side to actually-duplicated grams.
+      val firsts = grams.groupBy("g")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+          count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("g", "f")
+      val dups = grams.join(firsts, "g")
+        .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+        .select(col("doc_id"), col("pos").as("s"), (col("pos") + 7).as("e"))
+      // Gaps-and-islands merge of overlapping [s, e] into maximal spans;
+      // windows partition by doc_id over DUP rows only (≤ doc length).
+      val wPrev = Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val spans = dups
+        .withColumn("pm", max(col("e")).over(wPrev))
+        .withColumn("nw",
+          when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("nw")).over(wRun))
+        .groupBy("doc_id", "isl")
+        .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
+      val agg = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("ee") - col("ss") + 1).cast("long").as("dup_tokens"))
+      docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)) /
+            col("n_tokens").cast("double"), 6).as("dup_ratio"))
+    },
+
+    // ---- weighted deterministic sample (Efraimidis–Spirakis top-k) -----
+    // Weighted sampling WITHOUT replacement as one top-k: each doc gets
+    // key ln(u)/w (order-equivalent to the A-ES u^(1/w)) with u drawn
+    // NOT from a seeded RNG but from the doc's own md5 — the
+    // q_sample_stratified_det lesson taken to weighted sampling: per-row
+    // randoms shift with partitioning, a key-hash is the same on any
+    // cluster and any engine, which is what makes a SAMPLING operator
+    // oracle-checkable at all. Weight = n_chars: longer docs
+    // proportionally likelier, the mixture-building knob.
+    //
+    // Scale shape: the keying is a stateless per-row projection; the
+    // top-100 is TakeOrderedAndProject (per-partition heaps + a k-row
+    // driver merge) — a weighted sample of ANY corpus costs one scan
+    // and no shuffle, where the textbook sequential reservoir is
+    // unparallelizable. u is exact integer arithmetic ((h+1)/2^24 from
+    // a fixed-width hex prefix), so both engines feed libm's ln the
+    // SAME double; keys are ~2^-24 apart, far beyond the 1-ulp libm
+    // wobble the repo's round-to-6 convention already absorbs.
+    QDef("q_sample_weighted_det",
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1)
+        |       / 16777217.0)
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS k
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(k, 9) AS priority,
+        |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS pick_rank
+        |FROM keyed ORDER BY k DESC, doc_id LIMIT 100
+        |""".stripMargin) { (s, dir) =>
+      val keyed = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (log((conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 6), 16, 10).cast("long") + 1) / 16777217.0)
+            / greatest(col("n_chars"), lit(1)).cast("double")).as("k"))
+      keyed.orderBy(col("k").desc, col("doc_id")).limit(100)
+        .withColumn("pick_rank",
+          row_number().over(Window.orderBy(col("k").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("k"), 9).as("priority"), col("pick_rank"))
+    })
+}
