@@ -84,15 +84,24 @@ object Coverage15 {
           "transform(sequence(0, size(w) - 8)," +
             " i -> array_join(slice(w, i + 1, 8), ' '))"))
           .as(Seq("pos", "g")))
-      // Global first occurrence per gram, (doc_id, pos)-lexicographic —
-      // min(struct) partial-aggregates; HAVING count >= 2 shrinks the
-      // join-back side to actually-duplicated grams.
-      val firsts = grams.groupBy("g")
-        .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
-          count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("g", "f")
-      val dups = grams.join(firsts, "g")
-        .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+      // Global first occurrence per gram, (doc_id, pos)-lexicographic.
+      // The occurrence is encoded as ONE long (doc_id·2²⁴ + pos) instead
+      // of min(struct(doc_id, pos)): Spark's HashAggregate only takes
+      // mutable primitive buffers, so a struct min silently degrades to
+      // SortAggregate — an external sort of the full gram table, the
+      // dominant intermediate at corpus scale. The encoding is
+      // order-faithful for pos < 2²⁴ (a 16M-token document) and
+      // doc_id < 2³⁹; both bounds sit far above any real corpus row and
+      // keep the aggregation in hash form with map-side partials.
+      // HAVING count >= 2 shrinks the join-back side to
+      // actually-duplicated grams.
+      val enc = (col("doc_id") * lit(1L << 24) + col("pos")).as("enc")
+      val withEnc = grams.select(col("doc_id"), col("pos"), col("g"), enc)
+      val firsts = withEnc.groupBy("g")
+        .agg(min(col("enc")).as("fe"), count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("g", "fe")
+      val dups = withEnc.join(firsts, "g")
+        .filter(col("enc") =!= col("fe"))
         .select(col("doc_id"), col("pos").as("s"), (col("pos") + 7).as("e"))
       // Gaps-and-islands merge of overlapping [s, e] into maximal spans;
       // windows partition by doc_id over DUP rows only (≤ doc length).
