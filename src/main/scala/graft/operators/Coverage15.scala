@@ -168,5 +168,69 @@ object Coverage15 {
             .cast("long"))
         .select(col("doc_id"), col("n_chars"),
           round(col("k"), 9).as("priority"), col("pick_rank"))
+    },
+
+    // ---- BM25 ranked retrieval ----------------------------------------
+    // Keyword search over the corpus — the retrieval dual of the
+    // similarity family: Okapi BM25 (k1 = 1.2, b = 0.75) for a fixed
+    // 3-term query, top-20 by score. Every BM25 ingredient maps to a
+    // bounded relational artifact: corpus stats (N, avgdl) are a 1-row
+    // broadcast, per-term document frequencies a ≤|Q|-row broadcast,
+    // term frequencies only exist for docs CONTAINING a query term —
+    // the explode is filtered to the query vocabulary before any
+    // shuffle, so the data-sized intermediate is |matching postings|,
+    // the inverted-index working set, not the corpus. Top-20 is
+    // TakeOrderedAndProject. Score parity: each term's contribution is
+    // deterministic double arithmetic (identical operand order both
+    // engines); the per-doc SUM is decimal-cast so addition is
+    // order-independent, and the RANKING uses the exact decimal —
+    // cross-engine-identical — not the rounded display value.
+    QDef("q_bm25",
+      """WITH q(term) AS (VALUES ('hash'), ('join'), ('filter')),
+        |docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok JOIN q USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |score AS (
+        |  SELECT tf.doc_id,
+        |    sum(CAST(
+        |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+        |      AS DECIMAL(38,10))) AS sc
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, round(CAST(CAST(sc AS STRING) AS DOUBLE), 6) AS bm25,
+        |  CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rnk
+        |FROM score ORDER BY sc DESC, doc_id LIMIT 20
+        |""".stripMargin) { (s, dir) =>
+      val terms = Seq("hash", "join", "filter")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib =
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * (lit(1.2) + lit(1)) /
+          (col("tf") + lit(1.2) *
+            (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      val score = tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .groupBy("doc_id").agg(sum(dec(contrib)).as("sc"))
+      score.orderBy(col("sc").desc, col("doc_id")).limit(20)
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("sc").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"),
+          round(col("sc").cast("double"), 6).as("bm25"), col("rnk"))
     })
 }
