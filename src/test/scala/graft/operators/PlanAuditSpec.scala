@@ -58,7 +58,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_corpus_prep" -> Budget(maxExchanges = 5),
     "q_sim_topk" -> Budget(maxExchanges = 0),
     "q_decontaminate_bloom" -> Budget(maxExchanges = 1),
-    "q_state_at" -> Budget(maxExchanges = 1)
+    "q_state_at" -> Budget(maxExchanges = 1),
+    // r8 additions: substring dedup must stay hash-aggregated (the
+    // min-struct SortAggregate regression is the thing to catch — see
+    // the SortAggregate check below); weighted sampling is one scan +
+    // TakeOrdered, zero shuffles by design; bm25's 8 + reuse slack
+    "q_dedup_substring" -> Budget(maxExchanges = 4),
+    "q_sample_weighted_det" -> Budget(maxExchanges = 0),
+    "q_bm25" -> Budget(maxExchanges = 9)
   )
 
   private def finalizedPlan(name: String): String = {
@@ -114,6 +121,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"lineitem scan lost the extracted quantity disjunction:\n${plan.take(2000)}")
     assert("PushedFilters: \\[[^\\n]*p_brand".r.findAllIn(plan).nonEmpty,
       s"part scan lost the extracted brand/size disjunction:\n${plan.take(2000)}")
+  }
+
+  test("q_dedup_substring: first-occurrence aggregation stays hash-based") {
+    // min(struct(doc_id, pos)) is not hash-aggregable and silently
+    // degrades the gram-table aggregation to SortAggregate — an
+    // external sort of the dominant intermediate. The encoded-long
+    // form must keep every aggregate in Hash/ObjectHashAggregate.
+    val plan = finalizedPlan("q_dedup_substring")
+    assert(!plan.contains("SortAggregate"),
+      s"gram aggregation degraded to SortAggregate:\n${plan.take(2000)}")
   }
 
   audited.foreach { case (name, budget) =>
