@@ -214,23 +214,11 @@ object Coverage15 {
       val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
       val stats = dl.agg(count(lit(1)).cast("long").as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      val postings = docs
+        .select(col("doc_id"), explode(col("w")).as("term"))
         .filter(col("term").isin(terms: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val contrib =
-        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * (lit(1.2) + lit(1)) /
-          (col("tf") + lit(1.2) *
-            (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
-      val score = tf.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id").crossJoin(broadcast(stats))
-        .groupBy("doc_id").agg(sum(dec(contrib)).as("sc"))
-      score.orderBy(col("sc").desc, col("doc_id")).limit(20)
-        .withColumn("rnk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("sc").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"),
-          round(col("sc").cast("double"), 6).as("bm25"), col("rnk"))
+        .join(dl, "doc_id")
+      Bm25.rank(postings, stats, 20)
     })
 }

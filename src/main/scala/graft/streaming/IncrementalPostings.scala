@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.operators.Bm25
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming maintenance of a persisted INVERTED INDEX — the
+  * continuous-ingestion twin of the batch BM25 query (q_bm25), built
+  * the way [[IncrementalIvf]] maintains the ANN index: documents
+  * arrive as a stream, each micro-batch tokenizes ITS OWN docs into
+  * postings (term, doc_id, tf, dl) and lands them in the batch's own
+  * partition directory, bucketed by a hash of the term so a search
+  * touches only its terms' buckets at the FILE level.
+  *
+  * Layout: `postings/batch=<id>/term_bucket=<b>/` plus a 1-row
+  * `stats/batch=<id>/` (n_docs, sum_dl). Both postings levels are
+  * discovered partition columns; corpus-wide N and avgdl aggregate
+  * the TINY per-batch stats rows, never the postings.
+  *
+  * Scale + delivery contract (the IncrementalIvf shape):
+  *  - per-batch cost is O(batch tokens) tokenize + write — no read or
+  *    rewrite of the accumulated index;
+  *  - replay-idempotent under foreachBatch's at-least-once: the batch
+  *    id keys both output directories and the writes are `overwrite`,
+  *    so a redelivered batch replaces its own previous attempt;
+  *  - every BM25 ingredient is a sum over per-doc terms (tf, dl) or a
+  *    per-term/global count (df, N, sum_dl), all independent of how
+  *    docs were split into batches — so search over the maintained
+  *    index EQUALS the one-shot batch ranking, by construction (the
+  *    scoring itself is the shared [[graft.operators.Bm25]]);
+  *  - search reads only `term_bucket ∈ hash(query terms)` leaves
+  *    (file-level pruning, like IVF's centroid_id probe), then filters
+  *    to the exact terms — the bucket is a 1/NB prefilter, the term
+  *    equality the exactness.
+  *
+  * Assumes each document id arrives in exactly ONE batch (a corpus
+  * ingest stream); re-ingesting a CHANGED doc needs a delete+insert
+  * compaction pass, the CDC materializer's territory.
+  */
+object IncrementalPostings {
+
+  /** Term-hash fanout: search prunes to |terms| of these NB buckets.
+    * Sized like the dedup band fanout: large enough that a few-term
+    * query skips ~95% of files, small enough that tiny batches don't
+    * scatter into thousands of near-empty leaves. */
+  val NB = 64
+
+  private def bucketCol = pmod(xxhash64(col("term")), lit(NB)).cast("int")
+
+  /** (doc_id, dl, term, tf) for every term of every doc in `docs`. */
+  private[streaming] def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** Tokenize one micro-batch of (doc_id, text) and write its postings
+    * + stats under the batch's own directories (overwrite → replay-safe). */
+  def processBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
+    tokenize(docs).withColumn("term_bucket", bucketCol)
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings/batch=$batchId")
+    docs.select(size(split(trim(col("text")), " ")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats/batch=$batchId")
+  }
+
+  /** Wire a (doc_id, text) stream into the index. */
+  def start(docs: DataFrame, dir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, dir, id)
+      }
+      .start()
+
+  /** BM25 top-k over the maintained index — same output schema and
+    * same scores as the batch q_bm25 over the union of all ingested
+    * batches. The postings scan carries a partition filter on
+    * term_bucket (file-level pruning) plus the exact term filter. */
+  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).cast("long").as("n"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    // buckets via the SAME Spark expression that wrote them — never a
+    // reimplementation of xxhash64 on the driver
+    val buckets = terms.toDF("term").select(bucketCol).as[Int].collect().toSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket").isin(buckets.distinct: _*) &&
+        col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    Bm25.rank(postings, stats, k)
+  }
+}

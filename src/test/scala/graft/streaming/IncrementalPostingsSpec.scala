@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The stream-maintained inverted index must be indistinguishable from
+  * the batch BM25 query over the same corpus:
+  *  1. equality — ingest sf0.001 documents in 3 micro-batches, search
+  *     == q_bm25's exact output (scores ARE the shared Bm25.rank, so
+  *     this pins the postings/stats bookkeeping, not the formula);
+  *  2. split-invariance — a different batch split yields the same
+  *     ranking (every BM25 ingredient is split-independent);
+  *  3. replay — redelivering a batch leaves the index identical;
+  *  4. pruning — the search scan selects only the query terms'
+  *     term_bucket leaves, not the whole postings tree.
+  */
+class IncrementalPostingsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+  private val terms = Seq("hash", "join", "filter")
+
+  private def docs = graft.table(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def asTuples(df: DataFrame): Seq[(Long, Double, Long)] =
+    df.as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+
+  test("stream-maintained index == batch q_bm25; split-invariant; replay; prunes") {
+    val dir = Files.createTempDirectory("inc-post").toString
+    val ckpt = Files.createTempDirectory("inc-post-ckpt").toString
+
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = IncrementalPostings.start(
+      ms.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      (0 to 2).foreach { m =>
+        ms.addData(docs.filter(col("doc_id") % 3 === m)
+          .as[(Long, String)].collect().toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val expected = asTuples(graft.SparkEntry.queries("q_bm25")(spark, sfDir))
+    val got = asTuples(IncrementalPostings.search(spark, dir, terms, 20))
+    assert(got == expected, s"stream!=batch: got=${got.take(3)}")
+    assert(got.size == 20)
+
+    // 2. split-invariance: 2-way split into a fresh dir, same ranking
+    val dir2 = Files.createTempDirectory("inc-post-2").toString
+    IncrementalPostings.processBatch(docs.filter(col("doc_id") % 2 === 0), dir2, 0L)
+    IncrementalPostings.processBatch(docs.filter(col("doc_id") % 2 === 1), dir2, 1L)
+    assert(asTuples(IncrementalPostings.search(spark, dir2, terms, 20)) == expected)
+
+    // 3. replay: redeliver stream batch 1 (the m==1 slice), index unchanged
+    val before = spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "term", "tf", "dl", "term_bucket", "batch")
+      .collect().map(_.toSeq).toSet
+    IncrementalPostings.processBatch(docs.filter(col("doc_id") % 3 === 1), dir, 1L)
+    val after = spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "term", "tf", "dl", "term_bucket", "batch")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "replayed batch changed the postings")
+    assert(asTuples(IncrementalPostings.search(spark, dir, terms, 20)) == expected)
+
+    // 4. pruning: the search postings scan selects only the probed
+    // term_bucket leaves across batches
+    val totalLeaves = spark.read.parquet(s"$dir/postings")
+      .select("batch", "term_bucket").distinct().count()
+    val searchDf = IncrementalPostings.search(spark, dir, terms, 20)
+    searchDf.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++ (other match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(qs.plan)
+        case _ => Nil
+      })
+    }
+    val postingScans = scans(searchDf.queryExecution.executedPlan)
+      .filter(_.selectedPartitions.partitionCount > 0)
+      .map(_.selectedPartitions.partitionCount)
+    // ≤ 3 distinct term buckets × 3 batches, vs ~NB buckets × 3 batches
+    assert(postingScans.nonEmpty)
+    assert(postingScans.max <= 3 * 3,
+      s"scan read $postingScans leaves (probed terms only need ≤9)")
+    assert(postingScans.max < totalLeaves,
+      s"search scanned all $totalLeaves leaves")
+  }
+}
