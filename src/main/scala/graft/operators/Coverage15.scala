@@ -220,5 +220,59 @@ object Coverage15 {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .join(dl, "doc_id")
       Bm25.rank(postings, stats, 20)
+    },
+
+    // ---- temperature-rebalanced language sampling (p^α, α = 0.3) -------
+    // Multilingual mixture rebalancing: where q_sample_mixture applies
+    // FIXED per-language rates, this derives them from the data — the
+    // UNIMAX/mT5 move: sample language l with probability ∝ p_l^0.3
+    // (temperature flattening, so head languages shrink and tail
+    // languages keep their data), targeting a 20% overall draw,
+    // acceptance capped at 1. Selection is the engine's deterministic
+    // coin: a doc's md5-derived 24-bit integer against its language's
+    // threshold — reproducible on any partitioning, any engine.
+    //
+    // Scale shape: rates derive from a per-language count (one
+    // partial-agg over ≤ dozens of groups) and broadcast back; the
+    // sample itself is one codegen'd scan-side filter — no data-sized
+    // shuffle at any corpus size. Parity: the ≤|langs|-term weight
+    // normalizer sums DECIMAL (order-independent); thresholds are then
+    // identical doubles, and a coin flip only disagrees if pow() lands
+    // within one ulp of an exact integer threshold — far below the
+    // corpus's 2⁻²⁴ coin quantum.
+    QDef("q_sample_temperature",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cl FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
+        |tot AS (SELECT CAST(sum(cl) AS BIGINT) AS n FROM c),
+        |wts AS (SELECT lang, cl, n, pow(cl / CAST(n AS DOUBLE), 0.3) AS w
+        |        FROM c CROSS JOIN tot),
+        |sw AS (SELECT CAST(CAST(sum(CAST(w AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+        |         AS sumw FROM wts),
+        |rates AS (
+        |  SELECT lang, least(1.0, 0.2 * n * (w / sumw) / cl) * 16777216.0 AS t
+        |  FROM wts CROSS JOIN sw)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE d.lang IS NOT NULL
+        |  AND CAST(('0x' || substring(md5('temp:' || d.lang || ':'
+        |        || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < r.t
+        |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val c = docs.filter(col("lang").isNotNull)
+        .groupBy("lang").agg(count(lit(1)).as("cl"))
+      val tot = c.agg(sum(col("cl")).cast("long").as("n"))
+      val wts = c.crossJoin(broadcast(tot))
+        .withColumn("w", pow(col("cl") / col("n").cast("double"), 0.3))
+      val sw = wts.agg(sumExact(col("w")).as("sumw"))
+      val rates = wts.crossJoin(broadcast(sw))
+        .select(col("lang"),
+          (least(lit(1.0), lit(0.2) * col("n") * (col("w") / col("sumw"))
+            / col("cl")) * 16777216.0).as("t"))
+      docs.filter(col("lang").isNotNull)
+        .join(broadcast(rates), "lang")
+        .filter(conv(substring(md5(concat_ws(":", lit("temp"), col("lang"),
+          col("doc_id").cast("string")).cast("binary")), 1, 6), 16, 10)
+          .cast("long") < col("t"))
+        .select("doc_id", "lang")
     })
 }
