@@ -15,6 +15,56 @@ import org.apache.spark.sql.functions._
   */
 object Coverage15 {
 
+  /** Shared CTE chain for the substring-dedup pair (report + clean):
+    * tokenized docs and duplicate-gram intervals [s, e]. */
+  private def subDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+
+  private def subDups(docs: org.apache.spark.sql.DataFrame) = {
+    val grams = docs.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 8)," +
+          " i -> array_join(slice(w, i + 1, 8), ' '))"))
+        .as(Seq("pos", "g")))
+    // Global first occurrence per gram, (doc_id, pos)-lexicographic.
+    // The occurrence is encoded as ONE long (doc_id·2²⁴ + pos) instead
+    // of min(struct(doc_id, pos)): Spark's HashAggregate only takes
+    // mutable primitive buffers, so a struct min silently degrades to
+    // SortAggregate — an external sort of the full gram table, the
+    // dominant intermediate at corpus scale (PlanAuditSpec gates the
+    // regression). The encoding is order-faithful for pos < 2²⁴ (a
+    // 16M-token document) and doc_id < 2³⁹; both bounds sit far above
+    // any real corpus row and keep the aggregation in hash form with
+    // map-side partials. HAVING count >= 2 shrinks the join-back side
+    // to actually-duplicated grams.
+    val withEnc = grams.select(col("doc_id"), col("pos"), col("g"),
+      (col("doc_id") * lit(1L << 24) + col("pos")).as("enc"))
+    val firsts = withEnc.groupBy("g")
+      .agg(min(col("enc")).as("fe"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g", "fe")
+    withEnc.join(firsts, "g")
+      .filter(col("enc") =!= col("fe"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + 7).as("e"))
+  }
+
+  /** The shared oracle prefix (docs → grams → firsts → dups). */
+  private val subDupsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+8)], ' ') AS g
+      |  FROM docs, unnest(range(len(w) - 7)) AS t(i)
+      |  WHERE len(w) >= 8),
+      |firsts AS (
+      |  SELECT g, min(ROW(doc_id, pos)) AS f
+      |  FROM grams GROUP BY g HAVING count(*) >= 2),
+      |dups AS (
+      |  SELECT gr.doc_id, gr.pos AS s, gr.pos + 7 AS e
+      |  FROM grams gr JOIN firsts f USING (g)
+      |  WHERE ROW(gr.doc_id, gr.pos) <> f.f),
+      |""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // ---- exact substring dedup (sliding 8-gram spans, keep-first) ------
@@ -41,20 +91,8 @@ object Coverage15 {
     // corpus-sized. Output is a per-doc report (counts + ratio);
     // reassembling cleaned text is q_dedup_passages' demonstrated move.
     QDef("q_dedup_substring",
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+8)], ' ') AS g
-        |  FROM docs, unnest(range(len(w) - 7)) AS t(i)
-        |  WHERE len(w) >= 8),
-        |firsts AS (
-        |  SELECT g, min(ROW(doc_id, pos)) AS f
-        |  FROM grams GROUP BY g HAVING count(*) >= 2),
-        |dups AS (
-        |  SELECT gr.doc_id, gr.pos AS s, gr.pos + 7 AS e
-        |  FROM grams gr JOIN firsts f USING (g)
-        |  WHERE ROW(gr.doc_id, gr.pos) <> f.f),
-        |ord1 AS (
+      subDupsSql +
+      """ord1 AS (
         |  SELECT doc_id, s, e,
         |    max(e) OVER (PARTITION BY doc_id ORDER BY s
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
@@ -77,32 +115,8 @@ object Coverage15 {
         |  round(coalesce(a.dup_tokens, 0) / CAST(len(d.w) AS DOUBLE), 6) AS dup_ratio
         |FROM docs d LEFT JOIN agg a USING (doc_id)
         |""".stripMargin) { (s, dir) =>
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      val grams = docs.filter(size(col("w")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(w) - 8)," +
-            " i -> array_join(slice(w, i + 1, 8), ' '))"))
-          .as(Seq("pos", "g")))
-      // Global first occurrence per gram, (doc_id, pos)-lexicographic.
-      // The occurrence is encoded as ONE long (doc_id·2²⁴ + pos) instead
-      // of min(struct(doc_id, pos)): Spark's HashAggregate only takes
-      // mutable primitive buffers, so a struct min silently degrades to
-      // SortAggregate — an external sort of the full gram table, the
-      // dominant intermediate at corpus scale. The encoding is
-      // order-faithful for pos < 2²⁴ (a 16M-token document) and
-      // doc_id < 2³⁹; both bounds sit far above any real corpus row and
-      // keep the aggregation in hash form with map-side partials.
-      // HAVING count >= 2 shrinks the join-back side to
-      // actually-duplicated grams.
-      val enc = (col("doc_id") * lit(1L << 24) + col("pos")).as("enc")
-      val withEnc = grams.select(col("doc_id"), col("pos"), col("g"), enc)
-      val firsts = withEnc.groupBy("g")
-        .agg(min(col("enc")).as("fe"), count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("g", "fe")
-      val dups = withEnc.join(firsts, "g")
-        .filter(col("enc") =!= col("fe"))
-        .select(col("doc_id"), col("pos").as("s"), (col("pos") + 7).as("e"))
+      val docs = subDocs(s, dir)
+      val dups = subDups(docs)
       // Gaps-and-islands merge of overlapping [s, e] into maximal spans;
       // windows partition by doc_id over DUP rows only (≤ doc length).
       val wPrev = Window.partitionBy("doc_id").orderBy("s")
@@ -126,6 +140,53 @@ object Coverage15 {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           round(coalesce(col("dup_tokens"), lit(0L)) /
             col("n_tokens").cast("double"), 6).as("dup_ratio"))
+    },
+
+    // ---- substring dedup, applied (cleaned corpus) ---------------------
+    // The END PRODUCT of q_dedup_substring's report: every token covered
+    // by a duplicated-gram interval is dropped (the first occurrence,
+    // never charged, survives verbatim elsewhere), survivors reassemble
+    // in order — what a keep-first exact-substring dedup actually ships
+    // to training. Scale shape: the token table is corpus-sized but the
+    // anti join probes the SMALL duplicate-interval side (hashed on
+    // doc_id, range predicate inside the build), and reassembly sorts
+    // each doc's own surviving tokens (array_sort over one row's list),
+    // never a data-sized window.
+    QDef("q_dedup_substring_clean",
+      subDupsSql +
+      """toks AS (
+        |  SELECT doc_id, i - 1 AS idx, w[i] AS tok
+        |  FROM docs, unnest(generate_series(1, len(w))) AS t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM dups d
+        |                    WHERE d.doc_id = t.doc_id
+        |                      AND t.idx BETWEEN d.s AND d.e)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS kept_tokens
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        |  coalesce(c.kept_tokens, 0) AS kept_tokens
+        |FROM docs d LEFT JOIN clean c USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      val docs = subDocs(s, dir)
+      val dups = subDups(docs)
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("idx", "tok")))
+      val kept = toks.join(dups,
+        toks("doc_id") === dups("doc_id") &&
+          col("idx").between(col("s"), col("e")), "left_anti")
+      val clean = kept.groupBy("doc_id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok)"),
+          " ").as("clean_text"),
+          count(lit(1)).as("kept_tokens"))
+      docs.select("doc_id").join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
     },
 
     // ---- weighted deterministic sample (Efraimidis–Spirakis top-k) -----

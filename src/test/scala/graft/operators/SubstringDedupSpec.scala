@@ -81,5 +81,48 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(byId(3L)._3 == 2L && byId(3L)._4 == 24L)
     // doc 4: sub-window, reported with zero dups
     assert(byId(4L) == (4L, 7L, 0L, 0L, 0.0))
+
+    // the applied form: cleaned text == brute-force uncovered tokens
+    val cleanGot = graft.SparkEntry.queries("q_dedup_substring_clean")(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(cleanGot == bruteClean(docs))
+    val cleanById = cleanGot.map(r => r._1 -> r).toMap
+    // doc 2 keeps its unique prefix and tail; the 12-token repeat is gone
+    assert(cleanById(2L)._2 ==
+      "x1 x2 x3 " + (200 to 206).map(i => s"v$i").mkString(" "))
+    // doc 1 (the first occurrence) survives verbatim
+    assert(cleanById(1L)._2 ==
+      rep + " " + (100 to 110).map(i => s"u$i").mkString(" "))
+    // doc 3 keeps only the glue between its two duplicated copies
+    assert(cleanById(3L)._2 == "mid1 mid2")
+  }
+
+  test("q_dedup_substring_clean == brute-force uncovered tokens on sf0.001") {
+    val docs = graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val got = graft.SparkEntry.queries("q_dedup_substring_clean")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == bruteClean(docs))
+  }
+
+  /** Brute-force keep-first cleaned text: tokens not covered by any
+    * duplicate-gram interval, reassembled in order. */
+  private def bruteClean(docs: Seq[(Long, String)]): Set[(Long, String, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split(" ").toSeq }
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    for ((id, w) <- toks; i <- 0 to w.length - K)
+      occ(w.slice(i, i + K).mkString(" ")) =
+        (id, i) :: occ.getOrElse(w.slice(i, i + K).mkString(" "), Nil)
+    val dup = occ.values.filter(_.size >= 2).flatMap { os =>
+      val first = os.minBy(identity)
+      os.filter(_ != first)
+    }.toSeq.groupBy(_._1)
+    toks.map { case (id, w) =>
+      val covered = dup.getOrElse(id, Nil)
+        .flatMap(o => o._2 until o._2 + K).toSet
+      val keptToks = w.indices.filterNot(covered).map(w)
+      (id, keptToks.mkString(" "), keptToks.size.toLong)
+    }.toSet
   }
 }
