@@ -13,33 +13,81 @@ import org.apache.spark.sql.functions._
   * SELECTs (/root/reference/README.md:85-134); these are LLM-pipeline
   * extensions over the driver corpus, per the §2-B extension rows.
   */
+/** The substring-dedup building blocks, shared by the two batch queries
+  * (q_dedup_substring report, q_dedup_substring_clean) and the
+  * stream-maintained variant
+  * ([[graft.streaming.IncrementalSubstringDedup]]) — one definition of
+  * "gram", "first occurrence", and "span report", so the three surfaces
+  * cannot drift.
+  */
+object SubstringDedup {
+  /** Window length in tokens: a repeat shorter than K is not a dup. */
+  val K = 8
+
+  /** (doc_id, w): whitespace-tokenized documents. */
+  def tokenize(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    raw.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+
+  /** (doc_id, pos, g, enc): sliding K-grams with the encoded occurrence.
+    * The occurrence is ONE long (doc_id·2²⁴ + pos) instead of a struct:
+    * Spark's HashAggregate only takes mutable primitive buffers, so a
+    * struct min silently degrades to SortAggregate — an external sort
+    * of the full gram table, the dominant intermediate at corpus scale
+    * (PlanAuditSpec gates the regression). The encoding is
+    * order-faithful for pos < 2²⁴ (a 16M-token document) and
+    * doc_id < 2³⁹; both bounds sit far above any real corpus row.
+    */
+  def gramsEnc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(size(col("w")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $K)," +
+          s" i -> array_join(slice(w, i + 1, $K), ' '))"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g"),
+        (col("doc_id") * lit(1L << 24) + col("pos")).as("enc"))
+
+  /** Duplicate-gram occurrences → the per-doc span report
+    * (doc_id, n_tokens, n_spans, dup_tokens, dup_ratio). Gaps-and-islands
+    * merge of overlapping [s, e] into maximal spans; windows partition
+    * by doc_id over DUP rows only (≤ doc length, never corpus-sized).
+    */
+  def spanReport(docs: org.apache.spark.sql.DataFrame,
+      dups: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wPrev = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = dups
+      .withColumn("pm", max(col("e")).over(wPrev))
+      .withColumn("nw",
+        when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("nw")).over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("ss") + 1).cast("long").as("dup_tokens"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          col("n_tokens").cast("double"), 6).as("dup_ratio"))
+  }
+}
+
 object Coverage15 {
 
-  /** Shared CTE chain for the substring-dedup pair (report + clean):
-    * tokenized docs and duplicate-gram intervals [s, e]. */
   private def subDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    table(s, dir, "documents")
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    SubstringDedup.tokenize(table(s, dir, "documents"))
 
+  /** Global duplicate-gram intervals: every occurrence that is not the
+    * corpus-wide (doc_id, pos)-lexicographic first of its gram. The
+    * HAVING count >= 2 shrinks the join-back side to actually-duplicated
+    * grams. */
   private def subDups(docs: org.apache.spark.sql.DataFrame) = {
-    val grams = docs.filter(size(col("w")) >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(w) - 8)," +
-          " i -> array_join(slice(w, i + 1, 8), ' '))"))
-        .as(Seq("pos", "g")))
-    // Global first occurrence per gram, (doc_id, pos)-lexicographic.
-    // The occurrence is encoded as ONE long (doc_id·2²⁴ + pos) instead
-    // of min(struct(doc_id, pos)): Spark's HashAggregate only takes
-    // mutable primitive buffers, so a struct min silently degrades to
-    // SortAggregate — an external sort of the full gram table, the
-    // dominant intermediate at corpus scale (PlanAuditSpec gates the
-    // regression). The encoding is order-faithful for pos < 2²⁴ (a
-    // 16M-token document) and doc_id < 2³⁹; both bounds sit far above
-    // any real corpus row and keep the aggregation in hash form with
-    // map-side partials. HAVING count >= 2 shrinks the join-back side
-    // to actually-duplicated grams.
-    val withEnc = grams.select(col("doc_id"), col("pos"), col("g"),
-      (col("doc_id") * lit(1L << 24) + col("pos")).as("enc"))
+    val withEnc = SubstringDedup.gramsEnc(docs)
     val firsts = withEnc.groupBy("g")
       .agg(min(col("enc")).as("fe"), count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("g", "fe")
@@ -116,30 +164,7 @@ object Coverage15 {
         |FROM docs d LEFT JOIN agg a USING (doc_id)
         |""".stripMargin) { (s, dir) =>
       val docs = subDocs(s, dir)
-      val dups = subDups(docs)
-      // Gaps-and-islands merge of overlapping [s, e] into maximal spans;
-      // windows partition by doc_id over DUP rows only (≤ doc length).
-      val wPrev = Window.partitionBy("doc_id").orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy("doc_id").orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val spans = dups
-        .withColumn("pm", max(col("e")).over(wPrev))
-        .withColumn("nw",
-          when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
-        .withColumn("isl", sum(col("nw")).over(wRun))
-        .groupBy("doc_id", "isl")
-        .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
-      val agg = spans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("ee") - col("ss") + 1).cast("long").as("dup_tokens"))
-      docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          round(coalesce(col("dup_tokens"), lit(0L)) /
-            col("n_tokens").cast("double"), 6).as("dup_ratio"))
+      SubstringDedup.spanReport(docs, subDups(docs))
     },
 
     // ---- substring dedup, applied (cleaned corpus) ---------------------

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The stream-maintained substring dedup must reproduce the batch
+  * query under its contract (batches = ascending doc_id ranges):
+  *  1. equality — 3 ordered micro-batches over sf0.001, union of
+  *     per-batch reports == q_dedup_substring's full output;
+  *  2. replay — redelivering a mid-stream batch leaves reports and
+  *     gram index identical (lookup/newness read only EARLIER
+  *     partitions, so the replay sees its first attempt's state);
+  *  3. cross-batch charging — a planted doc repeating batch-1
+  *     boilerplate is charged in its own later batch while the
+  *     first-occurrence doc stays uncharged.
+  */
+class IncrementalSubstringDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = graft.table(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def asSet(df: DataFrame): Set[(Long, Long, Long, Long, Double)] =
+    df.as[(Long, Long, Long, Long, Double)].collect().toSet
+
+  test("ordered ingest == batch q_dedup_substring; replay idempotent") {
+    val dir = Files.createTempDirectory("inc-sub").toString
+    val ckpt = Files.createTempDirectory("inc-sub-ckpt").toString
+
+    // ascending doc_id ranges — the arrival-order==id-order contract
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val slices = Seq(
+      docs.filter(col("doc_id") < cuts(0)),
+      docs.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+      docs.filter(col("doc_id") >= cuts(1)))
+
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = IncrementalSubstringDedup.start(
+      ms.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      slices.foreach { s =>
+        ms.addData(s.as[(Long, String)].collect().toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val expected = asSet(
+      graft.SparkEntry.queries("q_dedup_substring")(spark, sfDir))
+    val got = asSet(IncrementalSubstringDedup.reports(spark, dir))
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.size == docs.count())
+
+    // replay the MIDDLE batch: reports and gram index must not move
+    val gramsBefore = spark.read.parquet(s"$dir/grams")
+      .select("g", "fe", "batch").collect().map(_.toSeq).toSet
+    IncrementalSubstringDedup.processBatch(slices(1), dir, 1L)
+    assert(asSet(IncrementalSubstringDedup.reports(spark, dir)) == expected,
+      "replayed batch changed the reports")
+    assert(spark.read.parquet(s"$dir/grams")
+      .select("g", "fe", "batch").collect().map(_.toSeq).toSet == gramsBefore,
+      "replayed batch changed the gram index")
+  }
+
+  test("cross-batch charging: later copy charged, first occurrence never") {
+    val dir = Files.createTempDirectory("inc-sub-plant").toString
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val tail1 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val tail2 = (1 to 10).map(i => s"v$i").mkString(" ")
+    IncrementalSubstringDedup.processBatch(
+      Seq((1L, s"$boiler $tail1")).toDF("doc_id", "text"), dir, 0L)
+    IncrementalSubstringDedup.processBatch(
+      Seq((2L, s"$boiler $tail2"),
+          (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text"), dir, 1L)
+    val r = asSet(IncrementalSubstringDedup.reports(spark, dir))
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._3 == 0L, s"first occurrence charged: ${r(1L)}")
+    assert(r(2L)._3 == 1L && r(2L)._4 == 12L, s"later copy not charged: ${r(2L)}")
+    assert(r(3L)._3 == 0L)
+  }
+}
