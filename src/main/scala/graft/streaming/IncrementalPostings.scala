@@ -75,6 +75,25 @@ object IncrementalPostings {
       }
       .start()
 
+  /** Small-files maintenance, the [[IncrementalIvf.consolidate]] move:
+    * roll the accumulated batch history into one `batch=0` under a
+    * FRESH directory THROUGH `partitionBy(term_bucket)` — a root-level
+    * compaction would flatten the bucket directories and cost search
+    * its file-level pruning. Stats collapse to one row (the per-batch
+    * rows only ever feed a sum). Offline pass: swap readers when done;
+    * the resumed stream's batch ids continue past 0. */
+  def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("term_bucket").cast("int").as("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$intoDir/postings/batch=0")
+    spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$intoDir/stats/batch=0")
+  }
+
   /** BM25 top-k over the maintained index — same output schema and
     * same scores as the batch q_bm25 over the union of all ingested
     * batches. The postings scan carries a partition filter on

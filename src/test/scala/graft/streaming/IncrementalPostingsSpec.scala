@@ -93,5 +93,16 @@ class IncrementalPostingsSpec extends AnyFunSuite {
       s"scan read $postingScans leaves (probed terms only need ≤9)")
     assert(postingScans.max < totalLeaves,
       s"search scanned all $totalLeaves leaves")
+
+    // 5. consolidation: history rolled into one batch=0 in a fresh dir
+    // — same ranking, fewer leaves, bucket layout (and pruning) kept
+    val dir3 = Files.createTempDirectory("inc-post-consolidated").toString
+    IncrementalPostings.consolidate(spark, dir, dir3)
+    assert(asTuples(IncrementalPostings.search(spark, dir3, terms, 20)) == expected,
+      "consolidation changed the ranking")
+    val leaves3 = spark.read.parquet(s"$dir3/postings")
+      .select("batch", "term_bucket").distinct().count()
+    assert(leaves3 < totalLeaves, "consolidation did not reduce leaf count")
+    assert(spark.read.parquet(s"$dir3/stats").count() == 1)
   }
 }
