@@ -95,4 +95,21 @@ object IncrementalSubstringDedup {
   def reports(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/reports")
       .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "dup_ratio")
+
+  /** Small-files maintenance: roll the gram-index batch history into
+    * one `grams/batch=0` under a FRESH directory (reports copied
+    * per-batch unchanged — they are the emitted OUTPUT, not state).
+    * Offline pass: swap when done; the resumed stream's next batch id
+    * must continue past the consolidated history (it does — ids come
+    * from the stream's checkpoint), and every later batch sees the
+    * whole consolidated index because 0 < any live id. */
+  def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    spark.read.parquet(s"$dir/grams").select("g", "fe")
+      .write.mode("overwrite").parquet(s"$intoDir/grams/batch=0")
+    val reps = new java.io.File(s"$dir/reports").listFiles()
+    reps.filter(_.getName.startsWith("batch=")).foreach { b =>
+      spark.read.parquet(b.getPath)
+        .write.mode("overwrite").parquet(s"$intoDir/reports/${b.getName}")
+    }
+  }
 }

@@ -67,6 +67,29 @@ class IncrementalSubstringDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/grams")
       .select("g", "fe", "batch").collect().map(_.toSeq).toSet == gramsBefore,
       "replayed batch changed the gram index")
+
+    // consolidation: gram history → one batch=0 in a fresh dir; reports
+    // carried over; a post-consolidation batch still dedups against the
+    // full consolidated index
+    val dir2 = Files.createTempDirectory("inc-sub-consolidated").toString
+    IncrementalSubstringDedup.consolidate(spark, dir, dir2)
+    assert(asSet(IncrementalSubstringDedup.reports(spark, dir2)) == expected,
+      "consolidation changed the reports")
+    assert(spark.read.parquet(s"$dir2/grams").select("g", "fe")
+      .collect().map(_.toSeq).toSet ==
+      gramsBefore.map(_.dropRight(1)), "consolidation changed the gram set")
+    val dupDoc = ids.max + 1
+    val firstText = slices(0).orderBy("doc_id")
+      .select("text").as[String].head()
+    IncrementalSubstringDedup.processBatch(
+      Seq((dupDoc, firstText)).toDF("doc_id", "text"), dir2, 3L)
+    val rep = asSet(IncrementalSubstringDedup.reports(spark, dir2))
+      .find(_._1 == dupDoc).get
+    // an exact copy of a batch-0 doc: if long enough to gram, every
+    // token is covered by one span
+    if (firstText.trim.split(" ").length >= 8)
+      assert(rep._3 >= 1L && rep._4 == rep._2,
+        s"post-consolidation batch missed the duplicate: $rep")
   }
 
   test("cross-batch charging: later copy charged, first occurrence never") {
