@@ -64,7 +64,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the SortAggregate check below); weighted sampling is one scan +
     // TakeOrdered, zero shuffles by design; bm25's 8 + reuse slack
     "q_dedup_substring" -> Budget(maxExchanges = 4),
+    "q_dedup_substring_clean" -> Budget(maxExchanges = 6),
     "q_sample_weighted_det" -> Budget(maxExchanges = 0),
+    "q_sample_temperature" -> Budget(maxExchanges = 10),
     "q_bm25" -> Budget(maxExchanges = 9)
   )
 
