@@ -75,26 +75,32 @@ object SubstringDedup {
         round(coalesce(col("dup_tokens"), lit(0L)) /
           col("n_tokens").cast("double"), 6).as("dup_ratio"))
   }
+
+  /** Global duplicate-gram intervals: every occurrence that is not the
+    * corpus-wide (doc_id, pos)-lexicographic first of its gram. The
+    * HAVING count >= 2 shrinks the join-back side to actually-duplicated
+    * grams. */
+  def dupIntervals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withEnc = gramsEnc(docs)
+    val firsts = withEnc.groupBy("g")
+      .agg(min(col("enc")).as("fe"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g", "fe")
+    withEnc.join(firsts, "g")
+      .filter(col("enc") =!= col("fe"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + K - 1).as("e"))
+  }
+
+  /** The one-call batch report over raw (doc_id, text) rows. */
+  def report(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = tokenize(raw)
+    spanReport(docs, dupIntervals(docs))
+  }
 }
 
 object Coverage15 {
 
   private def subDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
     SubstringDedup.tokenize(table(s, dir, "documents"))
-
-  /** Global duplicate-gram intervals: every occurrence that is not the
-    * corpus-wide (doc_id, pos)-lexicographic first of its gram. The
-    * HAVING count >= 2 shrinks the join-back side to actually-duplicated
-    * grams. */
-  private def subDups(docs: org.apache.spark.sql.DataFrame) = {
-    val withEnc = SubstringDedup.gramsEnc(docs)
-    val firsts = withEnc.groupBy("g")
-      .agg(min(col("enc")).as("fe"), count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("g", "fe")
-    withEnc.join(firsts, "g")
-      .filter(col("enc") =!= col("fe"))
-      .select(col("doc_id"), col("pos").as("s"), (col("pos") + 7).as("e"))
-  }
 
   /** The shared oracle prefix (docs → grams → firsts → dups). */
   private val subDupsSql =
@@ -164,7 +170,7 @@ object Coverage15 {
         |FROM docs d LEFT JOIN agg a USING (doc_id)
         |""".stripMargin) { (s, dir) =>
       val docs = subDocs(s, dir)
-      SubstringDedup.spanReport(docs, subDups(docs))
+      SubstringDedup.spanReport(docs, SubstringDedup.dupIntervals(docs))
     },
 
     // ---- substring dedup, applied (cleaned corpus) ---------------------
@@ -197,7 +203,7 @@ object Coverage15 {
         |FROM docs d LEFT JOIN clean c USING (doc_id)
         |""".stripMargin) { (s, dir) =>
       val docs = subDocs(s, dir)
-      val dups = subDups(docs)
+      val dups = SubstringDedup.dupIntervals(docs)
       val toks = docs.select(col("doc_id"),
         posexplode(col("w")).as(Seq("idx", "tok")))
       val kept = toks.join(dups,
