@@ -366,5 +366,39 @@ object Coverage15 {
           col("doc_id").cast("string")).cast("binary")), 1, 6), 16, 10)
           .cast("long") < col("t"))
         .select("doc_id", "lang")
+    },
+
+    // ---- exact-phrase search ------------------------------------------
+    // The retrieval feature BM25 alone lacks: docs ranked by exact
+    // occurrences of the token phrase "hash join" (adjacent, in order).
+    // This scan form is the ORACLE twin of the positional-index form
+    // ([[graft.streaming.IncrementalPostings.phraseSearch]] — per-doc
+    // intersections of shifted position lists, spec-pinned equal): one
+    // per-row expression over the token array (no explode, no shuffle),
+    // then a TakeOrderedAndProject top-20. The per-row HOF runs over
+    // ONE doc's tokens — interpreted lambda cost bounded by doc length,
+    // not corpus size.
+    QDef("q_phrase_search",
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS occurrences
+        |  FROM docs, unnest(range(len(w) - 1)) AS t(i)
+        |  WHERE w[i+1] = 'hash' AND w[i+2] = 'join'
+        |  GROUP BY doc_id)
+        |SELECT doc_id, occurrences,
+        |  CAST(row_number() OVER (ORDER BY occurrences DESC, doc_id) AS BIGINT) AS rnk
+        |FROM hits ORDER BY occurrences DESC, doc_id LIMIT 20
+        |""".stripMargin) { (s, dir) =>
+      SubstringDedup.tokenize(table(s, dir, "documents"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), expr(
+          "cast(size(filter(sequence(0, size(w) - 2)," +
+            " i -> w[i] = 'hash' and w[i + 1] = 'join')) as bigint)")
+          .as("occurrences"))
+        .filter(col("occurrences") > 0)
+        .orderBy(col("occurrences").desc, col("doc_id")).limit(20)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("occurrences").desc, col("doc_id"))).cast("long"))
     })
 }

@@ -48,11 +48,18 @@ object IncrementalPostings {
 
   private def bucketCol = pmod(xxhash64(col("term")), lit(NB)).cast("int")
 
-  /** (doc_id, dl, term, tf) for every term of every doc in `docs`. */
+  /** (doc_id, dl, term, tf, positions) for every term of every doc —
+    * positions are the term's sorted 0-based token offsets (the
+    * POSITIONAL part of the index: ~one extra int per token, what
+    * makes phrase queries a per-doc array intersection instead of a
+    * corpus re-scan). */
   private[streaming] def tokenize(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        posexplode(col("w")).as(Seq("pos", "term")))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Tokenize one micro-batch of (doc_id, text) and write its postings
     * + stats under the batch's own directories (overwrite → replay-safe). */
@@ -84,7 +91,7 @@ object IncrementalPostings {
     * the resumed stream's batch ids continue past 0. */
   def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
     spark.read.parquet(s"$dir/postings")
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("positions"),
         col("term_bucket").cast("int").as("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$intoDir/postings/batch=0")
@@ -112,5 +119,42 @@ object IncrementalPostings {
         col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     Bm25.rank(postings, stats, k)
+  }
+
+  /** Exact-phrase top-k over the positional index: for phrase
+    * w₁ w₂ … wₘ, a doc's occurrence count is |{p : p ∈ pos(w₁),
+    * p+1 ∈ pos(w₂), …}| — successive per-doc array intersections of
+    * shifted position lists, never a text re-scan. The scan carries
+    * the same term_bucket partition filter as [[search]]; the joins
+    * after it are keyed on doc_id over only the docs containing EVERY
+    * phrase term. Output (doc_id, occurrences, rnk) matches the batch
+    * q_phrase_search. */
+  def phraseSearch(spark: SparkSession, dir: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val buckets = phrase.distinct.toDF("term").select(bucketCol).as[Int]
+      .collect().toSeq
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_bucket").isin(buckets.distinct: _*) &&
+        col("term").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("term"), col("positions"))
+    // fold left over the phrase: carry the set of valid START positions
+    val start = post.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("positions").as("starts"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(start) {
+      case (acc, (t, i)) =>
+        acc.join(
+            post.filter(col("term") === t)
+              .select(col("doc_id"), col("positions").as("_p")), "doc_id")
+          .select(col("doc_id"), expr(
+            s"filter(starts, s -> array_contains(_p, s + $i))").as("starts"))
+    }
+    matched.select(col("doc_id"), size(col("starts")).cast("long").as("occurrences"))
+      .filter(col("occurrences") > 0)
+      .orderBy(col("occurrences").desc, col("doc_id")).limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("occurrences").desc, col("doc_id"))).cast("long"))
   }
 }

@@ -104,5 +104,33 @@ class IncrementalPostingsSpec extends AnyFunSuite {
       .select("batch", "term_bucket").distinct().count()
     assert(leaves3 < totalLeaves, "consolidation did not reduce leaf count")
     assert(spark.read.parquet(s"$dir3/stats").count() == 1)
+
+    // 6. positional phrase search: the index's shifted-position
+    // intersections == the batch scan form, on the live AND the
+    // consolidated index
+    val phraseExpected = graft.SparkEntry.queries("q_phrase_search")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(phraseExpected.nonEmpty)
+    def phr(d: String) = IncrementalPostings
+      .phraseSearch(spark, d, Seq("hash", "join"), 20)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(phr(dir) == phraseExpected, "index phrase search != batch scan")
+    assert(phr(dir3) == phraseExpected, "consolidated phrase search drifted")
+  }
+
+  test("phrase search: overlapping and duplicate-term phrases") {
+    val dir = Files.createTempDirectory("inc-post-phrase").toString
+    IncrementalPostings.processBatch(Seq(
+      (1L, "a a a b"),        // "a a" overlaps: starts 0,1
+      (2L, "x a a y a a z"),  // two separated occurrences
+      (3L, "a b a b a")       // "a b" twice, "b a" twice
+    ).toDF("doc_id", "text"), dir, 0L)
+    def occ(phrase: Seq[String]) = IncrementalPostings
+      .phraseSearch(spark, dir, phrase, 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(occ(Seq("a", "a")) == Map(1L -> 2L, 2L -> 2L))
+    assert(occ(Seq("a", "b")) == Map(1L -> 1L, 3L -> 2L))
+    assert(occ(Seq("a", "a", "a")) == Map(1L -> 1L))
+    assert(occ(Seq("b", "a", "b")) == Map(3L -> 1L))
   }
 }
