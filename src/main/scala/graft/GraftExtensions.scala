@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rollhash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(classOf[graft.functions.PhraseCount].getName, "phrase_count"),
+      (children: Seq[Expression]) =>
+        graft.functions.PhraseExpressions.builder(children)))
+    ext.injectFunction((
       new FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (children: Seq[Expression]) => TopKBy(children(0), children(1), children(2))))

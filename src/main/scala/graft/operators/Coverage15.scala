@@ -375,9 +375,10 @@ object Coverage15 {
     // ([[graft.streaming.IncrementalPostings.phraseSearch]] — per-doc
     // intersections of shifted position lists, spec-pinned equal): one
     // per-row expression over the token array (no explode, no shuffle),
-    // then a TakeOrderedAndProject top-20. The per-row HOF runs over
-    // ONE doc's tokens — interpreted lambda cost bounded by doc length,
-    // not corpus size.
+    // then a TakeOrderedAndProject top-20. The per-row pass is the
+    // compiled `phrase_count` expression — the HOF filter-over-sequence
+    // form interpreted its lambda per POSITION and cost 6.5× at sf0.1
+    // (the simhash/rollhash lesson; PhraseCountSpec pins equality).
     QDef("q_phrase_search",
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |hits AS (
@@ -389,12 +390,11 @@ object Coverage15 {
         |  CAST(row_number() OVER (ORDER BY occurrences DESC, doc_id) AS BIGINT) AS rnk
         |FROM hits ORDER BY occurrences DESC, doc_id LIMIT 20
         |""".stripMargin) { (s, dir) =>
+      graft.functions.PhraseExpressions.register(s)
       SubstringDedup.tokenize(table(s, dir, "documents"))
         .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), expr(
-          "cast(size(filter(sequence(0, size(w) - 2)," +
-            " i -> w[i] = 'hash' and w[i + 1] = 'join')) as bigint)")
-          .as("occurrences"))
+        .select(col("doc_id"),
+          expr("phrase_count(w, 'hash join')").as("occurrences"))
         .filter(col("occurrences") > 0)
         .orderBy(col("occurrences").desc, col("doc_id")).limit(20)
         .withColumn("rnk", row_number().over(
