@@ -118,6 +118,21 @@ class IncrementalPostingsSpec extends AnyFunSuite {
     assert(phr(dir3) == phraseExpected, "consolidated phrase search drifted")
   }
 
+  test("empty micro-batch leaves search and stats usable") {
+    // foreachBatch can deliver zero-row batches (trigger with no new
+    // data); the index must absorb them — the empty stats row (0 docs,
+    // null sum_dl) must not poison N/avgdl, and the empty postings
+    // partition must not break schema discovery
+    val dir = Files.createTempDirectory("inc-post-empty").toString
+    IncrementalPostings.processBatch(
+      docs.filter(col("doc_id") % 2 === 0), dir, 0L)
+    val before = asTuples(IncrementalPostings.search(spark, dir, terms, 20))
+    IncrementalPostings.processBatch(
+      docs.filter(lit(false)), dir, 1L) // zero rows
+    assert(asTuples(IncrementalPostings.search(spark, dir, terms, 20)) == before,
+      "empty batch changed the ranking")
+  }
+
   test("phrase search: overlapping and duplicate-term phrases") {
     val dir = Files.createTempDirectory("inc-post-phrase").toString
     IncrementalPostings.processBatch(Seq(

@@ -92,6 +92,22 @@ class IncrementalSubstringDedupSpec extends AnyFunSuite {
         s"post-consolidation batch missed the duplicate: $rep")
   }
 
+  test("empty micro-batch leaves the index and reports usable") {
+    val dir = Files.createTempDirectory("inc-sub-empty").toString
+    val boiler = (1 to 12).map(i => s"e$i").mkString(" ")
+    IncrementalSubstringDedup.processBatch(
+      Seq((1L, s"$boiler tail1 tail2 tail3")).toDF("doc_id", "text"), dir, 0L)
+    IncrementalSubstringDedup.processBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), dir, 1L)
+    // a later batch still dedups against the pre-empty-batch history
+    IncrementalSubstringDedup.processBatch(
+      Seq((2L, s"$boiler x1 x2 x3")).toDF("doc_id", "text"), dir, 2L)
+    val r = asSet(IncrementalSubstringDedup.reports(spark, dir))
+      .map(x => x._1 -> x).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L)._3 == 0L && r(2L)._3 == 1L && r(2L)._4 == 12L)
+  }
+
   test("cross-batch charging: later copy charged, first occurrence never") {
     val dir = Files.createTempDirectory("inc-sub-plant").toString
     val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
