@@ -14,9 +14,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * touches only its terms' buckets at the FILE level.
   *
   * Layout: `postings/batch=<id>/term_bucket=<b>/` plus a 1-row
-  * `stats/batch=<id>/` (n_docs, sum_dl). Both postings levels are
-  * discovered partition columns; corpus-wide N and avgdl aggregate
-  * the TINY per-batch stats rows, never the postings.
+  * `stats/batch=<id>/` (n_docs, sum_dl), a thin `doclens/batch=<id>/`
+  * (doc_id, dl), and tombstones in `deletes/del=<id>/`. Both postings
+  * levels are discovered partition columns; corpus-wide N and avgdl
+  * aggregate the TINY per-batch stats rows minus the tombstone mass,
+  * never the postings.
   *
   * Scale + delivery contract (the IncrementalIvf shape):
   *  - per-batch cost is O(batch tokens) tokenize + write — no read or
@@ -34,9 +36,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    to the exact terms — the bucket is a 1/NB prefilter, the term
   *    equality the exactness.
   *
-  * Assumes each document id arrives in exactly ONE batch (a corpus
-  * ingest stream); re-ingesting a CHANGED doc needs a delete+insert
-  * compaction pass, the CDC materializer's territory.
+  * Assumes each document id arrives in exactly ONE ingest batch (a
+  * corpus stream). Takedowns go through [[delete]] (tombstones applied
+  * at search, physically removed by [[consolidate]]); re-ingesting a
+  * CHANGED doc is delete + ingest-under-a-new-batch, and full
+  * mutation-tracking is the CDC materializer's territory.
   */
 object IncrementalPostings {
 
@@ -62,14 +66,69 @@ object IncrementalPostings {
         sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Tokenize one micro-batch of (doc_id, text) and write its postings
-    * + stats under the batch's own directories (overwrite → replay-safe). */
+    * + stats + per-doc lengths under the batch's own directories
+    * (overwrite → replay-safe). `doclens` (doc_id, dl — two longs per
+    * doc) is what later [[delete]]s resolve lengths against without
+    * touching the postings tree. */
   def processBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
     tokenize(docs).withColumn("term_bucket", bucketCol)
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/postings/batch=$batchId")
-    docs.select(size(split(trim(col("text")), " ")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl"))
+    val dl = docs.select(col("doc_id"),
+      size(split(trim(col("text")), " ")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/doclens/batch=$batchId")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats/batch=$batchId")
+  }
+
+  /** Take documents DOWN (the compliance path a training corpus needs):
+    * tombstones land in `deletes/del=<id>/` (overwrite → replay-safe);
+    * [[search]]/[[phraseSearch]] apply them as a broadcast anti join
+    * and subtract their mass from N/avgdl, so ranking equals a batch
+    * ranking over the reduced corpus EXACTLY; [[consolidate]] later
+    * drops the postings physically. Ids that were never ingested are
+    * ignored (resolved against `doclens`); deleting the same id in two
+    * delete batches charges once (tombstones dedup at read). Cost is
+    * O(doclens) to resolve lengths — a thin two-long-per-doc table,
+    * never the postings tree. */
+  def delete(spark: SparkSession, dir: String, docIds: Seq[Long],
+      deleteId: Long): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/doclens")
+      .join(broadcast(docIds.toDF("doc_id")), "doc_id")
+      .select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
+  }
+
+  /** Accumulated tombstones, deduped — empty frame if none exist. */
+  private def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(s"$dir/deletes")
+    if (!path.isDirectory || path.listFiles().isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dl",
+            org.apache.spark.sql.types.IntegerType))))
+    else spark.read.parquet(s"$dir/deletes")
+      .select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+  }
+
+  /** 1-row (n, avgdl) over the LIVE corpus: per-batch stats sums minus
+    * the tombstones' mass — same longs, same division as a batch
+    * aggregation over the reduced corpus. */
+  private def liveStats(spark: SparkSession, dir: String): DataFrame = {
+    val dead = tombstones(spark, dir)
+      .agg(count(lit(1)).as("_dn"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("_ddl"))
+    spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).cast("long").as("_n0"),
+        sum(col("sum_dl")).cast("long").as("_s0"))
+      .crossJoin(dead)
+      .select((col("_n0") - col("_dn")).as("n"),
+        ((col("_s0") - col("_ddl")).cast("double") /
+          (col("_n0") - col("_dn"))).as("avgdl"))
   }
 
   /** Wire a (doc_id, text) stream into the index. */
@@ -90,14 +149,20 @@ object IncrementalPostings {
     * rows only ever feed a sum). Offline pass: swap readers when done;
     * the resumed stream's batch ids continue past 0. */
   def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    val dead = tombstones(spark, dir).select("doc_id")
     spark.read.parquet(s"$dir/postings")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("positions"),
         col("term_bucket").cast("int").as("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$intoDir/postings/batch=0")
-    spark.read.parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("sum_dl")).cast("long").as("sum_dl"))
+    // tombstoned docs leave physically: surviving doclens are rewritten
+    // and stats recomputed from them, so the fresh dir needs NO deletes
+    val live = spark.read.parquet(s"$dir/doclens")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+    live.write.mode("overwrite").parquet(s"$intoDir/doclens/batch=0")
+    live.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$intoDir/stats/batch=0")
   }
 
@@ -108,9 +173,6 @@ object IncrementalPostings {
   def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int)
       : DataFrame = {
     import spark.implicits._
-    val stats = spark.read.parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).cast("long").as("n"),
-        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
     // buckets via the SAME Spark expression that wrote them — never a
     // reimplementation of xxhash64 on the driver
     val buckets = terms.toDF("term").select(bucketCol).as[Int].collect().toSeq
@@ -118,7 +180,9 @@ object IncrementalPostings {
       .filter(col("term_bucket").isin(buckets.distinct: _*) &&
         col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    Bm25.rank(postings, stats, k)
+      .join(broadcast(tombstones(spark, dir).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    Bm25.rank(postings, liveStats(spark, dir), k)
   }
 
   /** Exact-phrase top-k over the positional index: for phrase
@@ -139,6 +203,8 @@ object IncrementalPostings {
       .filter(col("term_bucket").isin(buckets.distinct: _*) &&
         col("term").isin(phrase.distinct: _*))
       .select(col("doc_id"), col("term"), col("positions"))
+      .join(broadcast(tombstones(spark, dir).select("doc_id")),
+        Seq("doc_id"), "left_anti")
     // fold left over the phrase: carry the set of valid START positions
     val start = post.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("positions").as("starts"))

@@ -118,6 +118,46 @@ class IncrementalPostingsSpec extends AnyFunSuite {
     assert(phr(dir3) == phraseExpected, "consolidated phrase search drifted")
   }
 
+  test("takedown: tombstoned docs vanish and ranking == reduced-corpus batch") {
+    val dir = Files.createTempDirectory("inc-post-del").toString
+    IncrementalPostings.processBatch(docs.filter(col("doc_id") % 2 === 0), dir, 0L)
+    IncrementalPostings.processBatch(docs.filter(col("doc_id") % 2 === 1), dir, 1L)
+
+    // delete every doc_id % 7 == 0, plus a never-ingested id (ignored)
+    val dead = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    IncrementalPostings.delete(spark, dir, dead :+ 999999L, 0L)
+    // double-delete in a second tombstone batch must not double-charge
+    IncrementalPostings.delete(spark, dir, dead.take(2), 1L)
+
+    // batch ranking over the REDUCED corpus, via the real q_bm25 on a
+    // documents.parquet holding only the surviving docs
+    val reducedDir = Files.createTempDirectory("inc-post-del-corpus").toString
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .write.parquet(s"$reducedDir/documents.parquet")
+    val expected = asTuples(
+      graft.SparkEntry.queries("q_bm25")(spark, reducedDir))
+    val got = asTuples(IncrementalPostings.search(spark, dir, terms, 20))
+    assert(got == expected, s"post-delete ranking != reduced-corpus batch")
+    assert(got.map(_._1).intersect(dead).isEmpty)
+
+    // phrase search honors tombstones too
+    val phraseGot = IncrementalPostings
+      .phraseSearch(spark, dir, Seq("hash", "join"), 50)
+      .as[(Long, Long, Long)].collect().map(_._1)
+    assert(phraseGot.intersect(dead).isEmpty)
+
+    // consolidation drops them physically: fresh dir has no deletes,
+    // fewer postings, same ranking
+    val dir2 = Files.createTempDirectory("inc-post-del-consolidated").toString
+    IncrementalPostings.consolidate(spark, dir, dir2)
+    assert(!new java.io.File(s"$dir2/deletes").exists())
+    assert(asTuples(IncrementalPostings.search(spark, dir2, terms, 20)) == expected)
+    val deadSet = dead.toSet
+    assert(spark.read.parquet(s"$dir2/postings").select("doc_id").as[Long]
+      .collect().forall(!deadSet.contains(_)))
+  }
+
   test("empty micro-batch leaves search and stats usable") {
     // foreachBatch can deliver zero-row batches (trigger with no new
     // data); the index must absorb them — the empty stats row (0 docs,
