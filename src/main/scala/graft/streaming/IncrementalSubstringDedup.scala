@@ -91,10 +91,38 @@ object IncrementalSubstringDedup {
       }
       .start()
 
-  /** All per-doc reports emitted so far (one row per ingested doc). */
+  /** Take documents down: tombstoned ids disappear from [[reports]]
+    * (they leave the downstream corpus), but their GRAMS stay in the
+    * index deliberately — content removed for compliance should stay
+    * blocklisted, so a re-ingested copy of it is charged as fully
+    * duplicated rather than slipping back in as "new". That asymmetry
+    * (reports forget, the dedup memory doesn't) is the contract; a
+    * full forget is a fresh-directory rebuild. */
+  def delete(spark: SparkSession, dir: String, docIds: Seq[Long],
+      deleteId: Long): Unit = {
+    import spark.implicits._
+    docIds.distinct.toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(s"$dir/deletes")
+    if (!path.isDirectory || path.listFiles().isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/deletes").select("doc_id").distinct()
+  }
+
+  /** All per-doc reports emitted so far (one row per ingested,
+    * non-tombstoned doc). */
   def reports(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/reports")
       .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "dup_ratio")
+      .join(org.apache.spark.sql.functions
+        .broadcast(tombstones(spark, dir)), Seq("doc_id"), "left_anti")
 
   /** Small-files maintenance: roll the gram-index batch history into
     * one `grams/batch=0` under a FRESH directory (reports copied
@@ -104,11 +132,17 @@ object IncrementalSubstringDedup {
     * from the stream's checkpoint), and every later batch sees the
     * whole consolidated index because 0 < any live id. */
   def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    // grams copied in FULL — tombstoned docs' grams stay as the
+    // blocklist (see delete); tombstoned REPORT rows are dropped here
+    // so the fresh directory needs no deletes/ at all
     spark.read.parquet(s"$dir/grams").select("g", "fe")
       .write.mode("overwrite").parquet(s"$intoDir/grams/batch=0")
+    val dead = tombstones(spark, dir)
     val reps = new java.io.File(s"$dir/reports").listFiles()
     reps.filter(_.getName.startsWith("batch=")).foreach { b =>
       spark.read.parquet(b.getPath)
+        .join(org.apache.spark.sql.functions.broadcast(dead),
+          Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$intoDir/reports/${b.getName}")
     }
   }

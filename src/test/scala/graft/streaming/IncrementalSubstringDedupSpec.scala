@@ -92,6 +92,36 @@ class IncrementalSubstringDedupSpec extends AnyFunSuite {
         s"post-consolidation batch missed the duplicate: $rep")
   }
 
+  test("takedown: reports forget, the dedup blocklist does not") {
+    val dir = Files.createTempDirectory("inc-sub-del").toString
+    val boiler = (1 to 12).map(i => s"d$i").mkString(" ")
+    IncrementalSubstringDedup.processBatch(
+      Seq((1L, s"$boiler t1 t2 t3")).toDF("doc_id", "text"), dir, 0L)
+    IncrementalSubstringDedup.delete(spark, dir, Seq(1L), 0L)
+    // the removed doc leaves the downstream report...
+    assert(asSet(IncrementalSubstringDedup.reports(spark, dir)).isEmpty)
+    // ...but a re-ingested copy of its content is charged as FULLY
+    // duplicated — removed content stays blocklisted
+    IncrementalSubstringDedup.processBatch(
+      Seq((2L, s"$boiler t1 t2 t3")).toDF("doc_id", "text"), dir, 1L)
+    val r = asSet(IncrementalSubstringDedup.reports(spark, dir))
+      .map(x => x._1 -> x).toMap
+    assert(r.keySet == Set(2L))
+    assert(r(2L)._4 == r(2L)._2, s"re-ingested copy not fully charged: ${r(2L)}")
+    // consolidation keeps the asymmetry: no deletes/ dir, report still
+    // forgotten, blocklist still effective for a third copy
+    val dir2 = Files.createTempDirectory("inc-sub-del-consolidated").toString
+    IncrementalSubstringDedup.consolidate(spark, dir, dir2)
+    assert(!new java.io.File(s"$dir2/deletes").exists())
+    assert(asSet(IncrementalSubstringDedup.reports(spark, dir2))
+      .map(_._1) == Set(2L))
+    IncrementalSubstringDedup.processBatch(
+      Seq((3L, s"$boiler t1 t2 t3")).toDF("doc_id", "text"), dir2, 3L)
+    val r3 = asSet(IncrementalSubstringDedup.reports(spark, dir2))
+      .map(x => x._1 -> x).toMap
+    assert(r3(3L)._4 == r3(3L)._2)
+  }
+
   test("empty micro-batch leaves the index and reports usable") {
     val dir = Files.createTempDirectory("inc-sub-empty").toString
     val boiler = (1 to 12).map(i => s"e$i").mkString(" ")
