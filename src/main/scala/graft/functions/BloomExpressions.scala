@@ -152,19 +152,43 @@ object BloomExpressions {
   }
 
   private val probeSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val probeMemo =
+    new java.util.IdentityHashMap[BloomFilter, String]()
+  private val liveProbes = scala.collection.mutable.ListBuffer
+    .empty[org.apache.spark.broadcast.Broadcast[BloomFilter]]
 
   /** Column-API entry point: broadcasts the filter (once per executor,
     * cached deserialized) and probes it via the codegen'd [[BloomProbe]].
     * Spark 4 exposes no public Expression→Column bridge, so this rides
     * the repo's registry convention: a uniquely-named temp function whose
     * builder closure carries the broadcast handle (unique so that two
-    * probes with different filters in one session can never collide;
-    * entries are a few bytes each and die with the session). */
+    * probes with different filters in one session can never collide).
+    * The SAME filter instance probed twice reuses its broadcast (a
+    * multi-leg plan referencing one filter ships it once); broadcasts
+    * for filters built per query run accumulate until [[clearProbes]] —
+    * wired into the bench's per-run `DedupOps.clearMemos`, so repeated
+    * runs don't stack multi-MB executor copies. */
   def probe(spark: SparkSession, bf: BloomFilter, value: Column): Column = {
-    val bc = spark.sparkContext.broadcast(bf)
-    val name = s"bloom_probe_${probeSeq.incrementAndGet()}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BloomProbe(exprs(0), bc), "built-in")
+    val name = probeMemo.synchronized {
+      Option(probeMemo.get(bf)).getOrElse {
+        val bc = spark.sparkContext.broadcast(bf)
+        liveProbes += bc
+        val n = s"bloom_probe_${probeSeq.incrementAndGet()}"
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          n, exprs => BloomProbe(exprs(0), bc), "built-in")
+        probeMemo.put(bf, n)
+        n
+      }
+    }
     call_function(name, value)
+  }
+
+  /** Unpersist every probe broadcast and forget the memo — only safe
+    * when no live plan still references a probe (the clearMemos
+    * contract: memoized plans are dropped in the same sweep). */
+  def clearProbes(): Unit = probeMemo.synchronized {
+    liveProbes.foreach(bc => scala.util.Try(bc.unpersist(blocking = false)))
+    liveProbes.clear()
+    probeMemo.clear()
   }
 }

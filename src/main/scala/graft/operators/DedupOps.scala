@@ -208,6 +208,10 @@ object DedupOps {
     var r = liveCkpts.poll()
     while (r != null) { r.unpersist(true); r = liveCkpts.poll() }
     memoHits.clear()
+    // bloom-probe broadcasts ride query plans the same way the memo
+    // frames do; release them in the same sweep so repeated bench runs
+    // don't stack multi-MB executor copies
+    graft.functions.BloomExpressions.clearProbes()
   }
 
   /** RDDs persisted by `Dataset.localCheckpoint` are NOT released by

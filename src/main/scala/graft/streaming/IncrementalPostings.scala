@@ -74,11 +74,16 @@ object IncrementalPostings {
     tokenize(docs).withColumn("term_bucket", bucketCol)
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/postings/batch=$batchId")
+    // two actions consume dl (doclens write, stats aggregate) — pin it
+    // so the batch isn't re-scanned and re-split per action
     val dl = docs.select(col("doc_id"),
-      size(split(trim(col("text")), " ")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$dir/doclens/batch=$batchId")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats/batch=$batchId")
+      size(split(trim(col("text")), " ")).as("dl")).persist()
+    try {
+      dl.write.mode("overwrite").parquet(s"$dir/doclens/batch=$batchId")
+      dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).cast("long").as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$dir/stats/batch=$batchId")
+    } finally dl.unpersist(blocking = false)
   }
 
   /** Take documents DOWN (the compliance path a training corpus needs):
@@ -94,26 +99,25 @@ object IncrementalPostings {
   def delete(spark: SparkSession, dir: String, docIds: Seq[Long],
       deleteId: Long): Unit = {
     import spark.implicits._
+    // an index that has never ingested a batch has nothing to delete —
+    // the takedown is a no-op, not a path-not-found crash
+    if (!IndexFs.hasChildDirs(spark, s"$dir/doclens")) return
     spark.read.parquet(s"$dir/doclens")
       .join(broadcast(docIds.toDF("doc_id")), "doc_id")
       .select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
       .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
   }
 
+  private val tombstoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Accumulated tombstones, deduped — empty frame if none exist. */
-  private def tombstones(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(s"$dir/deletes")
-    if (!path.isDirectory || path.listFiles().isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("dl",
-            org.apache.spark.sql.types.IntegerType))))
-    else spark.read.parquet(s"$dir/deletes")
+  private def tombstones(spark: SparkSession, dir: String): DataFrame =
+    IndexFs.readOrEmpty(spark, s"$dir/deletes", tombstoneSchema)
       .select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
-  }
 
   /** 1-row (n, avgdl) over the LIVE corpus: per-batch stats sums minus
     * the tombstones' mass — same longs, same division as a batch

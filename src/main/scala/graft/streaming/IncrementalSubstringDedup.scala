@@ -45,11 +45,9 @@ object IncrementalSubstringDedup {
   /** Grams of batches strictly before `batchId` (partition-pruned). */
   private def priorIndex(spark: SparkSession, dir: String,
       batchId: Long): DataFrame = {
-    val path = new java.io.File(s"$dir/grams")
-    val hasPrior = path.isDirectory &&
-      path.listFiles().exists { f =>
-        f.getName.stripPrefix("batch=").toLongOption.exists(_ < batchId)
-      }
+    val hasPrior = IndexFs.childDirs(spark, s"$dir/grams").exists { n =>
+      n.stripPrefix("batch=").toLongOption.exists(_ < batchId)
+    }
     if (!hasPrior)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
@@ -63,22 +61,32 @@ object IncrementalSubstringDedup {
   def processBatch(raw: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = raw.sparkSession
     val docs = SubstringDedup.tokenize(raw)
-    val grams = SubstringDedup.gramsEnc(docs)
+    // the two writes below are separate Spark actions, and exchange
+    // reuse does not span actions — without pinning, the batch would be
+    // re-tokenized/exploded and the accumulated prior index re-read and
+    // re-joined once PER WRITE (the Scd2History (consumers+1)× lesson)
+    val grams = SubstringDedup.gramsEnc(docs).persist()
     // within-batch first occurrence per gram (hash-aggregable long min)
     val localFirst = grams.groupBy("g").agg(min(col("enc")).as("lf"))
     val eff = localFirst.join(priorIndex(spark, dir, batchId), Seq("g"), "left")
       .select(col("g"), coalesce(col("fe"), col("lf")).as("ef"),
         col("fe").isNull.as("isNew"), col("lf"))
-    // an occurrence is a dup iff it is not the EFFECTIVE first — the
-    // index's first if the gram was ever seen, else the batch-local one
-    val dups = grams.join(eff.select("g", "ef"), "g")
-      .filter(col("enc") =!= col("ef"))
-      .select(col("doc_id"), col("pos").as("s"),
-        (col("pos") + SubstringDedup.K - 1).as("e"))
-    SubstringDedup.spanReport(docs, dups)
-      .write.mode("overwrite").parquet(s"$dir/reports/batch=$batchId")
-    eff.filter(col("isNew")).select(col("g"), col("lf").as("fe"))
-      .write.mode("overwrite").parquet(s"$dir/grams/batch=$batchId")
+      .persist()
+    try {
+      // an occurrence is a dup iff it is not the EFFECTIVE first — the
+      // index's first if the gram was ever seen, else the batch-local one
+      val dups = grams.join(eff.select("g", "ef"), "g")
+        .filter(col("enc") =!= col("ef"))
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + SubstringDedup.K - 1).as("e"))
+      SubstringDedup.spanReport(docs, dups)
+        .write.mode("overwrite").parquet(s"$dir/reports/batch=$batchId")
+      eff.filter(col("isNew")).select(col("g"), col("lf").as("fe"))
+        .write.mode("overwrite").parquet(s"$dir/grams/batch=$batchId")
+    } finally {
+      eff.unpersist(blocking = false)
+      grams.unpersist(blocking = false)
+    }
   }
 
   /** Wire a (doc_id, text) stream into the index. */
@@ -105,16 +113,12 @@ object IncrementalSubstringDedup {
       .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
   }
 
-  private def tombstones(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(s"$dir/deletes")
-    if (!path.isDirectory || path.listFiles().isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+  private def tombstones(spark: SparkSession, dir: String): DataFrame =
+    IndexFs.readOrEmpty(spark, s"$dir/deletes",
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType))))
-    else spark.read.parquet(s"$dir/deletes").select("doc_id").distinct()
-  }
+      .select("doc_id").distinct()
 
   /** All per-doc reports emitted so far (one row per ingested,
     * non-tombstoned doc). */
@@ -138,12 +142,12 @@ object IncrementalSubstringDedup {
     spark.read.parquet(s"$dir/grams").select("g", "fe")
       .write.mode("overwrite").parquet(s"$intoDir/grams/batch=0")
     val dead = tombstones(spark, dir)
-    val reps = new java.io.File(s"$dir/reports").listFiles()
-    reps.filter(_.getName.startsWith("batch=")).foreach { b =>
-      spark.read.parquet(b.getPath)
-        .join(org.apache.spark.sql.functions.broadcast(dead),
-          Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$intoDir/reports/${b.getName}")
-    }
+    IndexFs.childDirs(spark, s"$dir/reports")
+      .filter(_.startsWith("batch=")).foreach { b =>
+        spark.read.parquet(s"$dir/reports/$b")
+          .join(org.apache.spark.sql.functions.broadcast(dead),
+            Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$intoDir/reports/$b")
+      }
   }
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Filesystem probes for the persistent streaming indexes, through the
+  * HADOOP FileSystem of the path — `java.io.File` answers false for
+  * every non-local URI (hdfs://, s3a://), which made the first
+  * tombstone/prior-index probes silently see "nothing there" on
+  * exactly the deployments the indexes are written for (takedowns
+  * ignored, cross-batch dedup vanishing — wrong results, no error).
+  * One shared home for the probe and the read-or-empty pattern so the
+  * fix cannot fork per module.
+  */
+private[streaming] object IndexFs {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Names of child directories of `path`; empty if absent. */
+  def childDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  def hasChildDirs(spark: SparkSession, path: String): Boolean =
+    childDirs(spark, path).nonEmpty
+
+  /** Read the parquet tree at `path`, or an empty frame with `schema`
+    * when the path holds no data yet. */
+  def readOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    if (!hasChildDirs(spark, path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(path)
+}
