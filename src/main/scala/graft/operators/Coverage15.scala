@@ -400,5 +400,41 @@ object Coverage15 {
         .withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("occurrences").desc, col("doc_id"))).cast("long"))
+    },
+
+    // ---- last-touch attribution ---------------------------------------
+    // The conversion-analytics staple the funnel/transition family
+    // doesn't cover: each purchase is credited to the user's most
+    // recent PRECEDING non-purchase event (last-touch), with purchases
+    // preceded by nothing crediting "(none)". The carry is
+    // last(...IGNORE NULLS) over a per-user frame ending at -1 — the
+    // q_locf forward-fill move with a conditional payload — so the
+    // window is bounded by one user's events, never corpus-wide;
+    // revenue accumulates in exact decimal (order-independent).
+    QDef("q_attribution",
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, '(none)') AS touch,
+        |  CAST(count(*) AS BIGINT) AS purchases,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+        |    AS revenue
+        |FROM ordered WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("touch"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("(none)")).as("touch"))
+        .agg(count(lit(1)).as("purchases"), sumExact(col("value")).as("revenue"))
     })
 }
