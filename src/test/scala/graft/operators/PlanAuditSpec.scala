@@ -67,6 +67,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_substring_clean" -> Budget(maxExchanges = 6),
     "q_sample_weighted_det" -> Budget(maxExchanges = 0),
     "q_phrase_search" -> Budget(maxExchanges = 0),
+    "q_attribution" -> Budget(maxExchanges = 2),
     "q_sample_temperature" -> Budget(maxExchanges = 10),
     "q_bm25" -> Budget(maxExchanges = 9)
   )
