@@ -152,8 +152,8 @@ object BloomExpressions {
   }
 
   private val probeSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val probeMemo =
-    new java.util.IdentityHashMap[BloomFilter, String]()
+  private val probeMemo = new java.util.IdentityHashMap[
+    BloomFilter, (String, org.apache.spark.broadcast.Broadcast[BloomFilter])]()
   private val liveProbes = scala.collection.mutable.ListBuffer
     .empty[org.apache.spark.broadcast.Broadcast[BloomFilter]]
 
@@ -169,17 +169,22 @@ object BloomExpressions {
     * wired into the bench's per-run `DedupOps.clearMemos`, so repeated
     * runs don't stack multi-MB executor copies. */
   def probe(spark: SparkSession, bf: BloomFilter, value: Column): Column = {
-    val name = probeMemo.synchronized {
+    val (name, bc) = probeMemo.synchronized {
       Option(probeMemo.get(bf)).getOrElse {
         val bc = spark.sparkContext.broadcast(bf)
         liveProbes += bc
         val n = s"bloom_probe_${probeSeq.incrementAndGet()}"
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          n, exprs => BloomProbe(exprs(0), bc), "built-in")
-        probeMemo.put(bf, n)
-        n
+        probeMemo.put(bf, (n, bc))
+        (n, bc)
       }
     }
+    // registered in the CALLING session on every call (idempotent,
+    // registry-map cheap): the memo is process-global but a temp
+    // function lives in one session's registry — a memo hit from a
+    // second session (spark.newSession()) would otherwise resolve to
+    // an undefined function at analysis
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BloomProbe(exprs(0), bc), "built-in")
     call_function(name, value)
   }
 

@@ -35,10 +35,22 @@ object SubstringDedup {
     * of the full gram table, the dominant intermediate at corpus scale
     * (PlanAuditSpec gates the regression). The encoding is
     * order-faithful for pos < 2²⁴ (a 16M-token document) and
-    * doc_id < 2³⁹; both bounds sit far above any real corpus row.
+    * 0 ≤ doc_id < 2³⁹; both bounds sit far above any real corpus row —
+    * and are ENFORCED per doc below, because a violated bound would
+    * corrupt keep-first ordering silently (wrong dedup, no error) at
+    * exactly the scales this targets. One `when` per document (not per
+    * gram): the guarded `w` feeds the explode, so pruning can't drop it.
     */
   def gramsEnc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.filter(size(col("w")) >= K)
+      .select(col("doc_id"),
+        when(col("doc_id").between(0L, (1L << 39) - 1) &&
+            size(col("w")).cast("long") - K < (1L << 24), col("w"))
+          .otherwise(raise_error(concat(
+            lit("SubstringDedup.gramsEnc: occurrence-encoding bound violated "),
+            lit("(need 0 <= doc_id < 2^39 and < 16M tokens): doc_id="),
+            col("doc_id").cast("string"), lit(" n_tokens="),
+            size(col("w")).cast("string")))).as("w"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $K)," +
           s" i -> array_join(slice(w, i + 1, $K), ' '))"))

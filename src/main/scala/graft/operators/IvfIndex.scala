@@ -16,8 +16,34 @@ final class IvfIndex(spark: SparkSession, dir: String) {
 
   def centroids: DataFrame = spark.read.parquet(s"$dir/centroids")
 
-  /** The assigned corpus; `centroid_id` is the partition column. */
-  def assigned: DataFrame = spark.read.parquet(s"$dir/assigned")
+  /** Accumulated takedown tombstones ([[IvfIndex.delete]]), deduped;
+    * None if no delete ever ran. Probed through the path's Hadoop
+    * FileSystem — a `java.io` probe answers false on hdfs://s3a:// and
+    * would silently resurrect tombstoned vectors. */
+  private def tombstones: Option[DataFrame] =
+    if (graft.streaming.IndexFs.exists(spark, s"$dir/deletes"))
+      Some(spark.read.parquet(s"$dir/deletes").select("vec_id").distinct())
+    else None
+
+  /** The assigned corpus (live rows only — tombstones anti-joined
+    * away, so [[search]] equals a search over the reduced corpus);
+    * `centroid_id` is the partition column and the anti join runs
+    * AFTER partition pruning. */
+  def assigned: DataFrame = {
+    val raw = spark.read.parquet(s"$dir/assigned")
+    tombstones.map(t => raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(raw)
+  }
+
+  /** Take vectors DOWN (compliance): tombstones land in
+    * `deletes/del=<id>/` (overwrite → replay-safe) and every read hides
+    * them; [[IncrementalIvf.consolidate]] later drops the rows
+    * physically. Never-ingested ids tombstone harmlessly. */
+  def delete(vecIds: Seq[Long], deleteId: Long): Unit = {
+    import spark.implicits._
+    vecIds.distinct.toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
+  }
 
   /** ANN top-k for `queries` (qid, qv): probe selection against the
     * broadcast centroid table, then exact cosine over ONLY the probed

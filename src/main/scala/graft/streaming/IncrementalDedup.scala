@@ -28,7 +28,8 @@ object IncrementalDedup {
     * bp-prefix layout and `_PREFIXES` adopt-on-reopen contract. */
   final class DedupIndex(spark: SparkSession, dir: String,
       requestedPrefixes: Int = 256)
-    extends PrefixedBandIndex(spark, dir, "shingles", requestedPrefixes) {
+    extends PrefixedBandIndex(spark, dir, "shingles", "doc_id",
+      requestedPrefixes) {
     def shingles: Option[DataFrame] = payload
   }
 

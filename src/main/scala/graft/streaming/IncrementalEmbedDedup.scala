@@ -31,7 +31,8 @@ object IncrementalEmbedDedup {
     * layout and `_PREFIXES` adopt-on-reopen contract. */
   final class EmbedIndex(spark: SparkSession, dir: String,
       requestedPrefixes: Int = 64)
-    extends PrefixedBandIndex(spark, dir, "vectors", requestedPrefixes) {
+    extends PrefixedBandIndex(spark, dir, "vectors", "vec_id",
+      requestedPrefixes) {
     def vectors: Option[DataFrame] = payload
   }
 

@@ -94,7 +94,10 @@ object IncrementalIvf {
   def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
     spark.read.parquet(s"$dir/centroids")
       .write.mode("overwrite").parquet(s"$intoDir/centroids")
-    spark.read.parquet(s"$dir/assigned")
+    // reading through the index applies the takedown tombstones, so
+    // tombstoned vectors leave PHYSICALLY and the fresh dir needs no
+    // deletes/ (the IncrementalPostings.consolidate contract)
+    new IvfIndex(spark, dir).assigned
       .select(col("vec_id"), col("embedding"),
         col("centroid_id").cast("long").as("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")

@@ -52,6 +52,18 @@ object IncrementalPostings {
 
   private def bucketCol = pmod(xxhash64(col("term")), lit(NB)).cast("int")
 
+  /** Bucket of one query term, computed by LOCALLY evaluating the SAME
+    * Catalyst expressions [[bucketCol]] is built from (Pmod∘XxHash64,
+    * a literal in place of the column) — never a driver-side
+    * reimplementation of xxhash64, and never a distributed job just to
+    * hash a handful of query terms before the pruned scan can even
+    * start. */
+  private def bucketOf(term: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    Pmod(new XxHash64(Seq(Literal(term))), Literal(NB.toLong))
+      .eval(null).asInstanceOf[Long].toInt
+  }
+
   /** (doc_id, dl, term, tf, positions) for every term of every doc —
     * positions are the term's sorted 0-based token offsets (the
     * POSITIONAL part of the index: ~one extra int per token, what
@@ -176,10 +188,7 @@ object IncrementalPostings {
     * term_bucket (file-level pruning) plus the exact term filter. */
   def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int)
       : DataFrame = {
-    import spark.implicits._
-    // buckets via the SAME Spark expression that wrote them — never a
-    // reimplementation of xxhash64 on the driver
-    val buckets = terms.toDF("term").select(bucketCol).as[Int].collect().toSeq
+    val buckets = terms.map(bucketOf)
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(buckets.distinct: _*) &&
         col("term").isin(terms: _*))
@@ -199,10 +208,8 @@ object IncrementalPostings {
     * q_phrase_search. */
   def phraseSearch(spark: SparkSession, dir: String, phrase: Seq[String],
       k: Int): DataFrame = {
-    import spark.implicits._
     require(phrase.size >= 2, "a phrase needs at least two terms")
-    val buckets = phrase.distinct.toDF("term").select(bucketCol).as[Int]
-      .collect().toSeq
+    val buckets = phrase.distinct.map(bucketOf)
     val post = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(buckets.distinct: _*) &&
         col("term").isin(phrase.distinct: _*))

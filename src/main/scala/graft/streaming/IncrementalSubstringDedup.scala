@@ -120,10 +120,17 @@ object IncrementalSubstringDedup {
             org.apache.spark.sql.types.LongType))))
       .select("doc_id").distinct()
 
+  private val reportSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_tokens", LongType),
+    StructField("n_spans", LongType), StructField("dup_tokens", LongType),
+    StructField("dup_ratio", org.apache.spark.sql.types.DoubleType)))
+
   /** All per-doc reports emitted so far (one row per ingested,
-    * non-tombstoned doc). */
+    * non-tombstoned doc); empty frame — not PATH_NOT_FOUND — on an
+    * index that has ingested zero batches (the IndexFs.readOrEmpty
+    * pattern the delete path already uses). */
   def reports(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/reports")
+    IndexFs.readOrEmpty(spark, s"$dir/reports", reportSchema)
       .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "dup_ratio")
       .join(org.apache.spark.sql.functions
         .broadcast(tombstones(spark, dir)), Seq("doc_id"), "left_anti")
@@ -138,8 +145,10 @@ object IncrementalSubstringDedup {
   def consolidate(spark: SparkSession, dir: String, intoDir: String): Unit = {
     // grams copied in FULL — tombstoned docs' grams stay as the
     // blocklist (see delete); tombstoned REPORT rows are dropped here
-    // so the fresh directory needs no deletes/ at all
-    spark.read.parquet(s"$dir/grams").select("g", "fe")
+    // so the fresh directory needs no deletes/ at all. readOrEmpty:
+    // consolidating a zero-batch index yields an empty batch=0, not a
+    // PATH_NOT_FOUND crash.
+    IndexFs.readOrEmpty(spark, s"$dir/grams", indexSchema).select("g", "fe")
       .write.mode("overwrite").parquet(s"$intoDir/grams/batch=0")
     val dead = tombstones(spark, dir)
     IndexFs.childDirs(spark, s"$dir/reports")

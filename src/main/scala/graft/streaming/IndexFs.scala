@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
   * One shared home for the probe and the read-or-empty pattern so the
   * fix cannot fork per module.
   */
-private[streaming] object IndexFs {
+private[graft] object IndexFs {
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -37,4 +37,37 @@ private[streaming] object IndexFs {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(path)
+
+  /** Existence probe through the path's Hadoop FileSystem — the
+    * replacement for every `java.io.File`/`java.nio.Files` probe. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** Read a small UTF-8 meta file (e.g. a `_PREFIXES` layout record);
+    * None when absent. Meta files are tiny — read fully on the driver. */
+  def readText(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Write a small UTF-8 meta file, creating parent dirs, overwriting
+    * any prior content (single-writer meta, not a log). */
+  def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    val out = f.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }

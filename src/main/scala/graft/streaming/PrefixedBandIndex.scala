@@ -19,37 +19,87 @@ import org.apache.spark.sql.functions._
   * existing index is reopened — a caller passing a different value
   * would otherwise prune the wrong bp= partitions and silently drop
   * historical duplicate matches.
+  *
+  * Takedown contract ([[delete]]): a tombstoned id's band rows AND
+  * payload vanish from every read — the index behaves as if the doc
+  * was never ingested (reduced-corpus equality; the OPPOSITE of the
+  * substring index's keep-the-grams blocklist, because here the
+  * payload IS the content we were asked to remove). Consequence: a
+  * re-ingested copy of tombstoned content is treated as new.
+  * [[consolidate]] later drops the rows physically, preserving the
+  * bp layout (and therefore the prefix pruning) in the fresh dir.
   */
 class PrefixedBandIndex(spark: SparkSession, dir: String,
-    payloadName: String, requestedPrefixes: Int) {
-  import java.nio.file.{Files, Paths}
-  private val metaPath = Paths.get(dir, "_PREFIXES")
+    payloadName: String, idCol: String, requestedPrefixes: Int) {
+  // All probes ride the path's Hadoop FileSystem (IndexFs): a
+  // java.nio probe answers false for hdfs://s3a:// URIs, which would
+  // make a reopened index IGNORE the on-disk _PREFIXES value and
+  // prune the wrong bp= partitions — silently dropping historical
+  // duplicate matches.
+  private val metaPath = s"$dir/_PREFIXES"
   val prefixes: Int =
-    if (Files.exists(metaPath))
-      new String(Files.readAllBytes(metaPath)).trim.toInt
-    else requestedPrefixes
+    IndexFs.readText(spark, metaPath).map(_.trim.toInt)
+      .getOrElse(requestedPrefixes)
 
   private def readOpt(sub: String): Option[DataFrame] = {
-    val p = new java.io.File(s"$dir/$sub")
-    if (p.exists()) Some(spark.read.parquet(p.toString)) else None
+    val p = s"$dir/$sub"
+    if (IndexFs.exists(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
-  def bands: Option[DataFrame] = readOpt("bands")
+  /** Accumulated tombstoned ids, deduped; None if no delete ever ran.
+    * Tombstone count is bounded by takedown volume (compliance events,
+    * not corpus size) — broadcast-able by assumption, like the postings
+    * index's. */
+  private def tombstones: Option[DataFrame] =
+    readOpt("deletes").map(_.select(idCol).distinct())
+
+  private def minusTombstones(df: DataFrame): DataFrame =
+    tombstones.map(t => df.join(broadcast(t), Seq(idCol), "left_anti"))
+      .getOrElse(df)
+
+  def bands: Option[DataFrame] = readOpt("bands").map(minusTombstones)
 
   /** History bands restricted to the given bucket prefixes —
     * partition-pruned at the file level, never a full index scan. */
   def bandsForPrefixes(bps: Seq[Int]): Option[DataFrame] =
     bands.map(_.filter(col("bp").isin(bps: _*)))
 
-  def payload: Option[DataFrame] = readOpt(payloadName)
+  def payload: Option[DataFrame] = readOpt(payloadName).map(minusTombstones)
 
   def append(bands: DataFrame, payload: DataFrame): Unit = {
-    if (!Files.exists(metaPath)) {
-      Files.createDirectories(Paths.get(dir))
-      Files.write(metaPath, prefixes.toString.getBytes)
-    }
+    if (IndexFs.readText(spark, metaPath).isEmpty)
+      IndexFs.writeText(spark, metaPath, prefixes.toString)
     bands.withColumn("bp", pmod(col("bucket"), lit(prefixes)))
       .write.mode("append").partitionBy("bp").parquet(s"$dir/bands")
     payload.write.mode("append").parquet(s"$dir/$payloadName")
+  }
+
+  /** Take ids DOWN: tombstones land in `deletes/del=<id>/` (overwrite →
+    * replay-safe); every read then anti-joins them away, so candidate
+    * generation and verification behave exactly as if the ids were
+    * never ingested. Never-ingested ids tombstone harmlessly (the anti
+    * join simply matches nothing). */
+  def delete(ids: Seq[Long], deleteId: Long): Unit = {
+    import spark.implicits._
+    ids.distinct.toDF(idCol)
+      .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
+  }
+
+  /** Small-files maintenance, the [[IncrementalIvf.consolidate]] move:
+    * rewrite the accumulated (live) band rows as one pass THROUGH
+    * `partitionBy(bp)` into a fresh directory — a root-level compaction
+    * would flatten the bp directories and cost every future batch its
+    * prefix pruning. Tombstoned ids leave physically (reads already
+    * hid them), so the fresh dir needs no `deletes/`; `_PREFIXES`
+    * carries over unchanged because bp values are relative to it. */
+  def consolidate(intoDir: String): Unit = {
+    IndexFs.writeText(spark, s"$intoDir/_PREFIXES", prefixes.toString)
+    bands.foreach { b =>
+      val cols = b.columns.filter(_ != "bp").map(col) :+ col("bp").cast("int").as("bp")
+      b.select(cols: _*)
+        .write.mode("overwrite").partitionBy("bp").parquet(s"$intoDir/bands")
+    }
+    payload.foreach(
+      _.write.mode("overwrite").parquet(s"$intoDir/$payloadName"))
   }
 }
