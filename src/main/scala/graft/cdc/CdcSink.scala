@@ -304,7 +304,25 @@ class ParquetTableStore(spark: SparkSession, root: String,
   import java.nio.file.{Files, Paths, StandardCopyOption}
   import scala.jdk.CollectionConverters._
 
-  private def dir(t: String) = Paths.get(root, t)
+  // The manifest/pointer machinery is java.nio by design (the _LATEST
+  // flip leans on local-FS ATOMIC_MOVE; object stores don't even HAVE
+  // atomic rename) — so a non-local root must fail HERE, loudly, not
+  // read an empty store and silently drop every mirrored table. The
+  // production stance for hdfs://s3a:// is a Delta/Iceberg-backed
+  // implementation of the same trait (see class scaladoc). An explicit
+  // `file:` scheme is accepted and normalized to its path (java.nio
+  // would otherwise treat "file:" as a literal relative component).
+  private val localRoot = {
+    val uri = new org.apache.hadoop.fs.Path(root).toUri
+    require(uri.getScheme == null || uri.getScheme == "file",
+      s"ParquetTableStore requires a local filesystem root (its _LATEST " +
+        s"pointer flip relies on local ATOMIC_MOVE); got '$root'. For " +
+        s"hdfs://s3a:// deployments put a transactional table format " +
+        s"(Delta/Iceberg MERGE) behind the CdcSink trait instead.")
+    if (uri.getScheme == "file") uri.getPath else root
+  }
+
+  private def dir(t: String) = Paths.get(localRoot, t)
   private def pointer(t: String) = dir(t).resolve("_LATEST")
 
   private def currentVersion(t: String): Option[String] = {

@@ -45,22 +45,43 @@ object IncrementalAttribution {
   }
 
   /** Append one Credit per purchase, attributed to the latest earlier
-    * non-purchase touch ("(none)" when there is none yet). */
-  def credits(events: Dataset[AEv]): Dataset[Credit] = {
+    * non-purchase touch ("(none)" when there is none yet).
+    *
+    * `evictAfterMs` (opt-in) bounds state under unbounded key churn —
+    * at 100 TB event streams users grow forever, and NoTimeout state
+    * is O(all keys ever seen). With it set, a user whose last event is
+    * older than the watermark by more than the TTL has their carried
+    * touch EVICTED (event-time timeout; requires an upstream
+    * `withWatermark` on the source). Documented contract: an evicted
+    * user who reappears restarts COLD — their next purchase credits
+    * "(none)" unless a fresh touch precedes it. Active keys (events
+    * within the TTL) are emitted identically to the NoTimeout path. */
+  def credits(events: Dataset[AEv],
+      evictAfterMs: Option[Long] = None): Dataset[Credit] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (evictAfterMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Touch, Credit](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
-        val batch = it.toIndexedSeq.sortBy(e => (e.seq, e.sub))
-        var touch = state.getOption.map(_.event_type).orNull
-        val out = batch.flatMap { e =>
-          if (e.event_type == "purchase")
-            Some(Credit(uid, if (touch == null) "(none)" else touch, e.value))
-          else { touch = e.event_type; None }
+        timeout) { (uid, it, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val batch = it.toIndexedSeq.sortBy(e => (e.seq, e.sub))
+          var touch = state.getOption.map(_.event_type).orNull
+          val out = batch.flatMap { e =>
+            if (e.event_type == "purchase")
+              Some(Credit(uid, if (touch == null) "(none)" else touch, e.value))
+            else { touch = e.event_type; None }
+          }
+          if (touch != null) state.update(Touch(touch))
+          // the eviction clock is event time: TTL past the user's own
+          // latest event (seq is µs; timeouts take ms)
+          if (state.exists) evictAfterMs.foreach(ttl =>
+            state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+          out.iterator
         }
-        if (touch != null) state.update(Touch(touch))
-        out.iterator
       }
   }
 }

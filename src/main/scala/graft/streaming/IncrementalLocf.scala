@@ -27,21 +27,38 @@ object IncrementalLocf {
 
   /** Wire the incremental fill over a (possibly streaming) dataset.
     * Emits every observation of the batch with its filled value
-    * (append-per-batch; rows are final when emitted). */
-  def locf(obs: Dataset[Obs]): Dataset[Filled] = {
+    * (append-per-batch; rows are final when emitted).
+    *
+    * `evictAfterMs` (opt-in) bounds state under unbounded key churn:
+    * a key idle past the watermark by more than the TTL has its
+    * carried value evicted (event-time timeout; requires an upstream
+    * `withWatermark`). Contract: an evicted key that reappears
+    * restarts COLD — leading gaps stay unfilled until a fresh
+    * observation arrives. Active keys fill identically to NoTimeout. */
+  def locf(obs: Dataset[Obs],
+      evictAfterMs: Option[Long] = None): Dataset[Filled] = {
     import obs.sparkSession.implicits._
+    val timeout =
+      if (evictAfterMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     obs.groupByKey(_.key)
       .flatMapGroupsWithState[Carried, Filled](
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.OutputMode.Append, timeout) {
         (key: Long, it: Iterator[Obs], state: org.apache.spark.sql.streaming.GroupState[Carried]) =>
-          var carried = state.getOption.map(_.v)
-          val out = it.toIndexedSeq.sortBy(o => (o.seq, o.sub)).map { o =>
-            if (o.v.isDefined) carried = o.v
-            Filled(key, o.seq, o.sub, o.v, carried)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = it.toIndexedSeq.sortBy(o => (o.seq, o.sub))
+            var carried = state.getOption.map(_.v)
+            val out = batch.map { o =>
+              if (o.v.isDefined) carried = o.v
+              Filled(key, o.seq, o.sub, o.v, carried)
+            }
+            carried.foreach(v => state.update(Carried(v)))
+            // eviction clock is event time (seq is µs; timeouts take ms)
+            if (state.exists) evictAfterMs.foreach(ttl =>
+              state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+            out.iterator
           }
-          carried.foreach(v => state.update(Carried(v)))
-          out.iterator
       }
   }
 }

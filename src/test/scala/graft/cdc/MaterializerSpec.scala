@@ -274,4 +274,20 @@ class MaterializerSpec extends AnyFunSuite {
     assert(sink.state("customers").keySet == Set(Seq(1)))
     assert(sink.state("orders_sink")(Seq(100L))("product") == "thing")
   }
+
+  test("parquet table store fails FAST on a non-local root (no silent empty store)") {
+    // the _LATEST pointer flip is local-FS ATOMIC_MOVE; handed an
+    // hdfs:// root the store would otherwise just see an empty mirror
+    val e = intercept[IllegalArgumentException] {
+      new ParquetTableStore(spark, "hdfs://namenode:8020/store")
+    }
+    assert(e.getMessage.contains("local filesystem root"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      new ParquetTableStore(spark, "s3a://bucket/store")
+    }
+    // local roots, with or without the explicit scheme, stay accepted
+    val tmp = java.nio.file.Files.createTempDirectory("pts-scheme").toString
+    new ParquetTableStore(spark, tmp)
+    new ParquetTableStore(spark, s"file:$tmp")
+  }
 }
