@@ -163,31 +163,29 @@ object Coverage14 {
       // (the customer count is invariant across the three scorings —
       // computed once from the checkpointed aggregate)
       val cnt = o.agg(count(lit(1)).as("_cnt"))
-      def ntile5(df: org.apache.spark.sql.DataFrame,
-          ord: org.apache.spark.sql.Column,
-          out: String): org.apache.spark.sql.DataFrame = {
-        val ranked = OrderedPrefix.rank(df, Nil, ord, col("o_custkey"), "_rk")
-        ranked.crossJoin(broadcast(cnt))
-          .withColumn("_q", expr("_cnt div 5")).withColumn("_r", col("_cnt") % 5)
-          .withColumn(out,
-            when(col("_rk") <= col("_r") * (col("_q") + 1),
-              expr("(_rk - 1) div (_q + 1)") + 1)
-              .otherwise(col("_r") + 1 +
-                expr("(_rk - _r * (_q + 1) - 1) div greatest(_q, 1)")))
-          .drop("_rk", "_cnt", "_q", "_r")
-      }
-      // the three scorings are mutually independent — rank each straight
-      // off the checkpointed RFM aggregate and equi-join the score
-      // frames, instead of chaining (a chained rank re-reads its whole
-      // input for range bounds, re-executing lower levels geometrically)
-      val rs = ntile5(o, col("rec_days").cast("double"), "r_score")
-        .select("o_custkey", "r_score")
-      val fs = ntile5(o, -col("freq").cast("double"), "f_score")
-        .select("o_custkey", "f_score")
-      val ms = ntile5(o, -col("mon").cast("double"), "m_score")
-        .select("o_custkey", "m_score")
-      val scored = o.select("o_custkey", "mon")
-        .join(rs, "o_custkey").join(fs, "o_custkey").join(ms, "o_custkey")
+      // the three rankings range over the SAME per-customer aggregate,
+      // so their cutoff sets come from ONE shared sampling pass
+      // (OrderedPrefix.rankMulti): one sample scan and one tagged
+      // two-level aggregation replace three of each, and the ranks
+      // chain on one pipeline instead of assembling through three
+      // customer-keyed joins. The per-rank bucket windows stay separate
+      // (three genuinely different orders = three shuffles — inherent).
+      val ranked = OrderedPrefix.rankMulti(o, Seq(
+        (col("rec_days").cast("double"), "_rk_r"),
+        (-col("freq").cast("double"), "_rk_f"),
+        (-col("mon").cast("double"), "_rk_m")), col("o_custkey"))
+      def score5(df: org.apache.spark.sql.DataFrame, rk: String,
+          out: String): org.apache.spark.sql.DataFrame =
+        df.withColumn(out,
+          when(col(rk) <= col("_r") * (col("_q") + 1),
+            expr(s"($rk - 1) div (_q + 1)") + 1)
+            .otherwise(col("_r") + 1 +
+              expr(s"($rk - _r * (_q + 1) - 1) div greatest(_q, 1)")))
+          .drop(rk)
+      val withN = ranked.crossJoin(broadcast(cnt))
+        .withColumn("_q", expr("_cnt div 5")).withColumn("_r", col("_cnt") % 5)
+      val scored = score5(score5(score5(withN,
+        "_rk_r", "r_score"), "_rk_f", "f_score"), "_rk_m", "m_score")
       scored.groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("mon")).cast("double").as("segment_spend"))

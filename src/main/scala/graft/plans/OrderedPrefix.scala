@@ -169,4 +169,99 @@ object OrderedPrefix {
   def rank(rows: DataFrame, keys: Seq[String], ord: Column, tie: Column,
            out: String): DataFrame =
     rankSum(rows, keys, ord, tie, lit(0L), out, "_op_ranksum").drop("_op_ranksum")
+
+  /** SEVERAL global ranks over the same rows — (ord_i, tie) order each —
+    * from ONE shared sampling pass. Three separate [[rank]] calls draw
+    * three Bernoulli samples, run three two-level cutoff aggregations,
+    * and three bucket-count passes; here the sample is drawn once, the
+    * orderings ride a tag column through a single grouped aggregation
+    * (the per-ord composite differs, so rows explode by ordering INSIDE
+    * the sampled ~1/NB slice — tiny), and ALL orderings' bucket counts
+    * come from one exploded count pass. The two bounded intermediates —
+    * the 1-row tag-keyed cutoff map and the ≤ n·NB offset rows — are
+    * localCheckpoint'd (the IvfIndex probe-table / DedupOps fixpoint
+    * pattern): they are ≤ n·(NB−1) structs BY CONSTRUCTION, each
+    * consumer reads the materialized copy, and the cutoff subtree is
+    * never replicated per consumer (measured: replication put 12
+    * sampling exchanges into one plan before this). Per-ordering window
+    * shuffles remain — n genuinely different orders are n shuffles.
+    * Same null-ord contract as [[rank]], applied across ALL orderings
+    * (a row null in any ord has no position in that total order and is
+    * dropped).
+    */
+  def rankMulti(rows: DataFrame, orders: Seq[(Column, String)],
+      tie: Column): DataFrame = {
+    require(orders.nonEmpty)
+    val n = orders.size
+    def ordCol(i: Int) = col(s"_op_ord$i")
+    val keyed0 = orders.zipWithIndex.foldLeft(rows) { case (df, ((o, _), i)) =>
+      df.withColumn(s"_op_ord$i", o.cast("double"))
+    }.withColumn("_op_tie", tie)
+    val keyed = keyed0.filter(
+      (0 until n).map(ordCol(_).isNotNull).reduce(_ && _))
+
+    // one sample; per sampled row, one (tag, composite, cell) per ordering
+    val tagged = keyed
+      .sample(withReplacement = false, 1.0 / NB, SEED)
+      .select(explode(array((0 until n).map { i =>
+        struct(lit(i).as("i"),
+          struct(ordCol(i).as("o"), col("_op_tie").as("t")).as("c"))
+      }: _*)).as("_op_x"))
+      .select(col("_op_x.i").as("_op_i"), col("_op_x.c").as("_op_c"),
+        pmod(xxhash64(col("_op_x.c.o"), col("_op_x.c.t")), lit(NB))
+          .as("_op_cell"))
+    val level1 = tagged
+      .groupBy(col("_op_i"), col("_op_cell"))
+      .agg(sort_array(collect_list(col("_op_c"))).as("_op_sorted"))
+      .select(col("_op_i"), pickEvery(col("_op_sorted")).as("_op_picks"))
+    val perTag = level1.groupBy(col("_op_i"))
+      .agg(sort_array(flatten(collect_list(col("_op_picks")))).as("_op_all"))
+      .select(col("_op_i"), pickEvery(col("_op_all")).as("_op_cuts"))
+      .select(col("_op_i"), struct(
+        transform(col("_op_cuts"), c => c.getField("o")).as("co"),
+        transform(col("_op_cuts"), c => c.getField("t")).as("ct")).as("_op_e"))
+    // ≤ n rows → ONE row carrying every ordering's cutoffs, pinned so
+    // no consumer re-runs the sampling subtree
+    val cutsRow = perTag.agg(
+      map_from_arrays(collect_list(col("_op_i")), collect_list(col("_op_e")))
+        .as("_op_m")).localCheckpoint()
+
+    BucketSearch.register(rows.sparkSession)
+    // all bucket ids in one projection; coalesce covers the empty-input
+    // edge (zero sampled rows → empty map → null lookup → bucket 1)
+    val assigned = (0 until n).foldLeft(keyed.crossJoin(broadcast(cutsRow))) {
+      case (df, i) => df.withColumn(s"_op_b$i", coalesce(expr(
+        s"composite_lower_bound(_op_m[$i].co, _op_m[$i].ct, _op_ord$i, _op_tie)"),
+        lit(1)))
+    }.drop("_op_m")
+
+    // every ordering's bucket counts in ONE pass (explode before the
+    // partial count — collapses to ≤ n·NB rows pre-shuffle), then the
+    // prefix offsets; ≤ n·NB rows, pinned for the n broadcast joins
+    val offsets = assigned
+      .select(explode(array((0 until n).map(i =>
+        struct(lit(i).as("i"), col(s"_op_b$i").as("b"))): _*)).as("_op_y"))
+      .groupBy(col("_op_y.i").as("_op_i"), col("_op_y.b").as("_op_b"))
+      .agg(count(lit(1)).as("_op_bcnt"))
+      .withColumn("_op_coff", coalesce(sum(col("_op_bcnt")).over(
+        Window.partitionBy("_op_i").orderBy("_op_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_op_i"), col("_op_b"), col("_op_coff"))
+      .localCheckpoint()
+
+    // chained per-ordering rank: each stage is one broadcast join
+    // (≤ NB pinned offset rows) plus one window shuffle on its bucket id
+    val ranked = orders.zipWithIndex.foldLeft(assigned) {
+      case (df, ((_, out), i)) =>
+        val wi = Window.partitionBy(s"_op_b$i")
+          .orderBy(ordCol(i), col("_op_tie"))
+        df.join(broadcast(offsets.filter(col("_op_i") === i)
+            .select(col("_op_b").as(s"_op_b$i"), col("_op_coff"))),
+          Seq(s"_op_b$i"))
+          .withColumn(out, (col("_op_coff") + row_number().over(wi)).cast("long"))
+          .drop("_op_coff")
+    }
+    ranked.drop((0 until n).flatMap(i =>
+      Seq(s"_op_ord$i", s"_op_b$i")) :+ "_op_tie": _*)
+  }
 }

@@ -49,12 +49,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_containment_capped" -> Budget(maxExchanges = 6),
     "q_dedup_threshold_curve" -> Budget(maxExchanges = 6),
     "q_triangle_count" -> Budget(maxExchanges = 5),
-    // three independent OrderedPrefix two-phase ranks (sample, bucket
-    // aggregate, intra-bucket window each) + the score joins — wide by
-    // design; the budget pins it from growing further. 17 observed
-    // alone; +2 slack because exchange REUSE (which prints a reused
-    // node instead of an Exchange) varies with suite execution order
-    "q_rfm_segments" -> Budget(maxExchanges = 19),
+    // r9: OrderedPrefix.rankMulti — the three NTILE(5)s share ONE
+    // sampling pass and one exploded bucket-count pass (both bounded
+    // intermediates localCheckpoint'd), and the ranks chain instead of
+    // assembling through customer joins: 10 observed (was 17); +2
+    // reuse-rendering slack
+    "q_rfm_segments" -> Budget(maxExchanges = 12),
     "q_corpus_prep" -> Budget(maxExchanges = 5),
     "q_sim_topk" -> Budget(maxExchanges = 0),
     "q_decontaminate_bloom" -> Budget(maxExchanges = 1),

@@ -127,6 +127,43 @@ class OrderedPrefixSpec extends AnyFunSuite {
     assert(got == rows)
   }
 
+  test("rankMulti == independent rank calls for every ordering (incl. skew)") {
+    // mixed orders over one frame: ascending ord, descending v (as a
+    // negated double), and a heavily skewed third (90% one value) —
+    // the shared-sample cutoffs must reproduce each independent rank
+    val df = mkRows(3000)
+      .withColumn("ord2", -col("v"))
+      .withColumn("ord3",
+        when(pmod(col("id"), lit(10)) < 9, lit(42.0))
+          .otherwise(col("id").cast("double") / 100))
+      .cache()
+    val multi = OrderedPrefix.rankMulti(df, Seq(
+      (col("ord"), "r1"), (col("ord2"), "r2"), (col("ord3"), "r3")),
+      col("id"))
+      .select("id", "r1", "r2", "r3").as[(Long, Long, Long, Long)]
+      .collect().map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    val singles = Seq("ord" -> "r1", "ord2" -> "r2", "ord3" -> "r3").map {
+      case (o, out) =>
+        OrderedPrefix.rank(df, Nil, col(o), col("id"), out)
+          .select("id", out).as[(Long, Long)].collect().toMap
+    }
+    val expect = singles(0).keys
+      .map(id => id -> ((singles(0)(id), singles(1)(id), singles(2)(id))))
+      .toMap
+    assert(multi == expect)
+    df.unpersist()
+  }
+
+  test("rankMulti drops rows with a null in ANY ordering (the rank contract)") {
+    val df = Seq((1L, Some(1.0), Some(5.0)), (2L, None, Some(4.0)),
+      (3L, Some(3.0), None), (4L, Some(2.0), Some(1.0)))
+      .toDF("id", "o1", "o2")
+    val got = OrderedPrefix.rankMulti(df,
+      Seq((col("o1"), "r1"), (col("o2"), "r2")), col("id"))
+      .select("id", "r1", "r2").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (4L, 2L, 1L)))
+  }
+
   test("no data-sized unpartitioned window in the plan") {
     val df = mkRows(1000)
     val plan = OrderedPrefix.rankSum(df, Nil, col("ord"), col("id"),
