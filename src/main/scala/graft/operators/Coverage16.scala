@@ -1,0 +1,330 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Round-9 extension wave: corpus-curation operators a training-data
+  * pipeline runs between dedup and sampling — vocabulary coverage, gram
+  * novelty scoring, PII scanning (the compliance sibling of the
+  * takedown machinery), time-decayed engagement, and the k-core /
+  * degree-distribution pair that completes the co-purchase graph
+  * family (pagerank / triangles / CC already ship).
+  *
+  * Reference scope: the reference has no analytics surface beyond
+  * mirror SELECTs (/root/reference/README.md:85-134); these are
+  * LLM-pipeline extensions over the driver corpus, per the §2-B
+  * extension rows.
+  */
+object Coverage16 {
+
+  /** The thresholded co-purchase edge list (support ≥ 2, p1 < p2) —
+    * the same graph q_triangle_count / q_pagerank analyze; pair
+    * generation from per-order part SETS (one groupBy, no fact
+    * self-join — the Coverage7 construction). */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))
+          |""".stripMargin)).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("p1", "p2")
+
+  private val copurchaseSql =
+    """  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY p1, p2 HAVING count(DISTINCT a.l_orderkey) >= 2""".stripMargin
+
+  /** Unrolled 3-core peel for the DuckDB oracle: round r keeps nodes
+    * with degree ≥ 3 in round r−1's edge set. The gate corpus
+    * (sf0.01) reaches its fixpoint by round ~12 (probed: edge count
+    * stable 1970 from round 12 through 40); 16 rounds = fixpoint + 4
+    * confirming no-op rounds of slack. The Spark side iterates to the
+    * TRUE fixpoint, so equality holds exactly when the unroll covers
+    * convergence — which the slack guarantees on the gate data.
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+    * re-reads the parquet once per reference and trips the open-file
+    * limit at this depth. */
+  private val kcoreSql: String = {
+    val rounds = (1 to 16).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""n$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT p1 AS node FROM $prev UNION ALL SELECT p2 FROM $prev)
+         |  GROUP BY 1 HAVING count(*) >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT p1, p2 FROM $prev
+         |  WHERE p1 IN (SELECT node FROM n$r)
+         |    AND p2 IN (SELECT node FROM n$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |$copurchaseSql),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM (SELECT p1 AS node FROM e16 UNION ALL SELECT p2 FROM e16)
+       |GROUP BY 1
+       |""".stripMargin
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- vocabulary coverage ---------------------------------------------
+    // Per-source out-of-vocabulary rate against the corpus top-20
+    // vocabulary (count-desc, word-asc tie-break — a deterministic
+    // vocab cut). The tokenizer-building question every pipeline asks:
+    // which sources does a fixed vocabulary serve worst? Scale: the
+    // vocab is a corpus-wide word count (cardinality = vocabulary,
+    // not corpus) cut to k by one TakeOrdered, then a BROADCAST left
+    // join — the corpus-sized side never shuffles for the membership
+    // test, and the per-source rollup is one hash aggregation.
+    QDef("q_vocab_coverage",
+      """WITH words AS (
+        |  SELECT d.source, w.word
+        |  FROM documents d, unnest(string_split(trim(d.text), ' ')) AS w(word)),
+        |vocab AS (
+        |  SELECT word FROM words GROUP BY 1
+        |  ORDER BY count(*) DESC, word LIMIT 20)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM words LEFT JOIN vocab v USING (word)
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val words = table(s, dir, "documents")
+        .select(col("source"), explode(split(trim(col("text")), " ")).as("word"))
+      val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(20)
+        .select(col("word"), lit(1).as("_inv"))
+      words.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_inv").isNull, 1).otherwise(0)).cast("long")
+            .as("oov_tokens"))
+        .select(col("source"), col("n_tokens"), col("oov_tokens"),
+          round(col("oov_tokens").cast("double") / col("n_tokens"), 6)
+            .as("oov_rate"))
+    },
+
+    // ---- n-gram novelty scoring ------------------------------------------
+    // Per document: how many of its DISTINCT 8-grams are first seen in
+    // THIS doc, in (doc_id, pos) corpus order — the curation signal
+    // that separates contributing documents from recombinations of
+    // earlier text (novelty 1.0 = all new; near 0 = assembled from
+    // seen grams). Shares SubstringDedup's gram/first-occurrence
+    // machinery (one definition of "gram" across the dedup family);
+    // the owner doc rides the single-long encoding, so the per-gram
+    // min stays a HashAggregate.
+    QDef("q_ngram_novelty",
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+8)], ' ') AS g
+        |  FROM docs, unnest(range(len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |owner AS (
+        |  SELECT g, min(doc_id * (1::BIGINT << 24) + pos) // (1::BIGINT << 24)
+        |    AS od
+        |  FROM grams GROUP BY g),
+        |perdoc AS (
+        |  SELECT gr.doc_id, count(DISTINCT gr.g) AS n_grams,
+        |    count(DISTINCT CASE WHEN o.od = gr.doc_id THEN gr.g END) AS novel
+        |  FROM grams gr JOIN owner o USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(p.novel, 0) AS BIGINT) AS novel_grams,
+        |  round(coalesce(p.novel, 0)
+        |    / CAST(coalesce(p.n_grams, 1) AS DOUBLE), 6) AS novelty
+        |FROM docs d LEFT JOIN perdoc p USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      val docs = SubstringDedup.tokenize(table(s, dir, "documents"))
+      val grams = SubstringDedup.gramsEnc(docs)
+      val owner = grams.groupBy("g").agg(min(col("enc")).as("fe"))
+        .select(col("g"), shiftright(col("fe"), 24).as("od"))
+      val perdoc = grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_grams"),
+          countDistinct(when(col("od") === col("doc_id"), col("g")))
+            .as("novel"))
+      docs.select("doc_id").join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("novel"), lit(0L)).as("novel_grams"),
+          round(coalesce(col("novel"), lit(0L)).cast("double") /
+            coalesce(col("n_grams"), lit(1L)), 6).as("novelty"))
+    },
+
+    // ---- PII scanning ----------------------------------------------------
+    // Per-source counts of email / phone / IPv4 hits — the SCAN half of
+    // the compliance story whose REMOVAL half is the takedown machinery
+    // (IncrementalPostings.delete et al.): a pipeline first finds what
+    // it must redact. The corpus is synthetic, so both engines enrich
+    // deterministically from doc_id (same expression text both sides —
+    // the q_media_* synthesis convention) and then run the SAME three
+    // regexes; counting is regexp_count, codegen'd, one pass, one
+    // hash aggregation. The regex subset (char classes, bounded
+    // repetition) behaves identically in Java regex and RE2.
+    QDef("q_pii_flags",
+      """WITH enriched AS (
+        |  SELECT doc_id, source,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' host 10.' || doc_id % 256 || '.' || (doc_id * 7) % 256
+        |        || '.' || (doc_id * 13) % 256 ELSE '' END AS text
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS emails,
+        |    len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) AS phones,
+        |    len(regexp_extract_all(text,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ips
+        |  FROM enriched)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(emails) AS BIGINT) AS emails,
+        |  CAST(sum(phones) AS BIGINT) AS phones,
+        |  CAST(sum(ips) AS BIGINT) AS ips,
+        |  CAST(sum(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS flagged_docs
+        |FROM flags GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val enriched = d.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+              lit("."), ((col("doc_id") * 13) % 256).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      enriched.select(col("source"),
+          regexp_count(col("text"),
+            lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).as("emails"),
+          regexp_count(col("text"),
+            lit("[0-9]{3}-[0-9]{4}-[0-9]{4}")).as("phones"),
+          regexp_count(col("text"),
+            lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")).as("ips"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("emails")).cast("long").as("emails"),
+          sum(col("phones")).cast("long").as("phones"),
+          sum(col("ips")).cast("long").as("ips"),
+          sum(when(col("emails") + col("phones") + col("ips") > 0, 1)
+            .otherwise(0)).cast("long").as("flagged_docs"))
+    },
+
+    // ---- time-decayed engagement -----------------------------------------
+    // Per-user half-life-weighted value sum (half-life 30 days against
+    // the corpus max ts) — the recency weighting feature stores and
+    // ranking pipelines maintain. Cross-engine: each TERM is rounded to
+    // 10dp and decimal-cast BEFORE the sum (a double sum's order noise
+    // would sit exactly on the comparison quantum; decimal addition is
+    // order-independent), then one string-roundtripped double out.
+    // Scale: one broadcast 1-row max, one hash aggregation.
+    QDef("q_decay_sum",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(round(value * power(0.5,
+        |      date_diff('second', ts, (SELECT m FROM mx)) / (30.0 * 86400)),
+        |      10) AS DECIMAL(38,10)) AS dv
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(CAST(sum(dv) AS STRING) AS DOUBLE), 4) AS decayed_value
+        |FROM d GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val mx = ev.agg(max(col("ts")).as("m"))
+      ev.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          round(col("value") * pow(lit(0.5),
+            (unix_seconds(col("m").cast("timestamp")) -
+              unix_seconds(col("ts").cast("timestamp"))).cast("double") /
+              (30.0 * 86400)), 10).cast("decimal(38,10)").as("dv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("dv")).cast("double"), 4).as("decayed_value"))
+    },
+
+    // ---- k-core decomposition --------------------------------------------
+    // The 3-core of the co-purchase graph: iteratively peel nodes of
+    // degree < 3 until a fixpoint — the standard dense-subgraph /
+    // influence-backbone extraction (the graph sibling of the CC
+    // fixpoint, same loop discipline: localCheckpoint per round so
+    // plans stay constant-size, rounds bounded by peel depth, never
+    // corpus size). Spark runs to the TRUE fixpoint; the oracle
+    // unrolls 16 peel rounds (fixpoint ~12 on the gate corpus + slack
+    // — see kcoreSql). Output: each core node with its degree inside
+    // the core.
+    QDef("q_kcore", kcoreSql) { (s, dir) =>
+      var edges = DedupOps.loopInput(copurchaseEdges(s, dir))
+      var n = edges.count()
+      var converged = n == 0
+      var iter = 0
+      while (!converged && iter < 50) {
+        val nodes = edges.select(col("p1").as("node"))
+          .unionAll(edges.select(col("p2").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select("node")
+        val next = DedupOps.loopInput(edges
+          .join(nodes.withColumnRenamed("node", "p1"), "p1")
+          .join(nodes.withColumnRenamed("node", "p2"), "p2"))
+        val m = next.count()
+        converged = m == n
+        n = m
+        edges = next
+        iter += 1
+      }
+      edges.select(col("p1").as("node"))
+        .unionAll(edges.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    },
+
+    // ---- degree distribution ---------------------------------------------
+    // Log₂-bucketed degree histogram of the co-purchase graph — the
+    // one-pass shape diagnostic run before committing to a join
+    // strategy on graph data (a heavy tail = salt the hub keys). The
+    // bucket is length(bin(d)) — integer bit length, no float log
+    // whose libm rounding could differ across engines.
+    QDef("q_graph_degree_dist",
+      s"""WITH e AS (
+         |$copurchaseSql),
+         |deg AS (
+         |  SELECT node, count(*) AS d
+         |  FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+         |  GROUP BY 1)
+         |SELECT CAST(len(bin(d)) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+         |FROM deg GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      e.select(col("p1").as("node"))
+        .unionAll(e.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .groupBy(length(bin(col("d"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+    }
+  )
+}
