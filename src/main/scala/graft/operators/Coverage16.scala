@@ -282,8 +282,8 @@ object Coverage16 {
       var converged = n == 0
       var iter = 0
       while (!converged && iter < 50) {
-        val nodes = edges.select(col("p1").as("node"))
-          .unionAll(edges.select(col("p2").as("node")))
+        val nodes = edges
+          .select(explode(array(col("p1"), col("p2"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 3).select("node")
         val next = DedupOps.loopInput(edges
@@ -295,8 +295,7 @@ object Coverage16 {
         edges = next
         iter += 1
       }
-      edges.select(col("p1").as("node"))
-        .unionAll(edges.select(col("p2").as("node")))
+      edges.select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("core_degree"))
     },
 
@@ -318,9 +317,10 @@ object Coverage16 {
          |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
          |FROM deg GROUP BY 1
          |""".stripMargin) { (s, dir) =>
-      val e = copurchaseEdges(s, dir)
-      e.select(col("p1").as("node"))
-        .unionAll(e.select(col("p2").as("node")))
+      // both endpoints via ONE explode, not a unionAll of two selects —
+      // a union re-executes the whole edge-derivation subtree per leg
+      copurchaseEdges(s, dir)
+        .select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("d"))
         .groupBy(length(bin(col("d"))).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_nodes"),

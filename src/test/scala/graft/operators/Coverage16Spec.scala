@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent derivations for the round-9 curation wave: each query
+  * re-computed with plain Scala collections from the raw tables (or on
+  * planted inputs for the iterative/graph cases), so a DuckDB-side
+  * oracle bug and a Spark-side bug can't cancel out. */
+class Coverage16Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs: Seq[(Long, String, String)] =
+    graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").as[(Long, String, String)]
+      .collect().toSeq
+
+  test("q_vocab_coverage == brute-force top-20 vocab + OOV count") {
+    val words = docs.flatMap { case (_, t, src) =>
+      t.trim.split(" ", -1).map(w => (src, w))
+    }
+    val vocab = words.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    val expect = words.groupBy(_._1).map { case (src, ws) =>
+      val oov = ws.count(w => !vocab.contains(w._2))
+      (src, ws.size.toLong, oov.toLong,
+        BigDecimal(oov.toDouble / ws.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q_vocab_coverage")(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q_ngram_novelty == brute-force first-occurrence scan") {
+    val grams = docs.sortBy(_._1).flatMap { case (id, t, _) =>
+      val w = t.trim.split(" ", -1)
+      if (w.length < 8) Seq.empty
+      else (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
+    }
+    val owner = grams.groupBy(_._3).view
+      .mapValues(_.minBy(g => (g._1, g._2))._1).toMap
+    val expect = docs.map { case (id, t, _) =>
+      val w = t.trim.split(" ", -1)
+      val gs = if (w.length < 8) Seq.empty
+        else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).distinct
+      val novel = gs.count(g => owner(g) == id)
+      (id, gs.size.toLong, novel.toLong,
+        BigDecimal(novel.toDouble / math.max(gs.size, 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q_ngram_novelty")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q_pii_flags == brute-force Java-regex scan of the enriched text") {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val phone = "[0-9]{3}-[0-9]{4}-[0-9]{4}".r
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}".r
+    def pad(v: Long, n: Int) = v.toString.reverse.padTo(n, '0').reverse.mkString
+    val rows = docs.map { case (id, t, src) =>
+      val enriched = t +
+        (if (id % 5 == 0) s" contact user$id@example.com now" else "") +
+        (if (id % 7 == 0) s" call 555-01${pad(id % 100, 2)}-${pad(id % 10000, 4)}" else "") +
+        (if (id % 11 == 0) s" host 10.${id % 256}.${id * 7 % 256}.${id * 13 % 256}" else "")
+      (src, email.findAllIn(enriched).size.toLong,
+        phone.findAllIn(enriched).size.toLong,
+        ip.findAllIn(enriched).size.toLong)
+    }
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      (src, rs.size.toLong, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum,
+        rs.count(r => r._2 + r._3 + r._4 > 0).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_pii_flags")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // the planted residues guarantee every category actually fires
+    assert(expect.exists(_._3 > 0) && expect.exists(_._4 > 0) &&
+      expect.exists(_._5 > 0))
+  }
+
+  test("q_decay_sum == brute-force half-life fold") {
+    val evs = graft.table(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_seconds(CAST(ts AS TIMESTAMP))", "value")
+      .as[(Long, Long, Double)].collect()
+    val mx = evs.map(_._2).max
+    val expect = evs.groupBy(_._1).map { case (u, es) =>
+      val sum = es.map { case (_, t, v) =>
+        BigDecimal(v * math.pow(0.5, (mx - t).toDouble / (30.0 * 86400)))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (u, es.length.toLong,
+        BigDecimal(sum.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q_decay_sum")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q_kcore: planted clique survives intact, pendant chain peels away") {
+    // brute-force peel on the REAL sf0.001 graph
+    def peel(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+      var cur = edges
+      var done = false
+      while (!done) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val next = cur.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+        done = next == cur
+        cur = next
+      }
+      cur
+    }
+    val li = graft.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSet
+    val expect = peel(edges).toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_kcore")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("q_graph_degree_dist == brute-force histogram") {
+    val li = graft.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = deg.values.groupBy(d => java.lang.Long.toBinaryString(d).length.toLong)
+      .map { case (b, ds) => (b, ds.size.toLong, ds.min, ds.max) }.toSet
+    val got = SparkEntry.queries("q_graph_degree_dist")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+}

@@ -69,7 +69,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_phrase_search" -> Budget(maxExchanges = 0),
     "q_attribution" -> Budget(maxExchanges = 2),
     "q_sample_temperature" -> Budget(maxExchanges = 10),
-    "q_bm25" -> Budget(maxExchanges = 9)
+    "q_bm25" -> Budget(maxExchanges = 9),
+    // r9 additions: the curation wave's observed counts (+1 reuse
+    // slack on the multi-aggregation plans). q_kcore is iterative —
+    // its per-round plans are constant-size by the loopInput
+    // checkpoint discipline, which Coverage16Spec pins by equality,
+    // so it is not in the static audit.
+    "q_vocab_coverage" -> Budget(maxExchanges = 4),
+    "q_ngram_novelty" -> Budget(maxExchanges = 6),
+    "q_pii_flags" -> Budget(maxExchanges = 1),
+    "q_decay_sum" -> Budget(maxExchanges = 3),
+    "q_graph_degree_dist" -> Budget(maxExchanges = 5),
+    "q_media_flac" -> Budget(maxExchanges = 0)
   )
 
   private def finalizedPlan(name: String): String = {
