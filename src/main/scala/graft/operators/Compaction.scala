@@ -52,6 +52,14 @@ object Compaction {
     * but the live path always holds a complete file set. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
       preserveSortWithin: Seq[String] = Nil): (Int, Int) = {
+    // fail FAST on a non-local path: the java.io walk below would see
+    // an empty directory on hdfs://s3a:// and "compact" the table to
+    // nothing was the failure mode; documented contract above
+    val scheme = new org.apache.hadoop.fs.Path(dir).toUri.getScheme
+    require(scheme == null || scheme == "file",
+      s"Compaction.compact requires a local filesystem path (java.io " +
+        s"walk + rename swap); got '$dir' — use a transactional table " +
+        s"format's own compaction on object stores")
     val (bytes, before) = stats(spark, dir)
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)

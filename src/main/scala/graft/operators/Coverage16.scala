@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-9 extension wave: corpus-curation operators a training-data
@@ -325,6 +326,101 @@ object Coverage16 {
         .groupBy(length(bin(col("d"))).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_nodes"),
           min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+    },
+
+    // ---- windowed DISTINCT aggregate -------------------------------------
+    // Running distinct event types per user — SQL's
+    // `count(DISTINCT) OVER`, which Spark's window functions DON'T
+    // support: encoded as `size(collect_set() OVER)`, exact because
+    // the set is bounded by the event-type vocabulary (a handful),
+    // never the frame length. The window partitions by user — at
+    // 100 TB the per-user frame is the user's history, the standard
+    // sessionized-window cost, and the state per row is the tiny set.
+    QDef("q_win_countd",
+      """SELECT user_id, event_id,
+        |  CAST(count(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types
+        |FROM events
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events").select(col("user_id"), col("event_id"),
+        size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
+    },
+
+    // ---- windowed exact median -------------------------------------------
+    // Trailing-10-event exact median per user. DuckDB's windowed
+    // `median` averages the two middles on even frames; Spark has no
+    // exact windowed percentile, so the frame's values ride a bounded
+    // sorted array (≤10 elements — constant per-row state) and the
+    // middle arithmetic is spelled out. Both engines see the same
+    // parquet doubles and the same two-middle average → identical bits.
+    QDef("q_win_median",
+      """SELECT user_id, event_id,
+        |  round(median(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
+        |FROM events
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          sort_array(collect_list(col("value")).over(w)).as("_fr"))
+        .select(col("user_id"), col("event_id"),
+          round(when(size(col("_fr")) % 2 === 1,
+            element_at(col("_fr"), expr("CAST((size(_fr) + 1) div 2 AS INT)")))
+            .otherwise((element_at(col("_fr"), expr("CAST(size(_fr) div 2 AS INT)")) +
+              element_at(col("_fr"), expr("CAST(size(_fr) div 2 + 1 AS INT)"))) / 2), 6)
+            .as("med10"))
+    },
+
+    // ---- CUSUM mean-shift detection --------------------------------------
+    // Per user: the event where the cumulative sum of (value − user
+    // mean) deviates most — the classic CUSUM change-point statistic.
+    // Cross-engine determinism is the whole trick here: the mean comes
+    // from an exact decimal sum (order-independent), each deviation is
+    // rounded to 10dp and decimal-cast BEFORE the running sum (DuckDB
+    // computes windowed float sums on a segment tree — a DIFFERENT
+    // association order than Spark's sequential fold, so a double
+    // cusum would drift), and the argmax tie-breaks on event_id.
+    QDef("q_cusum_shift",
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+        |      / count(*) AS mu
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, e.event_id,
+        |    sum(CAST(round(e.value - m.mu, 10) AS DECIMAL(38,10))) OVER (
+        |      PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM events e JOIN m USING (user_id)),
+        |r AS (
+        |  SELECT user_id, event_id, abs(cusum) AS a,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(cusum) DESC, event_id) AS rn
+        |  FROM c)
+        |SELECT user_id, CAST(event_id AS BIGINT) AS shift_event,
+        |  round(CAST(CAST(a AS STRING) AS DOUBLE), 4) AS max_dev
+        |FROM r WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val m = ev.groupBy("user_id")
+        .agg((sumExact(col("value")) / count(lit(1))).as("mu"))
+      val wc = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = ev.join(m, "user_id")
+        .withColumn("cusum", sum(round(col("value") - col("mu"), 10)
+          .cast("decimal(38,10)")).over(wc))
+      val wr = Window.partitionBy("user_id")
+        .orderBy(abs(col("cusum")).desc, col("event_id"))
+      c.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("shift_event"),
+          round(abs(col("cusum")).cast("double"), 4).as("max_dev"))
     }
   )
 }

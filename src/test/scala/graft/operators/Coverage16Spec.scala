@@ -129,6 +129,59 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_win_countd / q_win_median / q_cusum_shift == brute-force folds") {
+    val evs = graft.table(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP))",
+        "event_id", "value", "event_type")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .sortBy(e => (e._2, e._3))
+    val byUser = evs.groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)))
+
+    // running distinct types
+    val expectCd = byUser.toSeq.flatMap { case (u, es) =>
+      val seen = scala.collection.mutable.Set[String]()
+      es.map { e => seen += e._5; (u, e._3, seen.size.toLong) }
+    }.toSet
+    val gotCd = SparkEntry.queries("q_win_countd")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotCd == expectCd)
+
+    // trailing-10 median
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectMed = byUser.toSeq.flatMap { case (u, es) =>
+      es.indices.map { i =>
+        val fr = es.slice(math.max(0, i - 9), i + 1).map(_._4).sorted
+        val n = fr.length
+        val m = if (n % 2 == 1) fr(n / 2) else (fr(n / 2 - 1) + fr(n / 2)) / 2
+        (u, es(i)._3, r6(m))
+      }
+    }.toSet
+    val gotMed = SparkEntry.queries("q_win_median")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotMed == expectMed)
+
+    // CUSUM argmax (exact-decimal fold mirrors the query's contract)
+    def r4(x: BigDecimal) =
+      x.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectCu = byUser.toSeq.map { case (u, es) =>
+      // mirror the query: exact decimal SUM → double, then double ÷
+      val mu = es.map(e => BigDecimal(e._4).setScale(10)).sum.toDouble /
+        es.length
+      var acc = BigDecimal(0)
+      val devs = es.map { e =>
+        acc += BigDecimal(e._4 - mu)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        (e._3, acc.abs)
+      }
+      val best = devs.maxBy(d => (d._2, -d._1))
+      (u, best._1, r4(best._2))
+    }.toSet
+    val gotCu = SparkEntry.queries("q_cusum_shift")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotCu == expectCu)
+  }
+
   test("q_graph_degree_dist == brute-force histogram") {
     val li = graft.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
