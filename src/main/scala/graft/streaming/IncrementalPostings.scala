@@ -198,6 +198,22 @@ object IncrementalPostings {
     Bm25.rank(postings, liveStats(spark, dir), k)
   }
 
+  /** Corpus top-k VOCABULARY from the maintained index — the
+    * tokenizer-building read (q_vocab_coverage's vocab cut) served
+    * from the postings instead of a corpus re-scan: term frequency is
+    * Σ tf over live postings (tombstoned docs anti-joined away first,
+    * so the vocabulary equals one computed over the reduced corpus),
+    * cut to k by (count desc, term) — the same deterministic
+    * tie-break. Reads only the (term, tf, doc_id) columns of the
+    * postings tree; the cut is one TakeOrdered, never a global sort. */
+  def vocabulary(spark: SparkSession, dir: String, k: Int): DataFrame =
+    spark.read.parquet(s"$dir/postings")
+      .select(col("term"), col("tf"), col("doc_id"))
+      .join(broadcast(tombstones(spark, dir).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .groupBy("term").agg(sum(col("tf")).cast("long").as("c"))
+      .orderBy(col("c").desc, col("term")).limit(k)
+
   /** Exact-phrase top-k over the positional index: for phrase
     * w₁ w₂ … wₘ, a doc's occurrence count is |{p : p ∈ pos(w₁),
     * p+1 ∈ pos(w₂), …}| — successive per-doc array intersections of

@@ -88,6 +88,26 @@ class BandIndexTakedownSpec extends AnyFunSuite {
     assert(fromOrig == Set((3L, 20L)), s"expected the (3,20) pair: $fromOrig")
   }
 
+  test("adoption contract holds through an explicit file: URI (Hadoop FS " +
+      "path resolution, not java.io)") {
+    val plain = Files.createTempDirectory("band-uri").toString
+    val uri = s"file:$plain"
+    // write through the URI form — every probe/meta op must resolve
+    // via the path's Hadoop FileSystem for this to work at all
+    ingestText(uri, Seq(Seq((1L, baseText), (3L, unrelated))))
+    assert(IndexFs.readText(spark, s"$uri/_PREFIXES").isDefined,
+      "meta file must exist under the URI root")
+    // reopen through the PLAIN path with a different requested prefix
+    // count: the on-disk value must win regardless of path spelling
+    val reopened = new IncrementalDedup.DedupIndex(spark, plain,
+      requestedPrefixes = 7)
+    assert(reopened.prefixes == 256,
+      s"adoption must read the persisted count, got ${reopened.prefixes}")
+    // and the URI-opened index still finds cross-batch duplicates
+    val pairs = ingestText(uri, Seq(Seq((10L, baseText.replace("quick", "slow"))))).head
+    assert(pairs == Set((1L, 10L)), s"URI-opened history lookup broken: $pairs")
+  }
+
   test("embedding takedown == reduced-corpus rebuild") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(32)(rnd.nextGaussian().toFloat)

@@ -158,6 +158,31 @@ class IncrementalPostingsSpec extends AnyFunSuite {
       .collect().forall(!deadSet.contains(_)))
   }
 
+  test("vocabulary from the maintained index == batch word count; " +
+      "tombstones reduce it") {
+    val dir = Files.createTempDirectory("inc-post-vocab").toString
+    IncrementalPostings.processBatch(docs.filter(col("doc_id") % 2 === 0), dir, 0L)
+    IncrementalPostings.processBatch(docs.filter(col("doc_id") % 2 === 1), dir, 1L)
+
+    def batchVocab(d: DataFrame): Seq[(String, Long)] = d
+      .select(explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("term")).limit(10)
+      .as[(String, Long)].collect().toSeq
+
+    val got = IncrementalPostings.vocabulary(spark, dir, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == batchVocab(docs), s"index vocabulary != corpus word count")
+
+    // takedowns subtract the dead docs' counts exactly
+    val dead = docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    IncrementalPostings.delete(spark, dir, dead, 0L)
+    val gotReduced = IncrementalPostings.vocabulary(spark, dir, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(gotReduced == batchVocab(docs.filter(col("doc_id") % 3 =!= 0)))
+  }
+
   test("empty micro-batch leaves search and stats usable") {
     // foreachBatch can deliver zero-row batches (trigger with no new
     // data); the index must absorb them — the empty stats row (0 docs,
