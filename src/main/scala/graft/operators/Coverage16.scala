@@ -21,20 +21,27 @@ object Coverage16 {
   /** The thresholded co-purchase edge list (support ≥ 2, p1 < p2) —
     * the same graph q_triangle_count / q_pagerank analyze; pair
     * generation from per-order part SETS (one groupBy, no fact
-    * self-join — the Coverage7 construction). */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+    * self-join — the Coverage7 construction). MEMOIZED per (session,
+    * dir) like the dedup family's verified pairs: three graph queries
+    * (k-core, degree dist, plus any caller) share one derivation —
+    * exactly what a 100 TB deployment does by materializing the edge
+    * table once per corpus snapshot. Cleared by `DedupOps.clearMemos`
+    * (the bench's between-runs sweep) so medians stay honest. */
+  private[operators] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))
-          |""".stripMargin)).as("pr"))
-      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("p1", "p2")
+    GraphMemo.edges(s, dir) {
+      table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))
+            |""".stripMargin)).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("p1", "p2")
+    }
 
   private val copurchaseSql =
     """  SELECT a.l_partkey AS p1, b.l_partkey AS p2
@@ -423,4 +430,33 @@ object Coverage16 {
           round(abs(col("cusum")).cast("double"), 4).as("max_dev"))
     }
   )
+}
+
+/** Process-level memo for the co-purchase edge table (the dedup
+  * family's pairsMemo shape): cached once per (session, sfDir), served
+  * to every graph query, released in `DedupOps.clearMemos`'s sweep so
+  * repeat bench runs pay the full derivation. */
+private[operators] object GraphMemo {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val hits = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  def edges(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val key = (s, dir)
+    if (memo.contains(key)) hits.put("copurchase", ())
+    memo.getOrElseUpdate(key, build.cache())
+  }
+
+  def drainHits(): Set[String] = {
+    val h = hits.keySet.toSet
+    hits.clear()
+    h
+  }
+
+  def clear(): Unit = {
+    memo.values.foreach(_.unpersist(true))
+    memo.clear()
+    hits.clear()
+  }
 }

@@ -301,23 +301,14 @@ object Coverage7 {
         |FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
         |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
         |""".stripMargin) { (s, dir) =>
-      // pair generation from per-order part SETS, not a fact self-join:
-      // one groupBy(orderkey) collects each order's (bounded) distinct
-      // parts, the ordered pairs explode from the sorted array, and
-      // support is then a plain count (one pair occurrence per order by
-      // construction) — two keyed exchanges total, no join, and the
+      // pair generation from per-order part SETS, not a fact self-join
+      // (one groupBy, pairs explode from the sorted array, support a
+      // plain count) — served from the SHARED memoized co-purchase
+      // edge table (Coverage16.copurchaseEdges), which the k-core and
+      // degree-distribution queries also read: one derivation per
+      // corpus snapshot, the 100 TB materialize-once posture. The
       // oracle's self-join formulation stays the cross-engine anchor.
-      val li = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val e = li.groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))
-            |""".stripMargin)).as("pr"))
-        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("p1", "p2")
+      val e = Coverage16.copurchaseEdges(s, dir)
       // loopInput: the thresholded edge list feeds the degree agg plus
       // three oriented-join legs — materialize once, not 4×.
       graft.plans.OrientedTriangles.triangleCount(DedupOps.loopInput(e))

@@ -183,7 +183,7 @@ object DedupOps {
 
   /** Drain and return the memo tables hit since the last call. */
   def drainMemoHits(): Set[String] = {
-    val hit = memoHits.keySet.toSet
+    val hit = memoHits.keySet.toSet ++ GraphMemo.drainHits()
     memoHits.clear()
     hit
   }
@@ -208,6 +208,7 @@ object DedupOps {
     var r = liveCkpts.poll()
     while (r != null) { r.unpersist(true); r = liveCkpts.poll() }
     memoHits.clear()
+    GraphMemo.clear() // the co-purchase edge memo rides the same sweep
     // bloom-probe broadcasts ride query plans the same way the memo
     // frames do; release them in the same sweep so repeated bench runs
     // don't stack multi-MB executor copies
