@@ -335,6 +335,31 @@ object Coverage16 {
           min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
     },
 
+    // ---- connected components of the co-purchase graph -------------------
+    // Component size distribution — the "is this graph one blob or
+    // many islands?" diagnostic (here: one ~1.9k-node giant component
+    // plus small satellites). Rides the SAME pointer-doubling CC
+    // fixpoint the dedup family uses (O(log diameter) rounds,
+    // per-round localCheckpoint) over the shared memoized edge table;
+    // the oracle is the dedup-cluster reachability CTE re-anchored to
+    // the co-purchase edges.
+    QDef("q_graph_components",
+      s"""WITH RECURSIVE e0 AS MATERIALIZED (
+         |$copurchaseSql),
+         |edges AS (SELECT p1 AS a, p2 AS b FROM e0 UNION SELECT p2, p1 FROM e0),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+         |cc AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+         |SELECT canonical, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM cc GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      DedupOps.connectedComponents(copurchaseEdges(s, dir)
+          .select(col("p1").as("d1"), col("p2").as("d2")))
+        .groupBy("canonical").agg(count(lit(1)).as("n_nodes"))
+    },
+
     // ---- windowed DISTINCT aggregate -------------------------------------
     // Running distinct event types per user — SQL's
     // `count(DISTINCT) OVER`, which Spark's window functions DON'T

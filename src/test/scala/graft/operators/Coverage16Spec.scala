@@ -182,6 +182,29 @@ class Coverage16Spec extends AnyFunSuite {
     assert(gotCu == expectCu)
   }
 
+  test("q_graph_components == brute-force union-find sizes") {
+    val li = graft.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.toSeq.map(n => (find(n), n))
+      .groupBy(_._1).map { case (c, ns) => (c, ns.size.toLong) }.toSet
+    val got = SparkEntry.queries("q_graph_components")(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("q_graph_degree_dist == brute-force histogram") {
     val li = graft.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
