@@ -297,7 +297,8 @@ object Coverage16 {
         val next = DedupOps.loopInput(edges
           .join(nodes.withColumnRenamed("node", "p1"), "p1")
           .join(nodes.withColumnRenamed("node", "p2"), "p2"))
-        val m = next.count()
+        val m = next.count() // materializes next — its input can drop
+        DedupOps.releaseLoopInput(edges)
         converged = m == n
         n = m
         edges = next

@@ -246,6 +246,19 @@ object DedupOps {
     ck
   }
 
+  /** Release a [[loopInput]] checkpoint EARLY — the in-loop form of the
+    * clearMemos sweep, for fixpoints that supersede their input each
+    * round (q_kcore): once the next round's checkpoint has
+    * materialized, the previous round's blocks can drop immediately
+    * instead of accumulating one table per round until the next memo
+    * sweep (the CC loop's own prevCkpt discipline). The released frame
+    * must not be re-executed afterwards. */
+  def releaseLoopInput(ds: DataFrame): Unit =
+    checkpointRdd(ds).foreach { r =>
+      liveCkpts.remove(r)
+      r.unpersist(true)
+    }
+
   /** Pair-set row counts learned by the memo builds — lets the CC
     * consumers skip a re-count job over the cached pair table. */
   private val pairCounts = scala.collection.concurrent.TrieMap.empty[MemoKey, Long]
