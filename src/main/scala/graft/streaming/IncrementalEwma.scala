@@ -50,19 +50,37 @@ object IncrementalEwma {
 
   /** Wire the incremental fold over a (possibly streaming) dataset.
     * Emits each key's refreshed (n, ewma) once per batch it appears in
-    * (update output mode; consumers keep the latest row per key). */
-  def ewma(events: Dataset[Ev], alpha: Double = 0.3, beta: Double = 0.7)
-      : Dataset[EwmaRow] = {
+    * (update output mode; consumers keep the latest row per key).
+    *
+    * `evictAfterMs` (opt-in, the attribution/locf contract): a key
+    * idle past the watermark by the TTL is evicted — its final row is
+    * re-emitted once (mapGroupsWithState emits on every invocation,
+    * timeout included; consumers keeping latest-per-key see no
+    * change), then the state drops. A reappearing key restarts COLD
+    * (n back at 0, fold re-seeded). Requires upstream `withWatermark`. */
+  def ewma(events: Dataset[Ev], alpha: Double = 0.3, beta: Double = 0.7,
+      evictAfterMs: Option[Long] = None): Dataset[EwmaRow] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (evictAfterMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[EwmaState, EwmaRow](timeout) {
         (uid, it, state) =>
-          val prev = state.getOption.getOrElse(EwmaState(0.0, 0L))
-          val batch = it.toIndexedSeq.sortBy(e => (e.seq, e.sub))
-          val acc = batch.foldLeft(prev.acc)((a, e) => alpha * e.value + beta * a)
-          val st = EwmaState(acc, prev.n + batch.size)
-          state.update(st)
-          EwmaRow(uid, st.n, st.acc)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            EwmaRow(uid, last.n, last.acc)
+          } else {
+            val prev = state.getOption.getOrElse(EwmaState(0.0, 0L))
+            val batch = it.toIndexedSeq.sortBy(e => (e.seq, e.sub))
+            val acc = batch.foldLeft(prev.acc)((a, e) => alpha * e.value + beta * a)
+            val st = EwmaState(acc, prev.n + batch.size)
+            state.update(st)
+            evictAfterMs.foreach(ttl =>
+              state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+            EwmaRow(uid, st.n, st.acc)
+          }
       }
   }
 }

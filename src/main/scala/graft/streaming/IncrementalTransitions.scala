@@ -42,21 +42,36 @@ object IncrementalTransitions {
 
   /** Emit every (from → to) adjacent pair per user, incrementally.
     * Append semantics: each transition is produced exactly once, in the
-    * batch where its successor event arrives. */
-  def transitions(events: Dataset[TEv]): Dataset[Transition] = {
+    * batch where its successor event arrives.
+    *
+    * `evictAfterMs` (opt-in, the attribution/locf contract): a user
+    * idle past the watermark by the TTL has their carried latest-type
+    * evicted — bounded state under key churn; a reappearing user's
+    * first event then opens no transition (cold restart). Requires an
+    * upstream `withWatermark`. */
+  def transitions(events: Dataset[TEv],
+      evictAfterMs: Option[Long] = None): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (evictAfterMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastType, Transition](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
-        val batch = it.toIndexedSeq.sortBy(e => (e.seq, e.sub))
-        if (batch.isEmpty) Iterator.empty
+        timeout) { (uid, it, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          val types = state.getOption.map(_.event_type).toIndexedSeq ++
-            batch.map(_.event_type)
-          state.update(LastType(types.last))
-          types.sliding(2).collect { case Seq(a, b) =>
-            Transition(uid, a, b)
+          val batch = it.toIndexedSeq.sortBy(e => (e.seq, e.sub))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val types = state.getOption.map(_.event_type).toIndexedSeq ++
+              batch.map(_.event_type)
+            state.update(LastType(types.last))
+            if (state.exists) evictAfterMs.foreach(ttl =>
+              state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+            types.sliding(2).collect { case Seq(a, b) =>
+              Transition(uid, a, b)
+            }
           }
         }
       }

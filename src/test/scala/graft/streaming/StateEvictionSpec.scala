@@ -67,6 +67,68 @@ class StateEvictionSpec extends AnyFunSuite {
     assert(credits.size == 2, s"unexpected extra credits: $credits")
   }
 
+  test("ewma: eviction re-emits the final row then restarts the fold cold") {
+    val ms = MemoryStream[IncrementalEwma.Ev](spark)
+    val evs = ms.toDS()
+      .withColumn("ts", timestamp_micros(col("seq")))
+      .withWatermark("ts", "0 seconds")
+      .as[IncrementalEwma.Ev]
+    val name = s"ewma_evict_${System.nanoTime()}"
+    val q = IncrementalEwma.ewma(evs, evictAfterMs = Some(TtlMs))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    import IncrementalEwma.Ev
+    try {
+      ms.addData(Seq(Ev(1L, T0, 0L, 10.0), Ev(1L, T0, 1L, 20.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(2L, T0 + 2 * HourUs, 0L, 5.0))) // advance watermark
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(3L, T0 + 2 * HourUs + 1_000_000L, 0L, 1.0))) // fire timeout
+      q.processAllAvailable()
+      assert(lastStateRows(q) <= 2, s"key 1 not evicted: ${lastStateRows(q)}")
+      ms.addData(Seq(Ev(1L, T0 + 2 * HourUs + 2_000_000L, 0L, 40.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).as[IncrementalEwma.EwmaRow].collect()
+      .filter(_.user_id == 1L)
+    // pre-eviction fold: 0.3·10, then 0.3·20 + 0.7·3 = 8.1 — emitted
+    // once with data and once more by the timeout invocation
+    assert(rows.count(r => r.n_events == 2L) == 2, rows.mkString(","))
+    // cold restart: n back at 1, fold re-seeded from zero
+    assert(rows.exists(r => r.n_events == 1L && math.abs(r.ewma - 12.0) < 1e-9),
+      s"reappearing key must restart cold: ${rows.mkString(",")}")
+  }
+
+  test("transitions: eviction breaks the cross-batch pairing for idle keys only") {
+    val ms = MemoryStream[IncrementalTransitions.TEv](spark)
+    val evs = ms.toDS()
+      .withColumn("ts", timestamp_micros(col("seq")))
+      .withWatermark("ts", "0 seconds")
+      .as[IncrementalTransitions.TEv]
+    val name = s"trans_evict_${System.nanoTime()}"
+    val q = IncrementalTransitions.transitions(evs, evictAfterMs = Some(TtlMs))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    import IncrementalTransitions.TEv
+    try {
+      ms.addData(Seq(TEv(999L, T0, 0L, "click")))
+      q.processAllAvailable()
+      // active user 5000 carries a type across batches within the TTL
+      ms.addData(Seq(TEv(5000L, T0 + 2 * HourUs, 0L, "view")))
+      q.processAllAvailable()
+      // timeouts fire here (999 evicts); 5000 pairs across the boundary
+      ms.addData(Seq(TEv(5000L, T0 + 2 * HourUs + 1_000_000L, 1L, "purchase")))
+      q.processAllAvailable()
+      // evicted 999 reappears: no (click -> view) pair may be emitted
+      ms.addData(Seq(TEv(999L, T0 + 2 * HourUs + 2_000_000L, 0L, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[IncrementalTransitions.Transition]
+      .collect().toSet
+    assert(got == Set(
+      IncrementalTransitions.Transition(5000L, "view", "purchase")), got)
+  }
+
   test("locf: evicted key refills cold; active key fills across batches") {
     val ms = MemoryStream[IncrementalLocf.Obs](spark)
     val obs = ms.toDS()
