@@ -308,10 +308,11 @@ object Coverage7 {
       // degree-distribution queries also read: one derivation per
       // corpus snapshot, the 100 TB materialize-once posture. The
       // oracle's self-join formulation stays the cross-engine anchor.
-      val e = Coverage16.copurchaseEdges(s, dir)
-      // loopInput: the thresholded edge list feeds the degree agg plus
-      // three oriented-join legs — materialize once, not 4×.
-      graft.plans.OrientedTriangles.triangleCount(DedupOps.loopInput(e))
+      // the memoized edge table is already checkpoint-materialized —
+      // the degree agg + three oriented-join legs all read that one
+      // materialization (no second checkpoint layered on top)
+      graft.plans.OrientedTriangles.triangleCount(
+        Coverage16.copurchaseEdges(s, dir))
     }
   )
 }
