@@ -54,12 +54,23 @@ object Compaction {
       preserveSortWithin: Seq[String] = Nil): (Int, Int) = {
     // fail FAST on a non-local path: the java.io walk below would see
     // an empty directory on hdfs://s3a:// and "compact" the table to
-    // nothing was the failure mode; documented contract above
-    val scheme = new org.apache.hadoop.fs.Path(dir).toUri.getScheme
-    require(scheme == null || scheme == "file",
+    // nothing was the failure mode; documented contract above. An
+    // explicit file: scheme is accepted and NORMALIZED to its path —
+    // java.io.File would otherwise treat "file:" as a literal relative
+    // component, mis-size the rewrite (0 observed bytes → one output
+    // file), and then fail the rename swap after the wasted rewrite
+    // (the ParquetTableStore.localRoot treatment).
+    val uri = new org.apache.hadoop.fs.Path(dir).toUri
+    require(uri.getScheme == null || uri.getScheme == "file",
       s"Compaction.compact requires a local filesystem path (java.io " +
         s"walk + rename swap); got '$dir' — use a transactional table " +
         s"format's own compaction on object stores")
+    val dir0 = if (uri.getScheme == "file") uri.getPath else dir
+    return compactLocal(spark, dir0, targetBytes, preserveSortWithin)
+  }
+
+  private def compactLocal(spark: SparkSession, dir: String,
+      targetBytes: Long, preserveSortWithin: Seq[String]): (Int, Int) = {
     val (bytes, before) = stats(spark, dir)
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)

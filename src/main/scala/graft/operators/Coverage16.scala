@@ -309,6 +309,11 @@ object Coverage16 {
         loopOwned = true
         iter += 1
       }
+      // fail LOUDLY if the round cap ever bites: a partially-peeled
+      // edge set would emit silently-wrong core degrees, and the
+      // oracle-equality argument assumes the TRUE fixpoint
+      require(converged,
+        s"q_kcore: no fixpoint within $iter peel rounds ($n edges left)")
       edges.select(explode(array(col("p1"), col("p2"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("core_degree"))
     },

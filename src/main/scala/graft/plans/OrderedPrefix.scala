@@ -221,10 +221,14 @@ object OrderedPrefix {
         transform(col("_op_cuts"), c => c.getField("o")).as("co"),
         transform(col("_op_cuts"), c => c.getField("t")).as("ct")).as("_op_e"))
     // ≤ n rows → ONE row carrying every ordering's cutoffs, pinned so
-    // no consumer re-runs the sampling subtree
-    val cutsRow = perTag.agg(
+    // no consumer re-runs the sampling subtree. Pinning goes through
+    // loopInput (not a bare localCheckpoint): Dataset.unpersist cannot
+    // free a localCheckpoint's RDD, so an unregistered pin would
+    // strand block-manager entries per execution — loopInput's
+    // registry releases them in the clearMemos sweep.
+    val cutsRow = graft.operators.DedupOps.loopInput(perTag.agg(
       map_from_arrays(collect_list(col("_op_i")), collect_list(col("_op_e")))
-        .as("_op_m")).localCheckpoint()
+        .as("_op_m")))
 
     BucketSearch.register(rows.sparkSession)
     // all bucket ids in one projection; coalesce covers the empty-input
@@ -247,7 +251,7 @@ object OrderedPrefix {
         Window.partitionBy("_op_i").orderBy("_op_b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_op_i"), col("_op_b"), col("_op_coff"))
-      .localCheckpoint()
+    val offsetsPinned = graft.operators.DedupOps.loopInput(offsets)
 
     // chained per-ordering rank: each stage is one broadcast join
     // (≤ NB pinned offset rows) plus one window shuffle on its bucket id
@@ -255,7 +259,7 @@ object OrderedPrefix {
       case (df, ((_, out), i)) =>
         val wi = Window.partitionBy(s"_op_b$i")
           .orderBy(ordCol(i), col("_op_tie"))
-        df.join(broadcast(offsets.filter(col("_op_i") === i)
+        df.join(broadcast(offsetsPinned.filter(col("_op_i") === i)
             .select(col("_op_b").as(s"_op_b$i"), col("_op_coff"))),
           Seq(s"_op_b$i"))
           .withColumn(out, (col("_op_coff") + row_number().over(wi)).cast("long"))

@@ -79,7 +79,7 @@ object IncrementalAttribution {
           // the eviction clock is event time: TTL past the user's own
           // latest event (seq is µs; timeouts take ms)
           if (state.exists) evictAfterMs.foreach(ttl =>
-            state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+            EvictionClock.set(state, batch.map(_.seq).max / 1000L + ttl))
           out.iterator
         }
       }

@@ -69,8 +69,8 @@ object IncrementalDecay {
           }
           cur.foreach { a =>
             state.update(a)
-            if (evictAfterMs.isDefined) evictAfterMs.foreach(ttl =>
-              state.setTimeoutTimestamp(a.last / 1000L + ttl))
+            evictAfterMs.foreach(ttl =>
+              EvictionClock.set(state, a.last / 1000L + ttl))
           }
           out.iterator
         }

@@ -78,7 +78,7 @@ object IncrementalEwma {
             val st = EwmaState(acc, prev.n + batch.size)
             state.update(st)
             evictAfterMs.foreach(ttl =>
-              state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+              EvictionClock.set(state, batch.map(_.seq).max / 1000L + ttl))
             EwmaRow(uid, st.n, st.acc)
           }
       }

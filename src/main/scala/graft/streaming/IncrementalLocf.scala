@@ -56,7 +56,7 @@ object IncrementalLocf {
             carried.foreach(v => state.update(Carried(v)))
             // eviction clock is event time (seq is µs; timeouts take ms)
             if (state.exists) evictAfterMs.foreach(ttl =>
-              state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+              EvictionClock.set(state, batch.map(_.seq).max / 1000L + ttl))
             out.iterator
           }
       }

@@ -206,13 +206,24 @@ object IncrementalPostings {
     * cut to k by (count desc, term) — the same deterministic
     * tie-break. Reads only the (term, tf, doc_id) columns of the
     * postings tree; the cut is one TakeOrdered, never a global sort. */
-  def vocabulary(spark: SparkSession, dir: String, k: Int): DataFrame =
-    spark.read.parquet(s"$dir/postings")
+  def vocabulary(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    // zero-batch index → empty vocabulary, not PATH_NOT_FOUND (the
+    // same readOrEmpty contract the delete path and the substring
+    // index's reports follow)
+    val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType)))
+    IndexFs.readOrEmpty(spark, s"$dir/postings", postingsSchema)
       .select(col("term"), col("tf"), col("doc_id"))
       .join(broadcast(tombstones(spark, dir).select("doc_id")),
         Seq("doc_id"), "left_anti")
       .groupBy("term").agg(sum(col("tf")).cast("long").as("c"))
       .orderBy(col("c").desc, col("term")).limit(k)
+  }
 
   /** Exact-phrase top-k over the positional index: for phrase
     * w₁ w₂ … wₘ, a doc's occurrence count is |{p : p ∈ pos(w₁),

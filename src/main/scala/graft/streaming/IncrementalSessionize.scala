@@ -22,8 +22,11 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * (seq, sub) order. Under it the emitted closed sessions equal the
   * batch `session_window` aggregation row-for-row
   * (IncrementalSessionizeSpec pins equality over the events table).
-  * A late event arriving after its session timed out starts a NEW
-  * session (the same contract every gap-based sessionizer documents).
+  * Late data: an event older than the WATERMARK is dropped by the
+  * engine before this function runs (standard EventTimeTimeout
+  * late-data semantics — it cannot reopen anything); an
+  * out-of-contract event that is within the watermark but later than
+  * its key's timed-out session starts a NEW session.
   */
 object IncrementalSessionize {
 
@@ -67,7 +70,11 @@ object IncrementalSessionize {
           var cur = state.getOption
           evs.foreach { e =>
             cur match {
-              case Some(s) if e.seq - s.last > GapUs =>
+              // >= : an event at EXACTLY gap starts a new session —
+              // session_window's semantics ([t, t+gap) windows that
+              // merely touch do not merge), which the equality spec
+              // pins; a strict > would silently merge exact-gap pairs
+              case Some(s) if e.seq - s.last >= GapUs =>
                 out += Session(uid, s.start, s.last, s.n, s.sum)
                 cur = Some(OpenSession(e.seq, e.seq, 1L, e.value))
               case Some(s) =>
@@ -79,7 +86,7 @@ object IncrementalSessionize {
           cur.foreach { s =>
             state.update(s)
             // the close trigger: watermark past session end + gap
-            state.setTimeoutTimestamp(s.last / 1000L + GapUs / 1000L)
+            EvictionClock.set(state, s.last / 1000L + GapUs / 1000L)
           }
           out.iterator
         }

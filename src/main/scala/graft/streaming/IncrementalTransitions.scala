@@ -68,7 +68,7 @@ object IncrementalTransitions {
               batch.map(_.event_type)
             state.update(LastType(types.last))
             if (state.exists) evictAfterMs.foreach(ttl =>
-              state.setTimeoutTimestamp(batch.map(_.seq).max / 1000L + ttl))
+              EvictionClock.set(state, batch.map(_.seq).max / 1000L + ttl))
             types.sliding(2).collect { case Seq(a, b) =>
               Transition(uid, a, b)
             }

@@ -67,6 +67,54 @@ class StateEvictionSpec extends AnyFunSuite {
     assert(credits.size == 2, s"unexpected extra credits: $credits")
   }
 
+  test("watermark skew: a 3-day watermark jump against a near-past key " +
+      "neither crashes the query nor duplicates its session") {
+    // one key's far-future event advances the eviction watermark 3
+    // days while another key's session sits 3 days back. Under
+    // production triggers the late-row filter can lag the eviction
+    // watermark by a batch (SPARK-40925), letting the function see a
+    // row whose last+TTL is BELOW the watermark — raw
+    // setTimeoutTimestamp throws there and kills the query
+    // (re-crashing from checkpoint); EvictionClock clamps to
+    // watermark+1. Under processAllAvailable the engine instead drops
+    // the skewed row as late — EITHER way the contract this test pins
+    // must hold: the query completes and the stale key's session is
+    // emitted exactly once, closed by timeout.
+    val ms = MemoryStream[IncrementalSessionize.SEv](spark)
+    val input = ms.toDS()
+      .withColumn("ts", timestamp_micros(col("seq")))
+      .withWatermark("ts", "0 seconds")
+      .as[IncrementalSessionize.SEv]
+    val name = s"sess_skew_${System.nanoTime()}"
+    val q = IncrementalSessionize.sessions(input)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    import IncrementalSessionize.SEv
+    try {
+      ms.addData(Seq(SEv(1L, T0, 0L, 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(SEv(9000L, T0 + 72 * HourUs, 0L, 0.0)))
+      q.processAllAvailable()
+      // the crash batch pre-fix: user 1's merge sets a timeout at
+      // T0+1min+30min << watermark (T0+3d)
+      ms.addData(Seq(SEv(1L, T0 + 60_000_000L, 1L, 2.0)))
+      q.processAllAvailable()
+      // two more sentinels so the clamped timeout fires
+      ms.addData(Seq(SEv(9001L, T0 + 73 * HourUs, 0L, 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(SEv(9002L, T0 + 74 * HourUs, 0L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[IncrementalSessionize.Session]
+      .collect().filter(_.user_id == 1L).toSeq
+    // exactly ONE closed session for the stale key, anchored at T0 —
+    // whether the skewed row was admitted (clamped timeout, 2 events)
+    // or dropped as late by the engine (1 event), and never a crash
+    // or a duplicate emission
+    assert(got.size == 1 && got.head.start_us == T0 &&
+      (got.head.n_events == 1L || got.head.n_events == 2L), got)
+  }
+
   test("ewma: eviction re-emits the final row then restarts the fold cold") {
     val ms = MemoryStream[IncrementalEwma.Ev](spark)
     val evs = ms.toDS()
