@@ -464,6 +464,130 @@ object Coverage16 {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id").as("shift_event"),
           round(abs(col("cusum")).cast("double"), 4).as("max_dev"))
+    },
+
+    // ---- session-level rollup --------------------------------------------
+    // Per-user session metrics over the same 30-minute-gap sessions
+    // q_sessionize builds (session_window both sides of the pair;
+    // `>=` in the oracle's lag flag matches session_window's
+    // touching-windows-don't-merge semantics). The DAU dashboards'
+    // staple: session counts, events per session, longest session.
+    QDef("q_session_stats",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id)
+        |         >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    date_diff('second', min(ts), max(ts)) AS dur_s
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  round(sum(n_events) / CAST(count(*) AS DOUBLE), 6)
+        |    AS events_per_session,
+        |  CAST(max(dur_s) AS BIGINT) AS max_session_s
+        |FROM sess GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_seconds(max(col("ts")).cast("timestamp")) -
+            unix_seconds(min(col("ts")).cast("timestamp"))).as("dur_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+            .as("events_per_session"),
+          max(col("dur_s")).cast("long").as("max_session_s"))
+    },
+
+    // ---- conversion lag --------------------------------------------------
+    // Corpus percentiles of first-view → first-purchase lag. The
+    // percentile is DISC (no interpolation — integer seconds stay
+    // integers) and computed WITHOUT a data-sized unpartitioned
+    // window: percentile_disc(p) is the value at ascending rank
+    // ⌈p·n⌉, served by the two-phase OrderedPrefix rank + a min-filter
+    // (the q_gap_stats construction lifted to a global, rank-based
+    // form — one row per converted user, never sorted in one task).
+    QDef("q_conversion_lag",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM events GROUP BY 1),
+        |lag AS (
+        |  SELECT user_id, date_diff('second', fv, fp) AS lag_s
+        |  FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(min(lag_s) AS BIGINT) AS min_s,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s) AS BIGINT)
+        |    AS p50_s,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s) AS BIGINT)
+        |    AS p90_s,
+        |  CAST(max(lag_s) AS BIGINT) AS max_s
+        |FROM lag
+        |""".stripMargin) { (s, dir) =>
+      val f = table(s, dir, "events").groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      val lagT = f
+        .filter(col("fv").isNotNull && col("fp").isNotNull &&
+          col("fp") >= col("fv"))
+        .select(col("user_id"),
+          (unix_seconds(col("fp").cast("timestamp")) -
+            unix_seconds(col("fv").cast("timestamp"))).as("lag_s"))
+      val ranked = graft.plans.OrderedPrefix.rank(
+        lagT, Nil, col("lag_s").cast("double"), col("user_id"), "rk")
+      val n = lagT.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("lag_s")).as("min_s"),
+          min(when(col("rk") >= ceil(col("n") * 0.5), col("lag_s"))).as("p50_s"),
+          min(when(col("rk") >= ceil(col("n") * 0.9), col("lag_s"))).as("p90_s"),
+          max(col("lag_s")).as("max_s"))
+    },
+
+    // ---- source-mix drift ------------------------------------------------
+    // Per-source L1 distance between its language mix and the corpus
+    // mix — the data-drift alarm a curation pipeline watches when a
+    // source starts delivering different content. Each |Δshare| term
+    // is rounded to 10dp and decimal-cast before the per-source sum
+    // (≤ |languages| terms, but the house rule is unconditional:
+    // double-addition order must never reach the comparison quantum).
+    QDef("q_source_mix_drift",
+      """WITH m AS (SELECT source, lang, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(c) AS n FROM m GROUP BY 1),
+        |g AS (SELECT lang, count(*) AS gc FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS gn FROM documents),
+        |terms AS (
+        |  SELECT m.source,
+        |    CAST(round(abs(m.c / CAST(t.n AS DOUBLE)
+        |      - g.gc / CAST(tot.gn AS DOUBLE)), 10) AS DECIMAL(38,10)) AS d
+        |  FROM m JOIN t USING (source) JOIN g USING (lang), tot)
+        |SELECT source,
+        |  round(CAST(CAST(sum(d) AS STRING) AS DOUBLE), 6) AS l1_drift
+        |FROM terms GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val m = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val t = m.groupBy("source").agg(sum(col("c")).as("n"))
+      val g = docs.groupBy("lang").agg(count(lit(1)).as("gc"))
+      val tot = docs.agg(count(lit(1)).as("gn"))
+      m.join(t, "source").join(broadcast(g), "lang").crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(abs(col("c").cast("double") / col("n") -
+            col("gc").cast("double") / col("gn")), 10)
+            .cast("decimal(38,10)").as("d"))
+        .groupBy("source")
+        .agg(round(sum(col("d")).cast("double"), 6).as("l1_drift"))
     }
   )
 }

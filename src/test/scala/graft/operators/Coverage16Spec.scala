@@ -182,6 +182,67 @@ class Coverage16Spec extends AnyFunSuite {
     assert(gotCu == expectCu)
   }
 
+  test("q_session_stats / q_conversion_lag / q_source_mix_drift == brute folds") {
+    val evs = graft.table(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_seconds(CAST(ts AS TIMESTAMP))",
+        "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+
+    // sessions: split at gap >= 1800 s in (ts, event_id) order
+    val bySess = evs.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.tail.foreach { e =>
+        if (e._2 - sessions.last.last._2 >= 1800) sessions +=
+          scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+      }
+      val n = sessions.size
+      val tot = sorted.size
+      (u, n.toLong, tot.toLong,
+        BigDecimal(tot.toDouble / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        sessions.map(s => s.last._2 - s.head._2).max)
+    }.toSet
+    val gotSess = SparkEntry.queries("q_session_stats")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(gotSess == bySess)
+
+    // conversion lag percentiles (disc = value at ceil(p*n))
+    val lags = evs.groupBy(_._1).flatMap { case (_, es) =>
+      val fv = es.filter(_._4 == "view").map(_._2).minOption
+      val fp = es.filter(_._4 == "purchase").map(_._2).minOption
+      (fv, fp) match {
+        case (Some(v), Some(p)) if p >= v => Some(p - v)
+        case _ => None
+      }
+    }.toSeq.sorted
+    def disc(p: Double) = lags(math.ceil(p * lags.size).toInt - 1)
+    val gotLag = SparkEntry.queries("q_conversion_lag")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(gotLag == ((lags.size.toLong, lags.min, disc(0.5), disc(0.9),
+      lags.max)), gotLag)
+
+    // mix drift
+    val dl = graft.table(spark, sfDir, "documents")
+      .select("source", "lang").as[(String, String)].collect()
+    val gn = dl.length
+    val global = dl.groupBy(_._2).view.mapValues(_.size.toDouble / gn)
+    val expectDrift = dl.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.size
+      val terms = ds.groupBy(_._2).map { case (lang, xs) =>
+        BigDecimal(math.abs(xs.size.toDouble / n - global(lang)))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (src, BigDecimal(terms.sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val gotDrift = SparkEntry.queries("q_source_mix_drift")(spark, sfDir)
+      .as[(String, Double)].collect().toSet
+    assert(gotDrift == expectDrift)
+  }
+
   test("q_graph_components == brute-force union-find sizes") {
     val li = graft.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()

@@ -83,7 +83,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_media_flac" -> Budget(maxExchanges = 0),
     "q_win_countd" -> Budget(maxExchanges = 1),
     "q_win_median" -> Budget(maxExchanges = 1),
-    "q_cusum_shift" -> Budget(maxExchanges = 4)
+    "q_cusum_shift" -> Budget(maxExchanges = 4),
+    // r9 third wave: session rollup is one session_window shuffle then
+    // an AQE-coalesced regroup; conversion lag pays the OrderedPrefix
+    // rank machinery (sample + bucket counts + rank) over one-row-per-
+    // converted-user — 9 observed + 1 slack; mix drift is four small
+    // aggregations (two broadcast) + the per-source re-agg
+    "q_session_stats" -> Budget(maxExchanges = 2),
+    "q_conversion_lag" -> Budget(maxExchanges = 10),
+    "q_source_mix_drift" -> Budget(maxExchanges = 6)
   )
 
   private def finalizedPlan(name: String): String = {
