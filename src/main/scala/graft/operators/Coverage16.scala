@@ -588,6 +588,182 @@ object Coverage16 {
             .cast("decimal(38,10)").as("d"))
         .groupBy("source")
         .agg(round(sum(col("d")).cast("double"), 6).as("l1_drift"))
+    },
+
+    // ---- local clustering coefficient ------------------------------------
+    // Per-node cc = 2t / d(d−1) over the co-purchase graph, reported
+    // as an integer-exact decile histogram (bucket = ⌊10·cc⌋ computed
+    // as (20t) div (d(d−1)) — BIGINT floor division, no float whose
+    // rounding could straddle a bucket edge across engines) with the
+    // per-bucket mean cc from decimal-cast 10dp terms. Rides the
+    // degree-oriented triangle TRIPLES (O(m^1.5) enumeration,
+    // plans.OrientedTriangles) over the shared memoized edge table;
+    // the oracle keeps the id-ordered self-join as the anchor —
+    // per-node counts are orientation-invariant for the same reason
+    // the total is.
+    QDef("q_graph_cluster_coeff",
+      s"""WITH e AS MATERIALIZED (
+         |$copurchaseSql),
+         |tri AS (
+         |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+         |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+         |    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         |tv AS (
+         |  SELECT node, count(*) AS t
+         |  FROM (SELECT a AS node FROM tri
+         |        UNION ALL SELECT b FROM tri
+         |        UNION ALL SELECT c FROM tri)
+         |  GROUP BY 1),
+         |deg AS (
+         |  SELECT node, count(*) AS d
+         |  FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+         |  GROUP BY 1),
+         |cc AS (
+         |  SELECT deg.node, deg.d, COALESCE(tv.t, 0) AS t
+         |  FROM deg LEFT JOIN tv USING (node) WHERE deg.d >= 2)
+         |SELECT CAST((20 * t) // (d * (d - 1)) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  round(CAST(CAST(sum(CAST(round(2.0 * t / (d * (d - 1)), 10)
+         |      AS DECIMAL(38,10))) AS STRING) AS DOUBLE) / count(*), 6)
+         |    AS avg_cc
+         |FROM cc GROUP BY 1
+         |""".stripMargin) { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      // per-node triangle incidence from ONE read of the triple table
+      // (explode, not a 3-leg union that re-runs the enumeration)
+      val tv = graft.plans.OrientedTriangles.triangles(e)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("t"))
+      graft.plans.OrientedTriangles.degrees(e)
+        .withColumnRenamed("v", "node")
+        .filter(col("deg") >= 2)
+        .join(tv, Seq("node"), "left")
+        .select(col("deg").as("d"), coalesce(col("t"), lit(0L)).as("t"))
+        .groupBy(expr("(20 * t) div (d * (d - 1))").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          round(sum(round(lit(2.0) * col("t") / (col("d") * (col("d") - 1)), 10)
+            .cast("decimal(38,10)")).cast("double") / count(lit(1)), 6)
+            .as("avg_cc"))
+    },
+
+    // ---- neighborhood Jaccard (link strength) ----------------------------
+    // Top-20 co-purchase edges by common-neighbor count — the link-
+    // prediction staple. Common neighbors of an edge's endpoints ARE
+    // the triangles through that edge, so the score rides the same
+    // O(m^1.5) oriented enumeration instead of a neighbor-set
+    // intersection join (Σ deg² with no orientation bound). Ordered by
+    // the INTEGER count with (p1, p2) tie-break — a float-jaccard sort
+    // key could order near-ties differently across engines; jaccard
+    // c/(d₁+d₂−c) is reported, not sorted on.
+    QDef("q_graph_jaccard",
+      s"""WITH e AS MATERIALIZED (
+         |$copurchaseSql),
+         |tri AS (
+         |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+         |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+         |    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         |te AS (
+         |  SELECT p1, p2, count(*) AS cn FROM (
+         |    SELECT least(a, b) AS p1, greatest(a, b) AS p2 FROM tri
+         |    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+         |    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri)
+         |  GROUP BY 1, 2),
+         |deg AS (
+         |  SELECT node, count(*) AS d
+         |  FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+         |  GROUP BY 1)
+         |SELECT e.p1, e.p2, CAST(COALESCE(te.cn, 0) AS BIGINT) AS cn,
+         |  round(COALESCE(te.cn, 0) /
+         |    CAST(d1.d + d2.d - COALESCE(te.cn, 0) AS DOUBLE), 6) AS jaccard
+         |FROM e LEFT JOIN te ON e.p1 = te.p1 AND e.p2 = te.p2
+         |  JOIN deg d1 ON d1.node = e.p1 JOIN deg d2 ON d2.node = e.p2
+         |ORDER BY cn DESC, e.p1, e.p2 LIMIT 20
+         |""".stripMargin) { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      // each triangle charges its three edges from ONE read of the
+      // triple table (normalized least/greatest — the enumeration's
+      // (a,b,c) is (degree,id)-oriented, not id-sorted)
+      val te = graft.plans.OrientedTriangles.triangles(e)
+        .select(explode(array(
+          struct(least(col("a"), col("b")).as("p1"),
+            greatest(col("a"), col("b")).as("p2")),
+          struct(least(col("b"), col("c")).as("p1"),
+            greatest(col("b"), col("c")).as("p2")),
+          struct(least(col("a"), col("c")).as("p1"),
+            greatest(col("a"), col("c")).as("p2")))).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("cn"))
+      val deg = graft.plans.OrientedTriangles.degrees(e)
+      e.join(te, Seq("p1", "p2"), "left")
+        .join(deg.select(col("v").as("p1"), col("deg").as("d1")), "p1")
+        .join(deg.select(col("v").as("p2"), col("deg").as("d2")), "p2")
+        .select(col("p1"), col("p2"),
+          coalesce(col("cn"), lit(0L)).as("cn"),
+          round(coalesce(col("cn"), lit(0L)).cast("double") /
+            (col("d1") + col("d2") - coalesce(col("cn"), lit(0L)))
+              .cast("double"), 6).as("jaccard"))
+        .orderBy(col("cn").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+
+    // ---- windowed funnel -------------------------------------------------
+    // Three-step view→click→purchase funnel anchored at each user's
+    // FIRST view, steps ordered and the whole window bounded at 3 days
+    // from the anchor (the first-touch-anchored variant — deterministic
+    // and relational, unlike best-anchor scan semantics: three
+    // conditional-min aggregations, all keyed on user_id, co-partitioned
+    // shuffles, no per-user state beyond three timestamps).
+    QDef("q_funnel_window",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+        |  FROM events GROUP BY 1),
+        |c2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t1
+        |    AND e.ts <= v.t1 + INTERVAL 3 DAY
+        |  GROUP BY 1),
+        |p3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |    JOIN c2 ON e.user_id = c2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c2.t2
+        |    AND e.ts <= v.t1 + INTERVAL 3 DAY
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT v.user_id,
+        |    CASE WHEN t1 IS NULL THEN 0
+        |         WHEN c2.user_id IS NULL THEN 1
+        |         WHEN p3.user_id IS NULL THEN 2 ELSE 3 END AS depth
+        |  FROM v LEFT JOIN c2 ON v.user_id = c2.user_id
+        |    LEFT JOIN p3 ON v.user_id = p3.user_id)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val v = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+      val c2 = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") >= col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 3 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p3 = ev.join(v, "user_id").join(c2, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") >= col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 3 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      // assembly WITHOUT the outer joins the oracle spells: each stage
+      // only exists when its predecessor does, so per-user depth is the
+      // max over tagged stage rows — one union + one keyed aggregation
+      // instead of two O(users)-sized outer joins (which can neither
+      // broadcast at scale nor beat a plain regroup)
+      v.select(col("user_id"),
+          when(col("t1").isNull, 0).otherwise(1).as("d"))
+        .unionAll(c2.select(col("user_id"), lit(2).as("d")))
+        .unionAll(p3.select(col("user_id"), lit(3).as("d")))
+        .groupBy("user_id").agg(max(col("d")).as("dep"))
+        .groupBy(col("dep").cast("long").as("depth"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 }

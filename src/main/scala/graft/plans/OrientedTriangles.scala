@@ -60,13 +60,20 @@ object OrientedTriangles {
       .join(oriented.alias("o2"), col("o1.dst") === col("o2.src"))
       .select(col("o1.src").as("a"), col("o1.dst").as("b"), col("o2.dst").as("c"))
 
-  /** Total triangle count of the undirected edge list (p1 < p2 rows,
-    * deduplicated) — single row `n_tri`. */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  /** Every triangle of the undirected edge list, enumerated exactly
+    * once as (a, b, c) in the oriented order — the per-vertex /
+    * per-edge analytics (clustering coefficient, common-neighbor
+    * scores) consume the triples; `triangleCount` folds them. */
+  def triangles(edges: DataFrame): DataFrame = {
     val o = orient(edges)
     twoPaths(o)
       .join(o.alias("o3"),
         col("a") === col("o3.src") && col("c") === col("o3.dst"))
-      .agg(count(lit(1)).as("n_tri"))
+      .select("a", "b", "c")
   }
+
+  /** Total triangle count of the undirected edge list (p1 < p2 rows,
+    * deduplicated) — single row `n_tri`. */
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangles(edges).agg(count(lit(1)).as("n_tri"))
 }

@@ -266,6 +266,76 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  private def bruteEdges: Seq[(Long, Long)] = {
+    val li = graft.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    li.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+  }
+
+  test("q_graph_cluster_coeff == brute-force adjacency-set histogram") {
+    val edges = bruteEdges
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.toSeq.filter(_._2.size >= 2).map { case (_, ns) =>
+      val d = ns.size.toLong
+      val nsSeq = ns.toSeq
+      val t = (for (u <- nsSeq; w <- nsSeq if u < w && adj(u).contains(w))
+        yield 1).size.toLong
+      (20L * t / (d * (d - 1)), t, d)
+    }.groupBy(_._1).map { case (b, xs) =>
+      val terms = xs.map { case (_, t, d) =>
+        BigDecimal(2.0 * t / (d * (d - 1)))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (b, xs.size.toLong,
+        BigDecimal(terms.sum.toDouble / xs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q_graph_cluster_coeff")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q_graph_jaccard == brute-force neighbor-set intersections") {
+    val edges = bruteEdges
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val expect = edges.map { case (a, b) =>
+      val cn = (adj(a) intersect adj(b)).size.toLong
+      val denom = adj(a).size + adj(b).size - cn
+      (a, b, cn, BigDecimal(cn.toDouble / denom)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (a, b, cn, _) => (-cn, a, b) }.take(20).toSet
+    val got = SparkEntry.queries("q_graph_jaccard")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("q_funnel_window == brute-force first-anchor fold") {
+    val evs = graft.table(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP))", "event_type")
+      .as[(Long, Long, String)].collect()
+    val W = 3L * 86400 * 1000000
+    val expect = evs.groupBy(_._1).values.map { es =>
+      val t1 = es.filter(_._3 == "view").map(_._2).minOption
+      val t2 = t1.flatMap(a => es.filter(e => e._3 == "click" &&
+        e._2 >= a && e._2 <= a + W).map(_._2).minOption)
+      val t3 = (t1, t2) match {
+        case (Some(a), Some(b)) => es.filter(e => e._3 == "purchase" &&
+          e._2 >= b && e._2 <= a + W).map(_._2).minOption
+        case _ => None
+      }
+      if (t1.isEmpty) 0L else if (t2.isEmpty) 1L
+      else if (t3.isEmpty) 2L else 3L
+    }.groupBy(identity).map { case (d, us) => (d, us.size.toLong) }.toSet
+    val got = SparkEntry.queries("q_funnel_window")(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("q_graph_degree_dist == brute-force histogram") {
     val li = graft.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()

@@ -91,7 +91,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // aggregations (two broadcast) + the per-source re-agg
     "q_session_stats" -> Budget(maxExchanges = 2),
     "q_conversion_lag" -> Budget(maxExchanges = 10),
-    "q_source_mix_drift" -> Budget(maxExchanges = 6)
+    "q_source_mix_drift" -> Budget(maxExchanges = 6),
+    // graph wave 2 + funnel: triangle-triple consumers pay the edge
+    // memo's degree/orient leg aggs (7 and 6 observed + 1 slack);
+    // the funnel's three stage aggs + tagged-union regroup (no outer
+    // joins — the union+max assembly keeps it SMJ-free by design)
+    "q_graph_cluster_coeff" -> Budget(maxExchanges = 8),
+    "q_graph_jaccard" -> Budget(maxExchanges = 7),
+    "q_funnel_window" -> Budget(maxExchanges = 7)
   )
 
   private def finalizedPlan(name: String): String = {
