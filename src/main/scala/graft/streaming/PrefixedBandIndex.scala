@@ -69,7 +69,15 @@ class PrefixedBandIndex(spark: SparkSession, dir: String,
   def append(bands: DataFrame, payload: DataFrame): Unit = {
     if (IndexFs.readText(spark, metaPath).isEmpty)
       IndexFs.writeText(spark, metaPath, prefixes.toString)
+    // repartition ON bp before the partitioned write: band buckets are
+    // hashes, so without it every write task holds rows of ~every
+    // prefix and emits one file per (task × bp) — tasks×prefixes small
+    // files PER MICRO-BATCH. With it each bp lands in one task → one
+    // file per touched prefix per batch, at the cost of shuffling the
+    // batch's own (small) band table. (The ParquetTableStore bucket
+    // write makes the same move for the same reason.)
     bands.withColumn("bp", pmod(col("bucket"), lit(prefixes)))
+      .repartition(col("bp"))
       .write.mode("append").partitionBy("bp").parquet(s"$dir/bands")
     payload.write.mode("append").parquet(s"$dir/$payloadName")
   }
@@ -97,6 +105,10 @@ class PrefixedBandIndex(spark: SparkSession, dir: String,
     bands.foreach { b =>
       val cols = b.columns.filter(_ != "bp").map(col) :+ col("bp").cast("int").as("bp")
       b.select(cols: _*)
+        // one shuffle keyed on bp → ONE file per prefix — the point of
+        // the compaction; without it the rewrite re-scatters every
+        // prefix across all tasks and reproduces the small files
+        .repartition(col("bp"))
         .write.mode("overwrite").partitionBy("bp").parquet(s"$intoDir/bands")
     }
     payload.foreach(
