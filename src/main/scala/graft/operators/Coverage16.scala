@@ -706,6 +706,52 @@ object Coverage16 {
         .limit(20)
     },
 
+    // ---- degree assortativity --------------------------------------------
+    // Newman's degree-assortativity coefficient of the co-purchase
+    // graph — "do hubs link to hubs?" (negative = hub-to-leaf, the
+    // typical retail shape). Every Σ in the formula is an INTEGER sum
+    // over edge-endpoint degrees (emitted alongside r for exact
+    // comparison); only the final ratio is float, with the operand
+    // tree textually identical in both engines so each IEEE step
+    // rounds identically. One keyed join onto the degree table per
+    // endpoint, one global agg — no iteration.
+    QDef("q_graph_assortativity",
+      s"""WITH e AS MATERIALIZED (
+         |$copurchaseSql),
+         |deg AS (
+         |  SELECT node, count(*) AS d
+         |  FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+         |  GROUP BY 1),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(d1.d * d2.d) AS BIGINT) AS sxy,
+         |    CAST(sum(d1.d + d2.d) AS BIGINT) AS sx,
+         |    CAST(sum(d1.d * d1.d + d2.d * d2.d) AS BIGINT) AS sx2
+         |  FROM e JOIN deg d1 ON d1.node = e.p1
+         |    JOIN deg d2 ON d2.node = e.p2)
+         |SELECT m, sxy, sx, sx2,
+         |  round((sxy / CAST(m AS DOUBLE) - (sx / (2.0 * m)) * (sx / (2.0 * m))) /
+         |        (sx2 / (2.0 * m) - (sx / (2.0 * m)) * (sx / (2.0 * m))), 6)
+         |    AS assortativity
+         |FROM s
+         |""".stripMargin) { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      val deg = graft.plans.OrientedTriangles.degrees(e)
+      val sums = e
+        .join(deg.select(col("v").as("p1"), col("deg").as("d1")), "p1")
+        .join(deg.select(col("v").as("p2"), col("deg").as("d2")), "p2")
+        .agg(count(lit(1)).as("m"),
+          sum(col("d1") * col("d2")).as("sxy"),
+          sum(col("d1") + col("d2")).as("sx"),
+          sum(col("d1") * col("d1") + col("d2") * col("d2")).as("sx2"))
+      sums.select(col("m"), col("sxy"), col("sx"), col("sx2"),
+        round((col("sxy") / col("m").cast("double") -
+            (col("sx") / (lit(2.0) * col("m"))) * (col("sx") / (lit(2.0) * col("m")))) /
+          (col("sx2") / (lit(2.0) * col("m")) -
+            (col("sx") / (lit(2.0) * col("m"))) * (col("sx") / (lit(2.0) * col("m")))), 6)
+          .as("assortativity"))
+    },
+
     // ---- windowed funnel -------------------------------------------------
     // Three-step view→click→purchase funnel anchored at each user's
     // FIRST view, steps ordered and the whole window bounded at 3 days

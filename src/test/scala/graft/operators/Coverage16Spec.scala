@@ -314,6 +314,23 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_graph_assortativity == brute-force Newman formula") {
+    val edges = bruteEdges
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = edges.size.toLong
+    val sxy = edges.map(e => deg(e._1) * deg(e._2)).sum
+    val sx = edges.map(e => deg(e._1) + deg(e._2)).sum
+    val sx2 = edges.map(e => deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum
+    val mean = sx / (2.0 * m)
+    val r = (sxy / m.toDouble - mean * mean) / (sx2 / (2.0 * m) - mean * mean)
+    val expect = (m, sxy, sx, sx2,
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val got = SparkEntry.queries("q_graph_assortativity")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == expect, got)
+  }
+
   test("q_funnel_window == brute-force first-anchor fold") {
     val evs = graft.table(spark, sfDir, "events")
       .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP))", "event_type")

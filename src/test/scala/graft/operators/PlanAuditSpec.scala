@@ -98,7 +98,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // joins — the union+max assembly keeps it SMJ-free by design)
     "q_graph_cluster_coeff" -> Budget(maxExchanges = 8),
     "q_graph_jaccard" -> Budget(maxExchanges = 7),
-    "q_funnel_window" -> Budget(maxExchanges = 7)
+    "q_funnel_window" -> Budget(maxExchanges = 7),
+    // two degree-join legs + the global agg over the memoized edges
+    "q_graph_assortativity" -> Budget(maxExchanges = 4)
   )
 
   private def finalizedPlan(name: String): String = {
