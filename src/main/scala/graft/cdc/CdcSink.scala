@@ -447,22 +447,89 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * `_change_type` column (updates emit both images, the Delta CDF
     * shape downstream incremental consumers expect).
     *
-    * Scale: a bucket whose manifest entry is IDENTICAL in both
-    * versions carries the same data files — provably unchanged, never
-    * read. Cost is O(buckets touched between the versions), not
-    * O(table): the same bucket-level pruning `applyChanges` writes
-    * with is what the diff reads with (spec asserts via inputFiles).
-    * The per-bucket diff is one full-outer join on the PK — both
-    * sides are data-sized, so this is the one deliberately
-    * sort-merge-shaped operation in the store.
+    * Two serving paths, same result (ChangeFeedSpec pins equality):
     *
-    * Columns are aligned to the union of both versions' schemas
-    * (missing side reads null) — a column added between the versions
-    * surfaces as updates for rows whose value is non-null, matching
-    * the store's nulls-widening evolution stance. */
+    *  1. RECORDED (primary — Delta's actual `_change_data` design):
+    *     `applyChanges` writes each version's delta-sized change rows
+    *     into `changes/<version>/` at merge time, when it already
+    *     holds both images. Serving a span reads ONLY those files —
+    *     O(Σ deltas) — and SQUASHES per key (first pre-state, last
+    *     post-state) so a key inserted then deleted nets to nothing
+    *     and an update chain nets to one pre/post pair. Span
+    *     completeness is proven by the `_PARENT` chain each change
+    *     dir carries — a vacuumed or pre-feature gap breaks the walk
+    *     and drops to path 2.
+    *  2. SNAPSHOT DIFF (fallback + the spec's independent verifier):
+    *     diff the two manifests, read only buckets whose entries
+    *     differ, full-outer-join on the PK. O(touched-bucket ROWS) —
+    *     fine when deltas cluster, but a delta of k scattered keys
+    *     touches min(k, nBuckets) buckets, so at small nBuckets this
+    *     degenerates toward a full-table diff (measured in
+    *     tools.IvmStress — the reason the recorded path exists).
+    *
+    * Columns align to the union of the involved schemas (missing side
+    * reads null) — a column added between the versions surfaces as
+    * updates, matching the store's nulls-widening evolution stance. */
   def changesBetween(target: String, pks: Seq[String],
+      fromVersion: String, toVersion: String): DataFrame =
+    recordedSpan(target, fromVersion, toVersion) match {
+      case Some(span) if span.nonEmpty => squashRecorded(target, pks, span)
+      case Some(_) => // from == to: empty feed, table-shaped
+        readVersion(target, toVersion).filter(lit(false))
+          .withColumn("_change_type", lit(""))
+      case None => snapshotDiff(target, pks, fromVersion, toVersion)
+    }
+
+  private def changesDir(t: String, version: String) =
+    dir(t).resolve("changes").resolve(version)
+
+  /** The versions strictly after `from` up to `to`, oldest first,
+    * IF every step has a recorded change dir and the `_PARENT` chain
+    * walks back exactly to `from` (completeness proof). */
+  private def recordedSpan(target: String, from: String,
+      to: String): Option[Seq[String]] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[String]
+    var v = to
+    while (v != from) {
+      val d = changesDir(target, v)
+      val parentFile = d.resolve("_PARENT")
+      if (!Files.isRegularFile(parentFile)) return None
+      acc.prepend(v)
+      val parent = new String(Files.readAllBytes(parentFile)).trim
+      if (parent.isEmpty && from.nonEmpty) return None // reached genesis
+      v = parent
+    }
+    Some(acc.toSeq)
+  }
+
+  /** Net per-key change over recorded per-version feeds: first event
+    * pins the pre-state at `from` (insert ⇒ absent), last event the
+    * post-state at `to` (delete ⇒ absent); version names order
+    * lexicographically == chronologically, pre-images before
+    * post-images within a version. */
+  private def squashRecorded(target: String, pks: Seq[String],
+      span: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{max_by, min_by, struct, when}
+    val evs = spark.read.option("mergeSchema", "true")
+      .parquet(span.map(changesDir(target, _).toString): _*)
+    val imgCols = evs.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_cdf_v")
+    val rank = when(
+      col("_change_type").isin("update_preimage", "delete"), 0).otherwise(1)
+    val ev = struct(col("_change_type").as("t"),
+      struct(imgCols.map(col): _*).as("img"))
+    val ord = struct(col("_cdf_v"), rank.as("r"))
+    evs.groupBy(pks.map(col): _*)
+      .agg(min_by(ev, ord).as("_first"), max_by(ev, ord).as("_last"))
+      .select(
+        when(col("_first.t") =!= "insert", col("_first.img")).as("_pre"),
+        when(col("_last.t") =!= "delete", col("_last.img")).as("_post"))
+      .transform(emitChanges(_, imgCols.filterNot(pks.contains)))
+  }
+
+  private def snapshotDiff(target: String, pks: Seq[String],
       fromVersion: String, toVersion: String): DataFrame = {
-    import org.apache.spark.sql.functions.{array, explode, struct, when}
+    import org.apache.spark.sql.functions.struct
     val mFrom = manifest(target, fromVersion)
     val mTo = manifest(target, toVersion)
     val changed = (mFrom.keySet ++ mTo.keySet)
@@ -476,32 +543,86 @@ class ParquetTableStore(spark: SparkSession, root: String,
 
     val cols = (before.map(_.columns.toSeq).getOrElse(Seq.empty) ++
       after.map(_.columns.toSeq).getOrElse(Seq.empty)).distinct
-    def align(df: DataFrame): DataFrame =
-      df.select(cols.map(c =>
-        if (df.columns.contains(c)) col(c)
-        else lit(null).as(c)): _*)
-    val base = align(before.getOrElse(after.get)).filter(lit(false))
-    val b = before.map(align).getOrElse(base)
-    val a = after.map(align).getOrElse(base)
-
+    val base = alignTo(before.getOrElse(after.get), cols).filter(lit(false))
+    val b = before.map(alignTo(_, cols)).getOrElse(base)
+    val a = after.map(alignTo(_, cols)).getOrElse(base)
     val bj = b.select(pks.map(col) :+
       struct(cols.map(col): _*).as("_pre"): _*)
     val aj = a.select(pks.map(col) :+
       struct(cols.map(col): _*).as("_post"): _*)
+    // the one deliberately sort-merge-shaped join in the store: both
+    // sides are data-sized per-bucket contents
+    bj.join(aj, pks, "full_outer")
+      .transform(emitChanges(_, cols.filterNot(pks.contains)))
+  }
+
+  private def alignTo(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c =>
+      if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+
+  /** Record this version's change rows (see changesBetween path 1).
+    * `cur` is the prior content of the touched buckets (None on the
+    * first batch). The classification joins all key the delta-sized
+    * `old` slice, cached so the touched buckets are scanned once for
+    * the feed (the merge's own scan is separate). A same-value
+    * re-upsert records a pre/post pair; the read-side squash drops
+    * it, keeping serve semantics identical to the snapshot diff. */
+  private def writeChangeFeed(target: String, version: String,
+      parentVersion: Option[String], ups: DataFrame, dels: DataFrame,
+      pks: Seq[String], cur: Option[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val outDir = changesDir(target, version)
+    def persist(feed: DataFrame): Unit =
+      feed.withColumn("_cdf_v", lit(version))
+        .write.mode("overwrite").parquet(outDir.toString)
+    cur match {
+      case None =>
+        persist(ups.withColumn("_change_type", lit("insert")))
+      case Some(c) =>
+        val cols = (c.columns.toSeq ++ ups.columns).distinct
+        val cc = alignTo(c, cols)
+        val uu = alignTo(ups, cols)
+        val upsKeys = ups.select(pks.map(col): _*).distinct()
+        val delKeys = dels.select(pks.map(col): _*).distinct()
+        val old = cc.join(upsKeys.unionByName(delKeys).distinct(),
+          pks, "left_semi").cache()
+        try {
+          val oldKeys = old.select(pks.map(col): _*)
+          persist(old.join(upsKeys, pks, "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(old.join(upsKeys, pks, "left_anti")
+              .withColumn("_change_type", lit("delete")))
+            .unionByName(uu.join(oldKeys, pks, "left_semi")
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(uu.join(oldKeys, pks, "left_anti")
+              .withColumn("_change_type", lit("insert"))))
+        } finally old.unpersist()
+    }
+    // parent marker completes the span-walk proof; underscore prefix
+    // keeps parquet reads from picking it up
+    Files.write(outDir.resolve("_PARENT"),
+      parentVersion.getOrElse("").getBytes)
+  }
+
+  /** (_pre, _post) image pair → Delta-CDF rows. Null pre = absent at
+    * `from`, null post = absent at `to`; both null (or per-field
+    * null-safe-equal images) emit nothing. */
+  private def emitChanges(keyed: DataFrame,
+      dataCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, struct, when}
     // per-field null-safe comparison, not struct equality — struct
     // ordering semantics around nulls are not the diff contract
-    val dataCols = cols.filterNot(pks.contains)
     val same = dataCols.map(c => col(s"_pre.$c") <=> col(s"_post.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    bj.join(aj, pks, "full_outer")
-      .select(when(col("_pre").isNull, array(
-          struct(col("_post").as("img"), lit("insert").as("t"))))
-        .when(col("_post").isNull, array(
-          struct(col("_pre").as("img"), lit("delete").as("t"))))
-        .when(!same, array(
-          struct(col("_pre").as("img"), lit("update_preimage").as("t")),
-          struct(col("_post").as("img"), lit("update_postimage").as("t"))))
-        .as("_r"))
+    keyed.select(
+      when(col("_pre").isNull && col("_post").isNotNull, array(
+        struct(col("_post").as("img"), lit("insert").as("t"))))
+      .when(col("_post").isNull && col("_pre").isNotNull, array(
+        struct(col("_pre").as("img"), lit("delete").as("t"))))
+      .when(col("_pre").isNotNull && col("_post").isNotNull && !same, array(
+        struct(col("_pre").as("img"), lit("update_preimage").as("t")),
+        struct(col("_post").as("img"), lit("update_postimage").as("t"))))
+      .as("_r"))
       // no-change keys fall through every branch to a NULL array, and
       // explode emits zero rows for null — the filter is implicit
       .select(explode(col("_r")).as("r"))
@@ -521,18 +642,25 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val vs = versions(target)
     val current = currentVersion(target).getOrElse("")
     val doomed = vs.dropRight(math.max(keep, 1)).filterNot(_ == current)
-    doomed.foreach(v => Files.deleteIfExists(dir(target).resolve(v)))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    doomed.foreach { v =>
+      Files.deleteIfExists(dir(target).resolve(v))
+      // the version's recorded change feed goes with it — spans that
+      // crossed it break their _PARENT walk and fall back to the
+      // snapshot diff over the retained manifests
+      val cd = changesDir(target, v)
+      if (Files.isDirectory(cd)) rmTree(cd)
+    }
     // GC: bucket dirs referenced by no surviving manifest
     val live = versions(target)
       .flatMap(v => manifest(target, v).values).toSet
     val dataRoot = dir(target).resolve("data")
     if (Files.exists(dataRoot)) {
-      def rmTree(p: java.nio.file.Path): Unit = {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
-      }
       listDir(dataRoot).foreach { batchDir =>
         listDir(batchDir)
           .filter(b => b.getFileName.toString.matches("b\\d+"))
@@ -554,8 +682,9 @@ class ParquetTableStore(spark: SparkSession, root: String,
     import spark.implicits._
     val bucketOf = pmod(xxhash64(pks.map(col): _*), lit(nBuckets)).cast("int")
 
-    val prior: Map[Int, String] = currentVersion(target)
-      .map(v => manifest(target, v)).getOrElse(Map.empty)
+    val parentVersion: Option[String] = currentVersion(target)
+    val prior: Map[Int, String] =
+      parentVersion.map(v => manifest(target, v)).getOrElse(Map.empty)
 
     // Two actions read the inputs when a prior table exists (bucket
     // collect, then the write) — cache so the upstream decode pipeline
@@ -624,6 +753,16 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // millis + padded nanos: two batches inside the same millisecond
       // still get distinct, lexicographically ordered version names
       val version = f"v${System.currentTimeMillis()}%d-${System.nanoTime() % 1000000}%06d.manifest"
+
+      // Recorded change data feed (the Delta `_change_data` move): the
+      // merge holds both images RIGHT NOW, so the delta-sized feed
+      // costs one extra delta-sized write — serving it later costs
+      // O(delta) instead of the snapshot diff's O(touched-bucket
+      // rows). Written before the manifest/pointer: a crash here
+      // leaves an orphan dir no `_PARENT` chain ever reaches.
+      writeChangeFeed(target, version, parentVersion, ups, dels, pks,
+        readPaths(target, changedBuckets.toSeq.sorted.flatMap(prior.get)))
+
       // persisted relative to the table dir so the store is relocatable
       val body = nextManifest.toSeq.sorted
         .map { case (b, p) => s"$b\t${dir(target).relativize(Paths.get(p))}" }

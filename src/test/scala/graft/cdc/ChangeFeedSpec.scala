@@ -60,15 +60,31 @@ class ChangeFeedSpec extends AnyFunSuite {
       feed.map(f => (f._1, f._3)))
   }
 
-  test("unchanged buckets are never read (inputFiles ⊆ changed bucket dirs)") {
-    val sink = new ParquetTableStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-cdf-prune").toString,
-      nBuckets = 16)
+  test("recorded path reads only change files; snapshot fallback reads " +
+      "only changed buckets; both serve the same rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf-prune")
+    val sink = new ParquetTableStore(spark, root.toString, nBuckets = 16)
     val v1 = apply(sink, (1 to 40).map(i =>
       Fixtures.raw(Fixtures.customer("r", i, s"F$i", s"L$i", s"u$i@x"), i.toLong)))
     val v2 = apply(sink, Seq(
       Fixtures.raw(Fixtures.customer("u", 7, "F7b", "L7", "u7@x"), 100L)))
+    val expect = Set(
+      (7, "F7", "update_preimage"), (7, "F7b", "update_postimage"))
 
+    // 1. RECORDED: every input file lives under changes/ (delta-sized)
+    val recorded = sink.changesBetween("customers", Seq("id"), v1, v2)
+    assert(recorded.inputFiles.nonEmpty &&
+      recorded.inputFiles.forall(_.contains("/changes/")),
+      s"recorded path escaped changes/: ${recorded.inputFiles.toSeq}")
+    assert(recorded.select("id", "first_name", "_change_type")
+      .as[(Int, String, String)].collect().toSet == expect)
+
+    // 2. FALLBACK (simulate a vacuumed change dir: break the _PARENT
+    // walk — v2's own marker, an earlier version's would leave the
+    // (v1 → v2) walk intact): inputFiles ⊆ buckets whose manifest
+    // entries differ
+    java.nio.file.Files.delete(root.resolve("customers")
+      .resolve("changes").resolve(v2).resolve("_PARENT"))
     val m1 = sink.manifest("customers", v1)
     val m2 = sink.manifest("customers", v2)
     val changedDirs = (m1.keySet ++ m2.keySet)
@@ -76,9 +92,8 @@ class ChangeFeedSpec extends AnyFunSuite {
       .flatMap(b => m1.get(b).toSeq ++ m2.get(b).toSeq)
     assert(changedDirs.nonEmpty && changedDirs.size <= 2,
       s"one touched key should touch one bucket: $changedDirs")
-
-    val feed = sink.changesBetween("customers", Seq("id"), v1, v2)
-    val readFiles = feed.inputFiles.toSeq
+    val diffed = sink.changesBetween("customers", Seq("id"), v1, v2)
+    val readFiles = diffed.inputFiles.toSeq
     assert(readFiles.nonEmpty)
     readFiles.foreach { f =>
       assert(changedDirs.exists(d => f.contains(
@@ -86,9 +101,39 @@ class ChangeFeedSpec extends AnyFunSuite {
         new java.io.File(d).getParentFile.getName)),
         s"read a file outside the changed buckets: $f (allowed: $changedDirs)")
     }
-    assert(feed.select("id", "first_name", "_change_type")
-      .as[(Int, String, String)].collect().toSet ==
-      Set((7, "F7", "update_preimage"), (7, "F7b", "update_postimage")))
+    // the two paths are one contract
+    assert(diffed.select("id", "first_name", "_change_type")
+      .as[(Int, String, String)].collect().toSet == expect)
+  }
+
+  test("multi-version squash: transient states net out") {
+    val sink = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdf-squash").toString,
+      nBuckets = 8)
+    val v1 = apply(sink, Seq(
+      Fixtures.raw(Fixtures.customer("r", 1, "A", "X", "a@x"), 0),
+      Fixtures.raw(Fixtures.customer("r", 2, "B", "X", "b@x"), 1)))
+    // v2: insert 3, update 1 (first hop)
+    apply(sink, Seq(
+      Fixtures.raw(Fixtures.customer("c", 3, "C", "X", "c@x"), 2),
+      Fixtures.raw(Fixtures.customer("u", 1, "A2", "X", "a@x"), 3)))
+    // v3: update 1 again, delete 3 (inserted then deleted → nets out),
+    // delete 2, update-then... re-insert 2? no — keep 2 deleted
+    val v3 = apply(sink, Seq(
+      Fixtures.raw(Fixtures.customer("u", 1, "A3", "X", "a@x"), 4),
+      Fixtures.raw(Fixtures.customer("d", 3, "C", "X", "c@x",
+        before = Some((3, "C", "X", "c@x"))), 5),
+      Fixtures.raw(Fixtures.customer("d", 2, "B", "X", "b@x",
+        before = Some((2, "B", "X", "b@x"))), 6)))
+    val feed = sink.changesBetween("customers", Seq("id"), v1, v3)
+    assert(feed.inputFiles.forall(_.contains("/changes/")))
+    val got = feed.select("id", "first_name", "_change_type")
+      .as[(Int, String, String)].collect().toSet
+    // 1: ONE pre/post pair spanning the chain (A → A3, A2 invisible);
+    // 2: delete with the original image; 3: nothing (never at v1 or v3)
+    assert(got == Set(
+      (1, "A", "update_preimage"), (1, "A3", "update_postimage"),
+      (2, "B", "delete")), got)
   }
 
   test("a column added between versions surfaces as updates (nulls-widening)") {

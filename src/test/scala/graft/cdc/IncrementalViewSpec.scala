@@ -69,6 +69,40 @@ class IncrementalViewSpec extends AnyFunSuite {
     assertViewExact(store)
   }
 
+  test("composes with the CDC pipeline: a mirror-fed view tracks upserts, " +
+      "renames and deletes") {
+    val store = freshStore()
+    val catalog = CdcCatalog.fromPropertiesString(
+      "pk.customers=id\nmap.customers=customers\n")
+    def cdc(rows: Seq[(String, String, String, Int, Long)]): Unit =
+      Materializer.applyBatch(
+        rows.toDF("topic", "key", "value", "partition", "offset"),
+        catalog, Envelope.defaultRegistry, store)
+    val byLast = ViewDef(Seq("last_name"), Seq.empty)
+
+    cdc(Seq(
+      Fixtures.raw(Fixtures.customer("r", 1, "Sally", "Thomas", "s@x"), 0),
+      Fixtures.raw(Fixtures.customer("r", 2, "George", "Thomas", "g@x"), 1),
+      Fixtures.raw(Fixtures.customer("r", 3, "Ed", "Walker", "e@x"), 2)))
+    var from = IncrementalView.initialize(store, "customers", "by_last", byLast)
+
+    // update moves 2 Thomas→Walker; delete removes the last Walker-born
+    cdc(Seq(
+      Fixtures.raw(Fixtures.customer("u", 2, "George", "Walker", "g@x"), 3),
+      Fixtures.raw(Fixtures.customer("d", 3, "Ed", "Walker", "e@x",
+        before = Some((3, "Ed", "Walker", "e@x"))), 4)))
+    val to = store.versions("customers").last
+    IncrementalView.refresh(
+      store, "customers", Seq("id"), "by_last", byLast, from, to)
+    val counts = store.read("by_last").get
+      .select("last_name", "n").as[(String, Long)].collect().toMap
+    assert(counts == Map("Thomas" -> 1L, "Walker" -> 1L), counts)
+    // and it equals a recompute of the mirror
+    val expected = IncrementalView.compute(store.read("customers").get, byLast)
+    val got = store.read("by_last").get.select("last_name", "n")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("a long refresh chain stays bit-exact (no per-refresh drift)") {
     val store = freshStore()
     store.applyChanges("base", Seq("id"), rows((1, "na", 0.1)), keys())
