@@ -423,6 +423,24 @@ class ParquetTableStore(spark: SparkSession, root: String,
     currentVersion(target).flatMap(v =>
       readPaths(target, manifest(target, v).values.toSeq))
 
+  /** Small metadata sidecar per table (e.g. the base version an
+    * incremental view reflects — `IncrementalView`'s `_REFLECTS`).
+    * Same local-FS contract as the manifests. */
+  def readMarker(target: String, name: String): Option[String] = {
+    val p = dir(target).resolve(name)
+    if (Files.isRegularFile(p))
+      Some(new String(Files.readAllBytes(p)).trim)
+    else None
+  }
+
+  def writeMarker(target: String, name: String, value: String): Unit = {
+    Files.createDirectories(dir(target))
+    val tmp = dir(target).resolve(s"$name.tmp")
+    Files.write(tmp, value.getBytes)
+    Files.move(tmp, dir(target).resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** All retained versions of a table, oldest first. */
   def versions(target: String): Seq[String] = {
     val d = dir(target).toFile

@@ -60,6 +60,11 @@ object IncrementalView {
           col(c).cast("decimal(38,10)")).as(s"_d_$c")): _*)
   }
 
+  /** Marker file in the view's table dir recording the base version
+    * the view currently reflects — what makes [[refreshToCurrent]]
+    * restart-safe in a foreachBatch. */
+  val ReflectsMarker = "_REFLECTS"
+
   /** Initialize the materialized view from the base's CURRENT content
     * and record which base version it reflects. */
   def initialize(store: ParquetTableStore, base: String, view: String,
@@ -68,8 +73,27 @@ object IncrementalView {
       throw new IllegalStateException(s"base table '$base' is empty"))
     store.applyChanges(view, vdef.groupBy, compute(snapshot, vdef),
       emptyKeys(snapshot, vdef))
-    store.versions(base).last
+    val at = store.versions(base).last
+    store.writeMarker(view, ReflectsMarker, at)
+    at
   }
+
+  /** Advance the view to the base's CURRENT version, from wherever
+    * the `_REFLECTS` marker says it stands — initializing on first
+    * call. Safe under at-least-once foreachBatch replay: a replayed
+    * micro-batch re-merges identical content, so the new version's
+    * change feed nets to zero and the refresh no-ops. */
+  def refreshToCurrent(store: ParquetTableStore, base: String,
+      basePks: Seq[String], view: String, vdef: ViewDef): Unit =
+    store.readMarker(view, ReflectsMarker) match {
+      case None => initialize(store, base, view, vdef)
+      case Some(from) =>
+        val to = store.versions(base).last
+        if (to != from) {
+          refresh(store, base, basePks, view, vdef, from, to)
+          store.writeMarker(view, ReflectsMarker, to)
+        }
+    }
 
   private def emptyKeys(like: DataFrame, vdef: ViewDef): DataFrame =
     like.select(vdef.groupBy.map(col): _*).filter(lit(false))
