@@ -423,6 +423,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
     currentVersion(target).flatMap(v =>
       readPaths(target, manifest(target, v).values.toSeq))
 
+  /** The version `read` serves — the _LATEST pointer, which is the
+    * only authority (a manifest file orphaned by a crash between
+    * manifest write and pointer flip is NOT current, so callers
+    * recording "the version I saw" must use this, never
+    * `versions(target).last`). */
+  def version(target: String): Option[String] = currentVersion(target)
+
   /** Small metadata sidecar per table (e.g. the base version an
     * incremental view reflects — `IncrementalView`'s `_REFLECTS`).
     * Same local-FS contract as the manifests. */
@@ -440,6 +447,9 @@ class ParquetTableStore(spark: SparkSession, root: String,
     Files.move(tmp, dir(target).resolve(name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  def removeMarker(target: String, name: String): Unit =
+    Files.deleteIfExists(dir(target).resolve(name))
 
   /** All retained versions of a table, oldest first. */
   def versions(target: String): Seq[String] = {
@@ -475,8 +485,8 @@ class ParquetTableStore(spark: SparkSession, root: String,
     *     post-state) so a key inserted then deleted nets to nothing
     *     and an update chain nets to one pre/post pair. Span
     *     completeness is proven by the `_PARENT` chain each change
-    *     dir carries — a vacuumed or pre-feature gap breaks the walk
-    *     and drops to path 2.
+    *     dir carries — a broken walk (pre-feature store, missing
+    *     dirs) drops to path 2.
     *  2. SNAPSHOT DIFF (fallback + the spec's independent verifier):
     *     diff the two manifests, read only buckets whose entries
     *     differ, full-outer-join on the PK. O(touched-bucket ROWS) —
@@ -484,6 +494,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
     *     touches min(k, nBuckets) buckets, so at small nBuckets this
     *     degenerates toward a full-table diff (measured in
     *     tools.IvmStress — the reason the recorded path exists).
+    *     Requires BOTH endpoint manifests retained: a span crossing a
+    *     VACUUMED version has neither its change dirs nor the old
+    *     manifest, so this path fails fast with an actionable message
+    *     — consumers standing on a vacuumed version must recompute
+    *     from the current snapshot (IncrementalView.refreshToCurrent
+    *     does so automatically).
     *
     * Columns align to the union of the involved schemas (missing side
     * reads null) — a column added between the versions surfaces as
@@ -548,6 +564,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
   private def snapshotDiff(target: String, pks: Seq[String],
       fromVersion: String, toVersion: String): DataFrame = {
     import org.apache.spark.sql.functions.struct
+    Seq(fromVersion, toVersion).foreach(v =>
+      require(Files.isRegularFile(dir(target).resolve(v)),
+        s"version '$v' of '$target' is not retained (vacuumed?) and no " +
+          s"recorded change span covers it — a consumer standing on a " +
+          s"vacuumed version must recompute from the current snapshot " +
+          s"(IncrementalView.refreshToCurrent does this automatically)"))
     val mFrom = manifest(target, fromVersion)
     val mTo = manifest(target, toVersion)
     val changed = (mFrom.keySet ++ mTo.keySet)
@@ -580,11 +602,12 @@ class ParquetTableStore(spark: SparkSession, root: String,
 
   /** Record this version's change rows (see changesBetween path 1).
     * `cur` is the prior content of the touched buckets (None on the
-    * first batch). The classification joins all key the delta-sized
-    * `old` slice, cached so the touched buckets are scanned once for
-    * the feed (the merge's own scan is separate). A same-value
-    * re-upsert records a pre/post pair; the read-side squash drops
-    * it, keeping serve semantics identical to the snapshot diff. */
+    * first batch), CACHED by the caller and shared with the merge —
+    * the touched buckets hit parquet once per applyChanges. The
+    * classification joins run against the delta-sized `old` slice. A
+    * same-value re-upsert records a pre/post pair; the read-side
+    * squash drops it, keeping serve semantics identical to the
+    * snapshot diff. */
   private def writeChangeFeed(target: String, version: String,
       parentVersion: Option[String], ups: DataFrame, dels: DataFrame,
       pks: Seq[String], cur: Option[DataFrame]): Unit = {
@@ -704,12 +727,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val prior: Map[Int, String] =
       parentVersion.map(v => manifest(target, v)).getOrElse(Map.empty)
 
-    // Two actions read the inputs when a prior table exists (bucket
-    // collect, then the write) — cache so the upstream decode pipeline
-    // runs once, not twice. The very first batch needs no bucket
-    // collect (there is nothing to prune), so it stays single-pass.
-    val ups = if (prior.nonEmpty) upserts.cache() else upserts
+    // Multiple actions read the inputs (bucket collect, the bucket
+    // write, and the recorded change feed's write) — cache ups so the
+    // upstream decode pipeline runs once. dels stays uncached on the
+    // first batch (the feed's insert path never touches it there).
+    val ups = upserts.cache()
     val dels = if (prior.nonEmpty) deleteKeys.cache() else deleteKeys
+    var cur: Option[DataFrame] = None
     try {
       // The touched-bucket set is ≤ nBuckets scalars — driver-side by
       // construction, not a data collect.
@@ -724,12 +748,17 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // manifest IS the bucket-level file pruning.
       val changedKeys = ups.select(pks.map(col): _*)
         .unionByName(dels.select(pks.map(col): _*)).distinct()
-      val next = readPaths(target,
-          changedBuckets.toSeq.sorted.flatMap(prior.get)) match {
+      // the prior content of the touched buckets serves BOTH the merge
+      // and the change-feed classification — read once, cached
+      // (touched-bucket-sized; MEMORY_AND_DISK spills rather than OOMs
+      // when a batch touches many buckets)
+      cur = readPaths(target, changedBuckets.toSeq.sorted.flatMap(prior.get))
+      cur.foreach(_.cache())
+      val next = cur match {
         // allowMissingColumns: schema evolution — a column added (or
         // dropped) by later source DDL widens the table with nulls
         // instead of failing the merge
-        case Some(cur) => cur.join(changedKeys, pks, "left_anti")
+        case Some(c) => c.join(changedKeys, pks, "left_anti")
           .unionByName(ups, allowMissingColumns = true)
         case None => ups
       }
@@ -778,8 +807,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // O(delta) instead of the snapshot diff's O(touched-bucket
       // rows). Written before the manifest/pointer: a crash here
       // leaves an orphan dir no `_PARENT` chain ever reaches.
-      writeChangeFeed(target, version, parentVersion, ups, dels, pks,
-        readPaths(target, changedBuckets.toSeq.sorted.flatMap(prior.get)))
+      writeChangeFeed(target, version, parentVersion, ups, dels, pks, cur)
 
       // persisted relative to the table dir so the store is relocatable
       val body = nextManifest.toSeq.sorted
@@ -793,6 +821,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
     } finally {
       ups.unpersist()
       dels.unpersist()
+      cur.foreach(_.unpersist())
     }
   }
 }

@@ -65,35 +65,81 @@ object IncrementalView {
     * restart-safe in a foreachBatch. */
   val ReflectsMarker = "_REFLECTS"
 
+  /** Crash-window intent marker: `from \t to \t viewVersionBefore`,
+    * written atomically BEFORE a refresh merges. The view merge and
+    * the `_REFLECTS` update cannot commit atomically together on a
+    * plain filesystem, so recovery disambiguates through the view's
+    * OWN version history: if the view's current version still equals
+    * `viewVersionBefore`, the merge never committed and the intent is
+    * discarded; if it moved, the merge committed and `_REFLECTS`
+    * fast-forwards to `to`. Either way the interrupted refresh is
+    * applied exactly once. */
+  val IntentMarker = "_REFRESH_INTENT"
+
   /** Initialize the materialized view from the base's CURRENT content
-    * and record which base version it reflects. */
+    * and record which base version it reflects. Reads the version
+    * through the _LATEST pointer (`store.version`) — never
+    * `versions().last`, which can name a manifest orphaned by a
+    * crashed merge that `read` does not serve. */
   def initialize(store: ParquetTableStore, base: String, view: String,
       vdef: ViewDef): String = {
     val snapshot = store.read(base).getOrElse(
       throw new IllegalStateException(s"base table '$base' is empty"))
-    store.applyChanges(view, vdef.groupBy, compute(snapshot, vdef),
-      emptyKeys(snapshot, vdef))
-    val at = store.versions(base).last
+    val at = store.version(base).get // the version `snapshot` reflects
+    val fresh = compute(snapshot, vdef)
+    // RE-initialization (vacuum recovery) merges over an existing
+    // view: groups that vanished from the base must be deleted, or
+    // applyChanges would leave them as ghost rows
+    val stale = store.read(view) match {
+      case Some(v) => v.select(vdef.groupBy.map(col): _*)
+        .join(fresh.select(vdef.groupBy.map(col): _*),
+          vdef.groupBy, "left_anti")
+      case None => emptyKeys(snapshot, vdef)
+    }
+    store.applyChanges(view, vdef.groupBy, fresh, stale)
     store.writeMarker(view, ReflectsMarker, at)
     at
   }
 
   /** Advance the view to the base's CURRENT version, from wherever
     * the `_REFLECTS` marker says it stands — initializing on first
-    * call. Safe under at-least-once foreachBatch replay: a replayed
+    * call. Safe under at-least-once foreachBatch replay (a replayed
     * micro-batch re-merges identical content, so the new version's
-    * change feed nets to zero and the refresh no-ops. */
+    * change feed nets to zero and the refresh no-ops), under a crash
+    * between the view merge and the marker update (the
+    * [[IntentMarker]] protocol recovers it exactly once), and when
+    * the marker's version has been VACUUMED away (no feed span and no
+    * old manifest remain — the view re-initializes from the current
+    * snapshot, the only state that still exists). */
   def refreshToCurrent(store: ParquetTableStore, base: String,
-      basePks: Seq[String], view: String, vdef: ViewDef): Unit =
+      basePks: Seq[String], view: String, vdef: ViewDef): Unit = {
+    // recover a refresh interrupted between merge and marker
+    store.readMarker(view, IntentMarker).foreach { intent =>
+      val Array(_, to, viewBefore) = intent.split("\t", 3)
+      if (store.version(view).getOrElse("") != viewBefore)
+        store.writeMarker(view, ReflectsMarker, to) // merge committed
+      store.removeMarker(view, IntentMarker)
+    }
     store.readMarker(view, ReflectsMarker) match {
       case None => initialize(store, base, view, vdef)
       case Some(from) =>
-        val to = store.versions(base).last
+        val to = store.version(base).getOrElse(
+          throw new IllegalStateException(s"base table '$base' is empty"))
         if (to != from) {
-          refresh(store, base, basePks, view, vdef, from, to)
-          store.writeMarker(view, ReflectsMarker, to)
+          if (!store.versions(base).contains(from))
+            // `from` vacuumed: neither recorded span nor snapshot diff
+            // can serve it — rebuild from the current snapshot
+            initialize(store, base, view, vdef)
+          else {
+            store.writeMarker(view, IntentMarker,
+              s"$from\t$to\t${store.version(view).getOrElse("")}")
+            refresh(store, base, basePks, view, vdef, from, to)
+            store.writeMarker(view, ReflectsMarker, to)
+            store.removeMarker(view, IntentMarker)
+          }
         }
     }
+  }
 
   private def emptyKeys(like: DataFrame, vdef: ViewDef): DataFrame =
     like.select(vdef.groupBy.map(col): _*).filter(lit(false))

@@ -25,21 +25,29 @@ object MirrorPipeline {
   final case class ViewSpec(base: String, basePks: Seq[String],
       view: String, vdef: ViewDef)
 
+  /** `partitioning`/`nBuckets` MUST match the values the store root
+    * was created with — a different bucket count re-hashes keys into
+    * different buckets and the merge would silently duplicate them
+    * (the store has no self-describing layout; a production table
+    * format would carry it in table metadata). */
   def start(raw: DataFrame, catalog: CdcCatalog,
       registry: Map[String, StructType], storeRoot: String,
       views: Seq[ViewSpec], checkpointDir: String,
-      dlqDir: Option[String] = None): StreamingQuery =
+      dlqDir: Option[String] = None,
+      partitioning: Map[String, Seq[String]] = Map.empty,
+      nBuckets: Int = 64): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val store = new ParquetTableStore(batch.sparkSession, storeRoot)
+        val store = new ParquetTableStore(batch.sparkSession, storeRoot,
+          partitioning, nBuckets)
         Materializer.applyBatch(batch, catalog, registry, store, dlqDir)
         views.foreach { v =>
           // a batch may not touch this view's base at all — then the
           // base has no versions yet, or the marker already points at
           // the current one and the refresh no-ops
-          if (store.versions(v.base).nonEmpty)
+          if (store.version(v.base).nonEmpty)
             IncrementalView.refreshToCurrent(
               store, v.base, v.basePks, v.view, v.vdef)
         }

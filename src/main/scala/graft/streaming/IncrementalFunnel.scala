@@ -10,18 +10,25 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * whole window bounded at 3 days from the anchor; here the anchor
   * timestamps live in the state store — ONE record per user, three
   * optional timestamps — and a row `(user_id, depth)` is APPENDED
-  * whenever the user's depth increases (≤ 4 emissions per user,
+  * whenever the user's depth increases (≤ 3 emissions per user,
   * monotone), so a funnel dashboard folds the stream with
   * last-depth-per-user and matches the batch distribution at any
-  * cut. State is O(users) and CLOSED once depth 3 is reached (no
-  * further transition exists — the record is dropped).
+  * cut. State is O(users with a view); a completed (depth-3) record
+  * is RETAINED — three longs — because dropping it would let a later
+  * view re-anchor and re-emit depth 1, breaking monotonicity and the
+  * last-per-user fold. Only eviction (below) removes state.
   *
   * Ordering contract (the IncrementalEwma/Attribution family's):
-  * within a micro-batch a user's events sort by (seq, sub); across
-  * batches the source delivers each key's events in non-decreasing
-  * (seq, sub) order. Under it the last-per-user depth equals batch
-  * q_funnel_window exactly (IncrementalFunnelSpec pins equality
-  * across micro-batch splits).
+  * within a micro-batch a user's events sort by (seq, type-phase,
+  * sub) — view before click before purchase WITHIN an equal
+  * timestamp, because the batch query's `ts >= t1` admits a step at
+  * exactly its anchor's timestamp regardless of event-id order;
+  * across batches the source delivers each key's events in
+  * non-decreasing (seq, sub) order, and an equal-seq step pair must
+  * not split across batches (the already-processed earlier batch
+  * cannot see the later anchor). Under it the last-per-user depth
+  * equals batch q_funnel_window exactly (IncrementalFunnelSpec pins
+  * equality across micro-batch splits and the same-µs tie).
   *
   * `evictAfterMs` (opt-in, the family's knob) bounds state under
   * unbounded user churn via event-time timeout (requires an upstream
@@ -72,7 +79,15 @@ object IncrementalFunnel {
         timeout) { (uid, it, state) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          val batch = it.toIndexedSeq.sortBy(e => (e.seq, e.sub))
+          // type-phase tiebreak at equal seq: the batch query admits a
+          // click AT its anchor's exact timestamp (ts >= t1), so the
+          // anchor must be applied first regardless of event-id order
+          def phase(t: String): Int = t match {
+            case "view" => 0; case "click" => 1; case "purchase" => 2
+            case _ => 3
+          }
+          val batch = it.toIndexedSeq
+            .sortBy(e => (e.seq, phase(e.event_type), e.sub))
           var a = state.getOption.getOrElse(Anchors(Unset, Unset, Unset))
           val before = a
           batch.foreach { e =>
@@ -93,11 +108,13 @@ object IncrementalFunnel {
             if (x.t3 != Unset) 3 else if (x.t2 != Unset) 2
             else if (x.t1 != Unset) 1 else 0
           val (d0, d1) = (depthOf(before), depthOf(a))
-          if (d1 == 3) state.remove() // funnel complete: no transition left
-          else if (a.t1 != Unset) {
+          if (a.t1 != Unset) {
             // depth-0 users (no view yet) store nothing — state is
             // O(users IN the funnel), and an all-unset record carries
-            // no information a fresh one wouldn't
+            // no information a fresh one wouldn't. Depth-3 records
+            // STAY (see scaladoc): their t1/t2/t3 guards block every
+            // further transition, which is exactly the monotonicity
+            // contract a removed record could not enforce.
             if (a != before) state.update(a)
             // activity refreshes the eviction clock (event time: TTL
             // past the user's own latest event; seq is µs, timeouts ms)

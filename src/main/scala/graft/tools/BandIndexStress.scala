@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * buys for history lookups — the [[graft.streaming.PrefixedBandIndex]]
   * analogue of PostingsStress: a synthetic 1M-doc index (16 band rows
   * per doc, the MinHash 32/2 configuration's shape) is written through
-  * the REAL `append` path in 4 batches, then a 1k-doc micro-batch
-  * (half of it copies of historical docs, so candidates exist) runs
-  * the cross-batch candidate join twice —
+  * the REAL `append` path in 4 batches, then a small TRICKLE
+  * micro-batch (default 4 docs — half copies of historical docs, so
+  * candidates exist; a batch of ≥16 docs would touch every prefix,
+  * see the sizing note below) runs the cross-batch candidate join
+  * twice —
   *
   *  - PRUNED: history restricted to the batch's own bucket prefixes
   *    (`bandsForPrefixes` — the shipped `processBatch` read), which

@@ -103,6 +103,64 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("crash between view merge and marker: the intent protocol " +
+      "applies the interrupted refresh exactly once") {
+    val store = freshStore()
+    store.applyChanges("base", Seq("id"),
+      rows((1, "na", 1.0), (2, "eu", 2.0)), keys())
+    val v1 = IncrementalView.initialize(store, "base", "view", vdef)
+    store.applyChanges("base", Seq("id"), rows((3, "na", 3.0)), keys())
+    val v2 = store.version("base").get
+
+    // CASE A — crash AFTER the merge committed, BEFORE _REFLECTS:
+    // simulate by running refresh() directly (merges, no marker) and
+    // leaving the intent behind
+    val viewBefore = store.version("view").getOrElse("")
+    store.writeMarker("view", IncrementalView.IntentMarker,
+      s"$v1\t$v2\t$viewBefore")
+    IncrementalView.refresh(store, "base", Seq("id"), "view", vdef, v1, v2)
+    // recovery must fast-forward the marker WITHOUT re-applying
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", vdef)
+    assertViewExact(store)
+    assert(store.readMarker("view", IncrementalView.ReflectsMarker)
+      .contains(v2))
+    assert(store.readMarker("view", IncrementalView.IntentMarker).isEmpty)
+
+    // CASE B — crash BEFORE the merge committed: a stale intent whose
+    // viewBefore equals the CURRENT view version must be discarded and
+    // the refresh run normally
+    store.applyChanges("base", Seq("id"), rows((4, "eu", 4.0)), keys())
+    val v3 = store.version("base").get
+    store.writeMarker("view", IncrementalView.IntentMarker,
+      s"$v2\t$v3\t${store.version("view").getOrElse("")}")
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", vdef)
+    assertViewExact(store)
+    assert(store.readMarker("view", IncrementalView.ReflectsMarker)
+      .contains(v3))
+  }
+
+  test("a vacuumed marker version re-initializes the view, ghost groups " +
+      "included") {
+    val store = freshStore()
+    store.applyChanges("base", Seq("id"),
+      rows((1, "na", 1.0), (2, "doomed", 9.0)), keys())
+    IncrementalView.initialize(store, "base", "view", vdef)
+    // four more versions; group 'doomed' vanishes entirely
+    store.applyChanges("base", Seq("id"), rows((3, "na", 3.0)), keys(2))
+    store.applyChanges("base", Seq("id"), rows((4, "eu", 4.0)), keys())
+    store.applyChanges("base", Seq("id"), rows((5, "eu", 5.0)), keys())
+    store.vacuum("base", keep = 2)
+    // the marker's version is gone (manifest AND change dir) — the
+    // refresh must rebuild from the snapshot rather than crash, and
+    // 'doomed' must not survive as a ghost row
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", vdef)
+    assertViewExact(store)
+    assert(store.read("view").get
+      .filter(col("region") === "doomed").isEmpty)
+    assert(store.readMarker("view", IncrementalView.ReflectsMarker) ==
+      Some(store.version("base").get))
+  }
+
   test("a long refresh chain stays bit-exact (no per-refresh drift)") {
     val store = freshStore()
     store.applyChanges("base", Seq("id"), rows((1, "na", 0.1)), keys())

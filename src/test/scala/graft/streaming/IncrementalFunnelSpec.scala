@@ -56,6 +56,33 @@ class IncrementalFunnelSpec extends AnyFunSuite {
     assert(streamed(nBatches = 1) === batchHist)
   }
 
+  test("a completed funnel never re-emits; same-µs step ties match batch") {
+    import IncrementalFunnel.{Depth, FEv}
+    val ms = MemoryStream[FEv](spark)
+    val name = s"funnel_term_${System.nanoTime()}"
+    val q = IncrementalFunnel.depths(ms.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1 completes the funnel; user 2's click shares its view's
+      // exact µs with a LOWER event id — batch `ts >= t1` admits it,
+      // so the type-phase tiebreak must anchor the view first
+      ms.addData(Seq(
+        FEv(1, 10, 0, "view"), FEv(1, 20, 1, "click"),
+        FEv(1, 30, 2, "purchase"),
+        FEv(2, 10, 3, "click"), FEv(2, 10, 5, "view")))
+      q.processAllAvailable()
+      // a later view+click for the COMPLETED user must emit nothing —
+      // not a fresh depth-1/2 (the retained depth-3 record blocks it)
+      ms.addData(Seq(FEv(1, 40, 6, "view"), FEv(1, 50, 7, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).as[Depth].collect().toSeq
+    assert(rows.filter(_.user_id == 1).map(_.depth).sorted == Seq(1, 2, 3),
+      rows)
+    assert(rows.filter(_.user_id == 2).map(_.depth).sorted == Seq(1, 2), rows)
+  }
+
   test("eviction bounds state; evicted users restart cold") {
     import IncrementalFunnel.{Depth, FEv}
     val hour = 3600L * 1000000
