@@ -118,6 +118,12 @@ object BandIndexStress {
       f""""candidates":${prunedPairs.length},""" +
       f""""pruned_sec":$prunedSec%.3f,"full_scan_sec":$fullSec%.3f,""" +
       f""""speedup":${fullSec / prunedSec}%.2f}""")
+    // the synthetic index is ~D·16 band rows on disk — drop it, or
+    // repeated runs accumulate store-sized temp dirs
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
     spark.stop()
   }
 }

@@ -67,6 +67,16 @@ object IvmStress {
       } finally walk.close()
     }
 
+    // scenarios are store-sized (hundreds of MB at 32M rows) and one
+    // is copied PER SAMPLE — delete as soon as a sample is timed, or
+    // repeated runs fill the disk
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
     sizes.foreach { nBase =>
       // scenario built ONCE; each timed sample runs on a fresh copy
       // (refresh mutates the view, so samples can't share a store)
@@ -86,7 +96,7 @@ object IvmStress {
         spark.range(third, 2 * third).toDF("id"))
       val v2 = protoStore.versions("base").last
 
-      def sample(breakChain: Boolean): (ParquetTableStore, Double) = {
+      def sample(breakChain: Boolean): (ParquetTableStore, java.nio.file.Path, Double) = {
         val root = java.nio.file.Files.createTempDirectory("ivm-run")
         copyTree(proto, root)
         if (breakChain)
@@ -98,22 +108,28 @@ object IvmStress {
         System.gc()
         val t0 = System.nanoTime()
         IncrementalView.refresh(store, "base", Seq("id"), "view", vdef, v1, v2)
-        (store, (System.nanoTime() - t0) / 1e9)
+        (store, root, (System.nanoTime() - t0) / 1e9)
       }
 
       val recordedSamples = (1 to runs).map(_ => sample(breakChain = false))
-      val refreshSec = recordedSamples.map(_._2).min
-      val refStore = recordedSamples.head._1
-      val diffSec = (1 to runs).map(_ => sample(breakChain = true)._2).min
+      val refreshSec = recordedSamples.map(_._3).min
+      // keep the first recorded sample for the equality check; free
+      // every other copy immediately
+      val (refStore, refRoot, _) = recordedSamples.head
+      recordedSamples.tail.foreach(s => rmTree(s._2))
+      val diffSec = (1 to runs).map { _ =>
+        val (_, root, sec) = sample(breakChain = true)
+        rmTree(root); sec
+      }.min
 
       val recomputeSec = (1 to runs).map { _ =>
+        val out = java.nio.file.Files.createTempDirectory("ivm-recompute")
         System.gc()
         val t0 = System.nanoTime()
         IncrementalView.compute(refStore.read("base").get, vdef)
-          .write.mode("overwrite")
-          .parquet(java.nio.file.Files
-            .createTempDirectory("ivm-recompute").toString + "/view")
-        (System.nanoTime() - t0) / 1e9
+          .write.mode("overwrite").parquet(out.toString + "/view")
+        val sec = (System.nanoTime() - t0) / 1e9
+        rmTree(out); sec
       }.min
 
       // equality: the refreshed view == a recompute, bit-for-bit
@@ -129,6 +145,7 @@ object IvmStress {
         f""""refresh_recorded_sec":$refreshSec%.3f,""" +
         f""""refresh_snapshot_diff_sec":$diffSec%.3f,""" +
         f""""recompute_sec":$recomputeSec%.3f}""")
+      rmTree(refRoot); rmTree(proto)
     }
     spark.stop()
   }
