@@ -468,6 +468,21 @@ class ParquetTableStore(spark: SparkSession, root: String,
     readPaths(target, manifest(target, version).values.toSeq)
       .getOrElse(spark.emptyDataFrame)
 
+  /** The latest retained version committed at or before `ms` (epoch
+    * millis) — version names embed their commit wall-clock
+    * (`v<millis>-<nanos>`), so TIMESTAMP AS OF resolves with a name
+    * scan, no file reads. None when every retained version is newer
+    * (or the instant predates a vacuumed history — time travel only
+    * reaches retained manifests). */
+  def versionAsOf(target: String, ms: Long): Option[String] =
+    versions(target).takeWhile { v =>
+      v.stripPrefix("v").takeWhile(_ != '-').toLong <= ms
+    }.lastOption
+
+  /** TIMESTAMP AS OF read — the Delta/Iceberg query shape. */
+  def readAsOf(target: String, ms: Long): Option[DataFrame] =
+    versionAsOf(target, ms).map(readVersion(target, _))
+
   /** Change data feed between two retained versions — what a Delta
     * `table_changes` / Iceberg changelog scan serves: every key whose
     * row differs between the snapshots, tagged `insert` /

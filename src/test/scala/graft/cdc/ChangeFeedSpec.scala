@@ -106,6 +106,28 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[(Int, String, String)].collect().toSet == expect)
   }
 
+  test("TIMESTAMP AS OF resolves to the latest version at the instant") {
+    val sink = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-asof").toString,
+      nBuckets = 4)
+    val v1 = apply(sink, Seq(
+      Fixtures.raw(Fixtures.customer("r", 1, "A", "X", "a@x"), 0)))
+    val t1 = v1.stripPrefix("v").takeWhile(_ != '-').toLong
+    Thread.sleep(5) // distinct commit millis
+    val v2 = apply(sink, Seq(
+      Fixtures.raw(Fixtures.customer("u", 1, "A2", "X", "a@x"), 1)))
+    val t2 = v2.stripPrefix("v").takeWhile(_ != '-').toLong
+
+    assert(sink.versionAsOf("customers", t1 - 1).isEmpty) // predates all
+    assert(sink.versionAsOf("customers", t1).contains(v1))
+    assert(sink.versionAsOf("customers", t2 - 1).contains(v1))
+    assert(sink.versionAsOf("customers", Long.MaxValue).contains(v2))
+    assert(sink.readAsOf("customers", t1).get
+      .select("first_name").as[String].collect().toSeq == Seq("A"))
+    assert(sink.readAsOf("customers", t2).get
+      .select("first_name").as[String].collect().toSeq == Seq("A2"))
+  }
+
   test("multi-version squash: transient states net out") {
     val sink = new ParquetTableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-cdf-squash").toString,
