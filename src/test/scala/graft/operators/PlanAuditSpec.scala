@@ -81,6 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_decay_sum" -> Budget(maxExchanges = 3),
     "q_graph_degree_dist" -> Budget(maxExchanges = 5),
     "q_media_flac" -> Budget(maxExchanges = 0),
+    "q_media_tiff" -> Budget(maxExchanges = 0),
     "q_win_countd" -> Budget(maxExchanges = 1),
     "q_win_median" -> Budget(maxExchanges = 1),
     "q_cusum_shift" -> Budget(maxExchanges = 4),
