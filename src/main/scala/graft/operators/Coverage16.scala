@@ -752,6 +752,57 @@ object Coverage16 {
           .as("assortativity"))
     },
 
+    // ---- market-basket lift ----------------------------------------------
+    // Top-25 co-purchased part pairs by support, scored with lift =
+    // n·supp(p1,p2) / (supp(p1)·supp(p2)) — the association-rule
+    // staple (q_cooccur_lift's sibling on the basket fact). Pairs come
+    // from per-order part SETS (one groupBy, no fact self-join — the
+    // co-purchase construction, support kept this time); the ORDER is
+    // the integer support with (p1, p2) tie-break, lift is reported,
+    // never sorted on (float sort keys order near-ties differently
+    // across engines). Supports are distinct-order counts: a part
+    // twice in one order is one basket.
+    QDef("q_basket_lift",
+      """WITH n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |s AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS supp
+        |      FROM lineitem GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    count(DISTINCT a.l_orderkey) AS supp_pair
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 3)
+        |SELECT pr.p1, pr.p2, CAST(supp_pair AS BIGINT) AS supp_pair,
+        |  round(supp_pair * CAST(n_orders AS DOUBLE) / (s1.supp * s2.supp), 6)
+        |    AS lift
+        |FROM pr JOIN s s1 ON s1.l_partkey = pr.p1
+        |  JOIN s s2 ON s2.l_partkey = pr.p2, n
+        |ORDER BY supp_pair DESC, pr.p1, pr.p2 LIMIT 25
+        |""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))
+            |""".stripMargin)).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("supp_pair"))
+        .filter(col("supp_pair") >= 3)
+      val supp = li.groupBy("l_partkey")
+        .agg(countDistinct(col("l_orderkey")).as("supp"))
+      val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pairs
+        .join(supp.select(col("l_partkey").as("p1"), col("supp").as("s1")), "p1")
+        .join(supp.select(col("l_partkey").as("p2"), col("supp").as("s2")), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("supp_pair"),
+          round(col("supp_pair") * col("n_orders").cast("double") /
+            (col("s1") * col("s2")), 6).as("lift"))
+        .orderBy(col("supp_pair").desc, col("p1"), col("p2"))
+        .limit(25)
+    },
+
     // ---- windowed funnel -------------------------------------------------
     // Three-step view→click→purchase funnel anchored at each user's
     // FIRST view, steps ordered and the whole window bounded at 3 days

@@ -314,6 +314,28 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_basket_lift == brute-force association rules") {
+    val li = graft.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val orders = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = orders.size.toLong
+    val supp = li.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val pairSupp = orders.values.flatMap { ps =>
+      val sorted = ps.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3).toMap
+    val expect = pairSupp.toSeq.map { case ((p1, p2), sp) =>
+      (p1, p2, sp, BigDecimal(sp * nOrders.toDouble / (supp(p1) * supp(p2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (p1, p2, sp, _) => (-sp, p1, p2) }.take(25).toSet
+    val got = SparkEntry.queries("q_basket_lift")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
   test("q_graph_assortativity == brute-force Newman formula") {
     val edges = bruteEdges
     val deg = edges.flatMap(e => Seq(e._1, e._2))

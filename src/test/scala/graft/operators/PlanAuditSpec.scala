@@ -101,7 +101,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_graph_jaccard" -> Budget(maxExchanges = 7),
     "q_funnel_window" -> Budget(maxExchanges = 7),
     // two degree-join legs + the global agg over the memoized edges
-    "q_graph_assortativity" -> Budget(maxExchanges = 4)
+    "q_graph_assortativity" -> Budget(maxExchanges = 4),
+    // set-pair generation + two support joins + the top-k (6 + 1)
+    "q_basket_lift" -> Budget(maxExchanges = 7)
   )
 
   private def finalizedPlan(name: String): String = {
