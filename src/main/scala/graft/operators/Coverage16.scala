@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -750,6 +751,127 @@ object Coverage16 {
           (col("sx2") / (lit(2.0) * col("m")) -
             (col("sx") / (lit(2.0) * col("m"))) * (col("sx") / (lit(2.0) * col("m")))), 6)
           .as("assortativity"))
+    },
+
+    // ---- engagement inequality (Gini) ------------------------------------
+    // Gini coefficient of per-user event counts — the "do 1% of users
+    // produce 99% of the data?" curation diagnostic. The rank formula
+    // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) needs every xᵢ's global rank,
+    // which at 100 TB is the OrderedPrefix two-phase rank, not a
+    // single-partition window; tie ORDER is irrelevant to Σ i·xᵢ
+    // (equal x over consecutive i), but ranks must be DISTINCT, so the
+    // tie column pins them. All Σ are integer; the ratio is the only
+    // float.
+    QDef("q_user_gini",
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(x) AS BIGINT) AS n_events,
+        |  CAST(sum(i * x) AS BIGINT) AS weighted,
+        |  round((2.0 * sum(i * x) - (count(*) + 1) * sum(x)) /
+        |        (count(*) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+        |FROM r
+        |""".stripMargin) { (s, dir) =>
+      val counts = table(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("x"))
+      graft.plans.OrderedPrefix.rank(
+          counts, Nil, col("x").cast("double"), col("user_id"), "rk")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("n_events"),
+          sum(col("rk") * col("x")).as("weighted"))
+        .select(col("n_users"), col("n_events"), col("weighted"),
+          round((lit(2.0) * col("weighted") -
+              (col("n_users") + 1) * col("n_events")) /
+            (col("n_users") * col("n_events").cast("double")), 6).as("gini"))
+    },
+
+    // ---- cohort lifetime value -------------------------------------------
+    // Weekly-cohort LTV triangle: per (first-seen week, weeks-since)
+    // the buyer count and exact-decimal purchase revenue — the
+    // retention triangle's revenue sibling. Ages come from day
+    // arithmetic on week-truncated stamps (both engines truncate to
+    // Monday; days div 7 is exact on aligned weeks — no engine 'week'
+    // diff whose boundary conventions could differ).
+    QDef("q_cohort_ltv",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |rev AS (SELECT e.user_id, f.cohort,
+        |    date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7 AS age,
+        |    e.value
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase')
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort, CAST(age AS BIGINT) AS age,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS buyers,
+        |  round(CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS STRING)
+        |    AS DOUBLE), 6) AS revenue
+        |FROM rev GROUP BY 1, 2
+        |""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      ev.filter(col("event_type") === "purchase").join(f, "user_id")
+        .select(col("user_id"), col("cohort"),
+          expr("datediff(date_trunc('week', ts), cohort) div 7").as("age"),
+          col("value"))
+        .groupBy(col("cohort").cast("timestamp_ntz").as("cohort"),
+          col("age").cast("long").as("age"))
+        .agg(countDistinct(col("user_id")).as("buyers"),
+          round(sumExact(col("value")), 6).as("revenue"))
+    },
+
+    // ---- daily-volume autocorrelation ------------------------------------
+    // Sample ACF of the daily event-count series at lags 1..7 — the
+    // "is traffic weekly-periodic?" diagnostic that decides whether a
+    // seasonality model is worth fitting. The series is the BOUNDED
+    // per-day aggregate (≤ a few thousand rows at any corpus size), so
+    // the lag alignment is a broadcast self-join on day+k — never a
+    // window over raw events. Gap-robust: pairs counts the MATCHED
+    // (t, t+k) days, so the mean-centering identity
+    //   Σ(xₜ−x̄)(xₜ₊ₖ−x̄) = pk − x̄(shead+stail) + pairs·x̄²
+    // holds on an irregular grid too. All moments are DECIMAL(38,0)-
+    // exact (BIGINT would overflow at ~1e9 events/day · 10 yr since
+    // the identity multiplies through by n²); the two operands take
+    // the string-roundtrip double cast (the one cast both engines
+    // round identically) and the ratio is the only float op.
+    QDef("q_autocorr",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |  CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(x*x) AS DECIMAL(38,0)) AS sq FROM d),
+        |l AS (SELECT k.k, CAST(count(*) AS DECIMAL(38,0)) AS pairs,
+        |    CAST(sum(a.x * b.x) AS DECIMAL(38,0)) AS pk,
+        |    CAST(sum(a.x) AS DECIMAL(38,0)) AS shead,
+        |    CAST(sum(b.x) AS DECIMAL(38,0)) AS stail
+        |  FROM d a JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) k(k) ON true
+        |  JOIN d b ON b.day = a.day + k.k
+        |  GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS lag, CAST(pairs AS BIGINT) AS pairs,
+        |  round(CAST(CAST(n*n*pk - n*sx*(shead+stail) + pairs*sx*sx AS STRING)
+        |      AS DOUBLE)
+        |    / CAST(CAST(n*(n*sq - sx*sx) AS STRING) AS DOUBLE), 6) AS acf
+        |FROM l CROSS JOIN s
+        |""".stripMargin) { (s, dir) =>
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val d = table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      val stats = d.agg(d38(count(lit(1))).as("n"), d38(sum(col("x"))).as("sx"),
+        d38(sum(col("x") * col("x"))).as("sq"))
+      val ks = s.range(1, 8).select(col("id").cast("int").as("k"))
+      val lagged = d.crossJoin(broadcast(ks))
+        .select(col("k"), col("x").as("xa"), date_add(col("day"), col("k")).as("tday"))
+        .join(broadcast(d.select(col("day").as("tday"), col("x").as("xb"))), "tday")
+        .groupBy(col("k")).agg(d38(count(lit(1))).as("pairs"),
+          d38(sum(col("xa") * col("xb"))).as("pk"),
+          d38(sum(col("xa"))).as("shead"), d38(sum(col("xb"))).as("stail"))
+      val str2d = (c: Column) => c.cast("string").cast("double")
+      lagged.crossJoin(broadcast(stats))
+        .select(col("k").cast("long").as("lag"), col("pairs").cast("long").as("pairs"),
+          round(str2d(col("n") * col("n") * col("pk")
+              - col("n") * col("sx") * (col("shead") + col("stail"))
+              + col("pairs") * col("sx") * col("sx"))
+            / str2d(col("n") * (col("n") * col("sq") - col("sx") * col("sx"))),
+            6).as("acf"))
     },
 
     // ---- market-basket lift ----------------------------------------------

@@ -314,6 +314,78 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_user_gini == brute-force rank formula") {
+    val evs = graft.table(spark, sfDir, "events")
+      .select("user_id").as[Long].collect()
+    val counts = evs.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case (u, x) => (x, u) }.sorted
+    val n = counts.size.toLong
+    val tot = counts.map(_._1).sum
+    val weighted = counts.zipWithIndex
+      .map { case ((x, _), i) => (i + 1) * x }.sum
+    val gini = BigDecimal(
+      (2.0 * weighted - (n + 1) * tot) / (n * tot.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("q_user_gini")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((n, tot, weighted, gini)), got)
+  }
+
+  test("q_cohort_ltv == brute-force weekly triangle") {
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.TemporalAdjusters
+    val evs = graft.table(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP))",
+        "event_type", "value")
+      .as[(Long, Long, String, Double)].collect()
+    def weekStart(us: Long): Long = // epoch day of the Monday
+      LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L))
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .toEpochDay
+    val cohortOf = evs.groupBy(_._1).view
+      .mapValues(es => weekStart(es.map(_._2).min)).toMap
+    val expect = evs.filter(_._3 == "purchase").groupBy { e =>
+      (cohortOf(e._1), (weekStart(e._2) - cohortOf(e._1)) / 7)
+    }.map { case ((cohortDay, age), es) =>
+      val rev = es.map(e => BigDecimal(e._4)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      (cohortDay * 86400000000L, age,
+        es.map(_._1).distinct.length.toLong,
+        BigDecimal(rev.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q_cohort_ltv")(spark, sfDir)
+      .selectExpr("unix_micros(CAST(cohort AS TIMESTAMP))", "age",
+        "buyers", "revenue")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect, got)
+  }
+
+  test("q_autocorr == brute-force matched-pair ACF") {
+    val days = graft.table(spark, sfDir, "events")
+      .selectExpr("unix_micros(CAST(ts AS TIMESTAMP))").as[Long].collect()
+      .map(us => Math.floorDiv(us, 86400000000L))
+    val counts = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = BigInt(counts.size)
+    val sx = BigInt(counts.values.sum)
+    val sq = counts.values.map(x => BigInt(x) * x).sum
+    val expect = (1 to 7).map { k =>
+      val matched = counts.keys.toSeq.filter(d => counts.contains(d + k))
+      val pairs = BigInt(matched.size)
+      val pk = matched.map(d => BigInt(counts(d)) * counts(d + k)).sum
+      val shead = matched.map(d => BigInt(counts(d))).sum
+      val stail = matched.map(d => BigInt(counts(d + k))).sum
+      val num = n * n * pk - n * sx * (shead + stail) + pairs * sx * sx
+      val den = n * (n * sq - sx * sx)
+      val acf = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k.toLong, pairs.toLong, acf)
+    }.toSet
+    val got = SparkEntry.queries("q_autocorr")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect, got)
+  }
+
   test("q_basket_lift == brute-force association rules") {
     val li = graft.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()

@@ -103,7 +103,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // two degree-join legs + the global agg over the memoized edges
     "q_graph_assortativity" -> Budget(maxExchanges = 4),
     // set-pair generation + two support joins + the top-k (6 + 1)
-    "q_basket_lift" -> Budget(maxExchanges = 7)
+    "q_basket_lift" -> Budget(maxExchanges = 7),
+    // one OrderedPrefix rank (events agg reused across all three legs;
+    // every SinglePartition exchange is over ≤254 sampled/bucket rows)
+    // + the global Σ agg
+    "q_user_gini" -> Budget(maxExchanges = 9),
+    // cohort agg + join-side agg + the (cohort, age) rollup
+    "q_cohort_ltv" -> Budget(maxExchanges = 3),
+    // daily agg + bounded lag-join rollup + two 1-row stat aggs; every
+    // join side is the broadcast ≤#days daily table
+    "q_autocorr" -> Budget(maxExchanges = 6)
   )
 
   private def finalizedPlan(name: String): String = {
