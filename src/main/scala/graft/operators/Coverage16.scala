@@ -874,6 +874,81 @@ object Coverage16 {
             6).as("acf"))
     },
 
+    // ---- seasonal-naive forecast evaluation --------------------------------
+    // MAE of the lag-1 (naive) and lag-7 (seasonal-naive) forecasts of
+    // the daily volume series — the standard "is there exploitable
+    // weekly structure?" companion to q_autocorr: if MAE₇ < MAE₁ the
+    // seasonal model has skill. Same scale shape as the ACF: the lag
+    // alignment is a broadcast self-join on the BOUNDED per-day
+    // aggregate, never a window over raw events. The error sums are
+    // integer-exact; the per-lag MAE is one exact-int division.
+    QDef("q_seasonal_naive",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT k.k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sae
+        |  FROM d a JOIN (VALUES (1),(7)) k(k) ON true
+        |  JOIN d b ON b.day = a.day + k.k GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS lag, n, sae,
+        |  round(CAST(sae AS DOUBLE) / n, 6) AS mae
+        |FROM e
+        |""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      val ks = s.sql("SELECT * FROM VALUES (1),(7) AS t(k)")
+      d.crossJoin(broadcast(ks))
+        .select(col("k"), col("x").as("xa"),
+          date_add(col("day"), col("k")).as("tday"))
+        .join(broadcast(d.select(col("day").as("tday"), col("x").as("xb"))),
+          "tday")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"),
+          sum(abs(col("xa") - col("xb"))).as("sae"))
+        .select(col("k").cast("long").as("lag"), col("n"), col("sae"),
+          round(col("sae").cast("double") / col("n"), 6).as("mae"))
+    },
+
+    // ---- inter-arrival burstiness ------------------------------------------
+    // Histogram of users by squared coefficient of variation of their
+    // inter-arrival gaps — the bot/burst-traffic triage: CV²≈1 is
+    // Poisson arrivals (bucket 10), CV²≫1 bursty, CV²≪1 metronomic.
+    // ENTIRELY integer: gaps are floored epoch seconds, the bucket is
+    // the all-BIGINT floor division ⌊10·n·(n·Σg²−S²) / ((n−1)·S²)⌋
+    // (numerator/denominator both nonnegative, so Spark `div` and
+    // DuckDB `//` agree), capped at 30 — no float op anywhere, so no
+    // cross-engine rounding surface at all. The per-user fold is a
+    // key-partitioned window (scales out); magnitudes: S ≤ span ≤
+    // 3e8 s (10 yr), n·Σg² ≤ n·S·max_gap — BIGINT-safe through ~1e5
+    // events/user·decade; beyond that escalate the three moments to
+    // DECIMAL(38,0), the q_autocorr move.
+    QDef("q_burstiness",
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap*gap) AS BIGINT) AS q
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT CAST(least((10 * n * (n*q - s*s)) // ((n-1) * s * s), 30)
+        |    AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM m GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sec = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+      table(s, dir, "events")
+        .select(col("user_id"), (sec - lag(sec, 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
+          sum(col("gap") * col("gap")).as("q"))
+        .filter(col("n") >= 2)
+        .groupBy(least(
+            expr("(10 * n * (n*q - s*s)) div ((n-1) * s * s)"),
+            lit(30L)).as("bucket"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // ---- market-basket lift ----------------------------------------------
     // Top-25 co-purchased part pairs by support, scored with lift =
     // n·supp(p1,p2) / (supp(p1)·supp(p2)) — the association-rule

@@ -386,6 +386,44 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect, got)
   }
 
+  test("q_seasonal_naive == brute-force lag-MAE") {
+    val days = graft.table(spark, sfDir, "events")
+      .selectExpr("unix_micros(CAST(ts AS TIMESTAMP))").as[Long].collect()
+      .map(us => Math.floorDiv(us, 86400000000L))
+    val counts = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = Seq(1, 7).map { k =>
+      val matched = counts.keys.toSeq.filter(d => counts.contains(d + k))
+      val n = matched.size.toLong
+      val sae = matched.map(d => math.abs(counts(d + k) - counts(d))).sum
+      val mae = BigDecimal(sae.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k.toLong, n, sae, mae)
+    }.toSet
+    val got = SparkEntry.queries("q_seasonal_naive")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect, got)
+  }
+
+  test("q_burstiness == brute-force CV² histogram") {
+    val evs = graft.table(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP))", "event_id")
+      .as[(Long, Long, Long)].collect()
+    val expect = evs.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val secs = rows.sortBy(r => (r._2, r._3))
+        .map(r => Math.floorDiv(r._2, 1000000L))
+      val gaps = secs.zip(secs.tail).map { case (a, b) => b - a }
+      val n = gaps.size.toLong
+      if (n < 2) None else {
+        val s = gaps.sum
+        val q = gaps.map(g => g * g).sum
+        Some(math.min(10L * n * (n * q - s * s) / ((n - 1) * s * s), 30L))
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_burstiness")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, got)
+  }
+
   test("q_basket_lift == brute-force association rules") {
     val li = graft.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()

@@ -112,7 +112,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cohort_ltv" -> Budget(maxExchanges = 3),
     // daily agg + bounded lag-join rollup + two 1-row stat aggs; every
     // join side is the broadcast ≤#days daily table
-    "q_autocorr" -> Budget(maxExchanges = 6)
+    "q_autocorr" -> Budget(maxExchanges = 6),
+    // daily agg + per-lag error rollup; both join sides broadcast
+    "q_seasonal_naive" -> Budget(maxExchanges = 5),
+    // one user-partitioned window reused by the per-user moment agg
+    // (same hash partitioning — no second exchange) + bucket histogram
+    "q_burstiness" -> Budget(maxExchanges = 3)
   )
 
   private def finalizedPlan(name: String): String = {
