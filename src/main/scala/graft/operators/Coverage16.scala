@@ -949,6 +949,90 @@ object Coverage16 {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // ---- Benford first-digit audit -----------------------------------------
+    // First-significant-digit distribution of order totals vs the
+    // Benford expectation log₁₀(1+1/d) — the classic synthetic-data /
+    // fraud audit (TPC-H's uniform prices fail it loudly, which is the
+    // point: the query DETECTS generator artifacts). Exact-integer
+    // spine: cents recovered via the DECIMAL(18,2) convention, first
+    // digit = first char of the BIGINT's string form (identical
+    // rendering in both engines — no float log on the data path). The
+    // only transcendental is the 9-value Benford CONSTANT column;
+    // safe at round-6dp because the closest of the nine values to a
+    // rounding boundary (log₁₀(1.25) ≈ 0.0969100130) is still 4.9e-7
+    // away — a libm 1-ulp divergence (~1e-17) cannot cross it.
+    // Scale shape: one hash agg over the scan + a 1-row total
+    // broadcast; output ≤ 9 rows.
+    QDef("q_benford",
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |n AS (SELECT CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM n)
+        |SELECT digit, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / total, 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford
+        |FROM n, t
+        |""".stripMargin) { (s, dir) =>
+      val n = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+        .groupBy(substring(col("cents").cast("string"), 1, 1)
+          .cast("bigint").as("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+      val t = n.agg(sum(col("n_orders")).as("total"))
+      n.crossJoin(broadcast(t))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders").cast("double") / col("total"), 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford"))
+    },
+
+    // ---- Heaps-law vocabulary growth ---------------------------------------
+    // Cumulative distinct-vocabulary size vs cumulative token count at
+    // doubling checkpoints of the doc_id order — the "is the corpus
+    // still teaching the tokenizer new words?" curve (Heaps' law:
+    // V ≈ K·nᵝ; a flattening curve means diminishing returns for
+    // further ingestion). Checkpoint = bit length of doc_id
+    // (length(bin(x)), the q_graph_degree_dist move — bin(0)='0' has
+    // length 1 in both engines), so the curve has ≤64 points at ANY
+    // corpus size. A token's first checkpoint is one min() — the
+    // first-seen reduction (q_cume_distinct's move) — so no running
+    // DISTINCT ever materializes; the only unpartitioned window is
+    // the cumulative sum over the ≤64-row checkpoint table. All
+    // integer.
+    QDef("q_vocab_growth",
+      """WITH tok AS (
+        |  SELECT length(bin(d.doc_id)) AS b, t.term
+        |  FROM documents d, unnest(string_split(trim(d.text), ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |bt AS (SELECT b, CAST(count(*) AS BIGINT) AS toks FROM tok GROUP BY 1),
+        |f AS (SELECT term, min(b) AS fb FROM tok GROUP BY 1),
+        |bv AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS vnew FROM f GROUP BY 1),
+        |j AS (SELECT bt.b, bt.toks, coalesce(bv.vnew, 0) AS vnew
+        |  FROM bt LEFT JOIN bv USING (b))
+        |SELECT CAST(b AS BIGINT) AS bucket,
+        |  CAST(sum(toks) OVER (ORDER BY b) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(vnew) OVER (ORDER BY b) AS BIGINT) AS cum_vocab
+        |FROM j
+        |""".stripMargin) { (s, dir) =>
+      val tok = table(s, dir, "documents")
+        .select(length(bin(col("doc_id"))).cast("bigint").as("b"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val bt = tok.groupBy("b").agg(count(lit(1)).as("toks"))
+      val bv = tok.groupBy("term").agg(min(col("b")).as("fb"))
+        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("vnew"))
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bt.join(bv, Seq("b"), "left")
+        .na.fill(0L, Seq("vnew"))
+        .select(col("b").as("bucket"),
+          sum(col("toks")).over(w).as("cum_tokens"),
+          sum(col("vnew")).over(w).as("cum_vocab"))
+    },
+
     // ---- market-basket lift ----------------------------------------------
     // Top-25 co-purchased part pairs by support, scored with lift =
     // n·supp(p1,p2) / (supp(p1)·supp(p2)) — the association-rule

@@ -424,6 +424,44 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect, got)
   }
 
+  test("q_benford == brute-force first-digit histogram") {
+    val prices = graft.table(spark, sfDir, "orders")
+      .select("o_totalprice").as[Double].collect().filter(_ > 0)
+    val cnt = prices.groupBy(p => math.round(p * 100).toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    val total = cnt.values.sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = cnt.map { case (d, n) =>
+      (d, n, r6(n.toDouble / total), r6(math.log10(1.0 + 1.0 / d)))
+    }.toSet
+    val got = SparkEntry.queries("q_benford")(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expect, got)
+  }
+
+  test("q_vocab_growth == brute-force Heaps curve") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val btoks = collection.mutable.Map.empty[Long, Long]
+    val first = collection.mutable.Map.empty[String, Long]
+    for ((id, text) <- docs) {
+      val b = math.max(java.lang.Long.toBinaryString(id).length, 1).toLong
+      val toks = text.trim.split(" ").filter(_.nonEmpty)
+      btoks(b) = btoks.getOrElse(b, 0L) + toks.length
+      for (w <- toks) if (!first.contains(w) || first(w) > b) first(w) = b
+    }
+    val bvocab = first.values.groupBy(identity).view.mapValues(_.size.toLong)
+    var (ct, cv) = (0L, 0L)
+    val expect = btoks.keys.toSeq.sorted.map { b =>
+      ct += btoks(b); cv += bvocab.getOrElse(b, 0L)
+      (b, ct, cv)
+    }.toSet
+    val got = SparkEntry.queries("q_vocab_growth")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, got)
+  }
+
   test("q_basket_lift == brute-force association rules") {
     val li = graft.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()

@@ -117,7 +117,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_seasonal_naive" -> Budget(maxExchanges = 5),
     // one user-partitioned window reused by the per-user moment agg
     // (same hash partitioning — no second exchange) + bucket histogram
-    "q_burstiness" -> Budget(maxExchanges = 3)
+    "q_burstiness" -> Budget(maxExchanges = 3),
+    // digit agg + 1-row total broadcast; no sort anywhere
+    "q_benford" -> Budget(maxExchanges = 3),
+    // token explode feeds two aggs; cum window is over ≤64 bucket rows
+    "q_vocab_growth" -> Budget(maxExchanges = 5)
   )
 
   private def finalizedPlan(name: String): String = {
