@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (children: Seq[Expression]) => TopKBy(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("bottomk_dec"),
+      new ExpressionInfo(classOf[graft.functions.BottomKDec].getName, "bottomk_dec"),
+      (children: Seq[Expression]) =>
+        graft.functions.BottomKDec(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("argmax_by"),
       new ExpressionInfo(classOf[ArgMaxBy].getName, "argmax_by"),
       (children: Seq[Expression]) => ArgMaxBy(children(0), children(1), children(2))))

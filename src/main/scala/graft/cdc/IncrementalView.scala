@@ -27,37 +27,109 @@ import org.apache.spark.sql.functions._
   * version diff (bucket-pruned to manifests' differing entries), one
   * keyed aggregation over the delta, one keyed join against the
   * current view, and a bucket-scoped view merge. Cost is O(delta +
-  * touched view groups), the whole point of IVM. Non-invertible
-  * aggregates (min/max) are deliberately out: under deletes they
-  * need touched-group recompute against the base; recompute those
-  * groups with a filtered batch aggregation instead.
+  * touched view groups), the whole point of IVM.
+  *
+  * MIN/MAX (non-invertible under deletes) are maintained through a
+  * bounded K-EXTREME BUFFER per (group, column) — the classic
+  * auxiliary-structure move for non-self-maintainable aggregates: the
+  * view stores each group's k smallest (resp. largest) values as an
+  * exact-decimal array whose INVARIANT is "a prefix of the group's
+  * sorted value multiset". Deleting the current extremum just removes
+  * one occurrence from the prefix (stays a prefix); inserting a value
+  * ≤ the buffer's last slots it in (prefix of length +1); an insert
+  * ABOVE a non-full buffer's last is conservatively dropped (values
+  * truncated away earlier could sit in between — the round's
+  * counterexample: buffer [1,5] of group {1,5,5.5,7} must NOT absorb
+  * a 6). Only when a group's buffer DRAINS while rows remain does
+  * that group — and only that group — recompute from the base
+  * snapshot at the refresh's target version: one semi-joined
+  * aggregation, needed at most once per ≥K extremum deletions in a
+  * single span. The buffers come from `functions.BottomKDec`, a
+  * map-side-combinable bounded heap, so even (re)initialization
+  * never materializes a group's full value list.
   */
 object IncrementalView {
 
-  /** View definition: group keys + columns maintained as exact sums. */
-  final case class ViewDef(groupBy: Seq[String], sums: Seq[String]) {
+  /** View definition: group keys + columns maintained as exact sums,
+    * plus columns maintained as min / max through `bufK`-element
+    * exact-decimal extreme buffers. Changing a view's definition
+    * requires re-`initialize` (the stored schema is the definition). */
+  final case class ViewDef(groupBy: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil, bufK: Int = 8) {
     require(groupBy.nonEmpty, "a view needs at least one group-by column")
+    require(bufK >= 1, "bufK must be positive")
     def sumCol(c: String): String = s"sum_$c"
+    def minbCol(c: String): String = s"minb_$c"
+    def maxbCol(c: String): String = s"maxb_$c"
   }
 
+  private def dec(c: String): String = s"CAST(`$c` AS DECIMAL(38,10))"
+
   /** One-shot (re)computation of the view from a base snapshot — the
-    * initializer, and the spec's equality anchor. */
-  def compute(base: DataFrame, vdef: ViewDef): DataFrame =
+    * initializer, the rebuild path, and the spec's equality anchor. */
+  def compute(base: DataFrame, vdef: ViewDef): DataFrame = {
+    graft.functions.BottomKDec.register(base.sparkSession)
     base.groupBy(vdef.groupBy.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        vdef.sums.map(c =>
-          sum(col(c).cast("decimal(38,10)")).as(vdef.sumCol(c))): _*)
+        (vdef.sums.map(c =>
+          sum(col(c).cast("decimal(38,10)")).as(vdef.sumCol(c))) ++
+         vdef.mins.map(c => expr(
+           s"bottomk_dec(${dec(c)}, ${vdef.bufK}, false)").as(vdef.minbCol(c))) ++
+         vdef.maxs.map(c => expr(
+           s"bottomk_dec(${dec(c)}, ${vdef.bufK}, true)").as(vdef.maxbCol(c)))): _*)
+  }
 
-  /** Signed per-group delta of a change feed slice. */
+  /** Signed per-group delta of a change feed slice. For min/max
+    * columns the delta carries four bounded arrays per column: the K
+    * smallest / largest INSERTED and DELETED values — K suffices on
+    * the delete side because hits on a length-L ≤ K buffer sort
+    * before misses, and ≥ L hits drain the buffer into the rebuild
+    * path regardless of what the un-kept deletes were. */
   private def delta(feed: DataFrame, vdef: ViewDef): DataFrame = {
+    graft.functions.BottomKDec.register(feed.sparkSession)
     val sgn = when(
       col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
+    val k = vdef.bufK
     feed.withColumn("_sgn", sgn)
       .groupBy(vdef.groupBy.map(col): _*)
       .agg(sum(col("_sgn")).as("_dn"),
-        vdef.sums.map(c => sum(col("_sgn") *
-          col(c).cast("decimal(38,10)")).as(s"_d_$c")): _*)
+        (vdef.sums.map(c => sum(col("_sgn") *
+          col(c).cast("decimal(38,10)")).as(s"_d_$c")) ++
+         vdef.mins.flatMap(c => Seq(
+           expr(s"bottomk_dec(CASE WHEN _sgn = 1 THEN ${dec(c)} END, $k, false)")
+             .as(s"_i_min_$c"),
+           expr(s"bottomk_dec(CASE WHEN _sgn = -1 THEN ${dec(c)} END, $k, false)")
+             .as(s"_x_min_$c"))) ++
+         vdef.maxs.flatMap(c => Seq(
+           expr(s"bottomk_dec(CASE WHEN _sgn = 1 THEN ${dec(c)} END, $k, true)")
+             .as(s"_i_max_$c"),
+           expr(s"bottomk_dec(CASE WHEN _sgn = -1 THEN ${dec(c)} END, $k, true)")
+             .as(s"_x_max_$c")))): _*)
+  }
+
+  /** The buffer fold for one min (asc=true) or max column: remove one
+    * occurrence per hitting delete (position-splice — `array_remove`
+    * drops ALL occurrences, wrong for multisets), then admit inserts
+    * that land at or inside the buffer's last element. New groups
+    * (no current row) take the inserted-side buffer whole: the group
+    * IS the inserts, so that buffer is complete by construction. */
+  private def bufMerge(vdef: ViewDef, c: String, asc: Boolean): Column = {
+    val (buf, ins, del, cmp, sortArgs) =
+      if (asc) (vdef.minbCol(c), s"_i_min_$c", s"_x_min_$c", "<=", "")
+      else (vdef.maxbCol(c), s"_i_max_$c", s"_x_max_$c", ">=", ", false")
+    val afterDel =
+      s"""aggregate(`$del`, `$buf`, (acc, d) ->
+         |  CASE WHEN array_position(acc, d) > 0
+         |    THEN concat(slice(acc, 1, array_position(acc, d) - 1),
+         |                slice(acc, array_position(acc, d) + 1, size(acc)))
+         |    ELSE acc END)""".stripMargin
+    val afterIns =
+      s"""aggregate(`$ins`, $afterDel, (acc, v) ->
+         |  CASE WHEN size(acc) > 0 AND v $cmp element_at(acc, size(acc))
+         |    THEN slice(sort_array(concat(acc, array(v))$sortArgs), 1, ${vdef.bufK})
+         |    ELSE acc END)""".stripMargin
+    when(col("n").isNull, col(ins)).otherwise(expr(afterIns)).as(buf)
   }
 
   /** Marker file in the view's table dir recording the base version
@@ -168,23 +240,55 @@ object IncrementalView {
           (coalesce(col("n"), lit(0L)) + col("_dn")).as("n")) ++
           vdef.sums.map(c =>
             (coalesce(col(vdef.sumCol(c)), zero) + col(s"_d_$c"))
-              .cast("decimal(38,10)").as(vdef.sumCol(c))): _*)
-      val upserts = merged.filter(col("n") > 0)
+              .cast("decimal(38,10)").as(vdef.sumCol(c))) ++
+          vdef.mins.map(c => bufMerge(vdef, c, asc = true)) ++
+          vdef.maxs.map(c => bufMerge(vdef, c, asc = false)): _*)
+      val live = merged.filter(col("n") > 0)
       val deletes = merged.filter(col("n") <= 0)
         .select(vdef.groupBy.map(col): _*)
-      store.applyChanges(view, vdef.groupBy, upserts, deletes)
+      // a drained buffer on a still-populated group = the prefix can
+      // no longer answer min/max — recompute THOSE groups (only) from
+      // the base snapshot this refresh targets
+      val drained = (vdef.mins.map(c => size(col(vdef.minbCol(c))) === 0) ++
+        vdef.maxs.map(c => size(col(vdef.maxbCol(c))) === 0))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      if (vdef.mins.isEmpty && vdef.maxs.isEmpty)
+        store.applyChanges(view, vdef.groupBy, live, deletes)
+      else {
+        val rebuildKeys = live.filter(drained)
+          .select(vdef.groupBy.map(col): _*).cache()
+        try {
+          val upserts =
+            if (rebuildKeys.isEmpty) live
+            else {
+              val baseAt = store.readVersion(base, toVersion)
+              val rebuilt = compute(
+                baseAt.join(rebuildKeys, vdef.groupBy, "left_semi"), vdef)
+              live.filter(!drained).unionByName(rebuilt)
+            }
+          store.applyChanges(view, vdef.groupBy, upserts, deletes)
+        } finally rebuildKeys.unpersist()
+      }
       d.count()
     } finally d.unpersist()
   }
 
-  /** The view with derived means, for consumers (avg = exact sum / n,
-    * emitted as double only at the edge). */
+  /** The view with derived consumer columns: avg = exact sum / n
+    * (double only at the edge), and min_/max_ scalars = head of each
+    * extreme buffer (exact decimals; the buffers stay visible for
+    * callers that audit prefix health). */
   def read(store: ParquetTableStore, view: String,
       vdef: ViewDef): Option[DataFrame] =
     store.read(view).map { v =>
-      vdef.sums.foldLeft(v) { (df, c) =>
+      val withAvg = vdef.sums.foldLeft(v) { (df, c) =>
         df.withColumn(s"avg_$c",
           (col(vdef.sumCol(c)) / col("n")).cast("double"))
+      }
+      val withMin = vdef.mins.foldLeft(withAvg) { (df, c) =>
+        df.withColumn(s"min_$c", element_at(col(vdef.minbCol(c)), 1))
+      }
+      vdef.maxs.foldLeft(withMin) { (df, c) =>
+        df.withColumn(s"max_$c", element_at(col(vdef.maxbCol(c)), 1))
       }
     }
 }

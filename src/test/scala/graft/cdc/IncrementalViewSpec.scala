@@ -161,6 +161,154 @@ class IncrementalViewSpec extends AnyFunSuite {
       Some(store.version("base").get))
   }
 
+  // ---------------- MIN/MAX buffer maintenance ----------------
+
+  private val mmDef = ViewDef(Seq("region"), Seq("amount"),
+    mins = Seq("amount"), maxs = Seq("amount"), bufK = 3)
+
+  /** Scalar min/max + n must equal a recompute; the stored buffers
+    * must be PREFIXES of the recompute's full K-extreme buffers (they
+    * may be shorter — that is the documented degradation mode). */
+  private def assertMinMaxExact(store: ParquetTableStore): Unit = {
+    val exp = IncrementalView.compute(store.read("base").get, mmDef)
+      .select(col("region"), col("n"), col("sum_amount"),
+        col("minb_amount"), col("maxb_amount"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2),
+          r.getSeq[java.math.BigDecimal](3), r.getSeq[java.math.BigDecimal](4))))
+      .toMap
+    val got = store.read("view").get
+      .select(col("region"), col("n"), col("sum_amount"),
+        col("minb_amount"), col("maxb_amount"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2),
+          r.getSeq[java.math.BigDecimal](3), r.getSeq[java.math.BigDecimal](4))))
+      .toMap
+    assert(got.keySet == exp.keySet, s"groups: $got vs $exp")
+    got.foreach { case (g, (n, s, minb, maxb)) =>
+      val (en, es, eminb, emaxb) = exp(g)
+      assert(n == en && s == es, s"group $g: ($n,$s) != ($en,$es)")
+      assert(minb.nonEmpty && maxb.nonEmpty, s"group $g drained in store")
+      assert(eminb.startsWith(minb), s"group $g minb $minb !prefix $eminb")
+      assert(emaxb.startsWith(maxb), s"group $g maxb $maxb !prefix $emaxb")
+    }
+  }
+
+  test("min/max: extremum deletes splice the buffer, inserts respect the " +
+      "prefix rule, no rebuild while the buffer holds") {
+    val store = freshStore()
+    store.applyChanges("base", Seq("id"), rows(
+      (1, "na", 1.0), (2, "na", 2.0), (3, "na", 3.0), (4, "na", 4.0),
+      (5, "na", 5.0), (10, "eu", 10.0), (11, "eu", 20.0)), keys())
+    var from = IncrementalView.initialize(store, "base", "view", mmDef)
+    assertMinMaxExact(store)
+
+    // delete the na minimum → one splice, buffer [2,3] (SHORTER than a
+    // rebuild's [2,3,4] — proving the incremental path served it)
+    store.applyChanges("base", Seq("id"), rows(), keys(1))
+    var to = store.versions("base").last
+    IncrementalView.refresh(store, "base", Seq("id"), "view", mmDef, from, to)
+    from = to
+    assertMinMaxExact(store)
+    val naMinb = store.read("view").get.filter(col("region") === "na")
+      .select("minb_amount").as[Seq[BigDecimal]].head()
+    assert(naMinb == Seq(BigDecimal("2.0000000000"),
+      BigDecimal("3.0000000000")), naMinb)
+
+    // insert below the buffer head (admitted, becomes the new min) and
+    // one above the short buffer's last (conservatively dropped)
+    store.applyChanges("base", Seq("id"),
+      rows((6, "na", 0.5), (7, "na", 3.5)), keys())
+    to = store.versions("base").last
+    IncrementalView.refresh(store, "base", Seq("id"), "view", mmDef, from, to)
+    from = to
+    assertMinMaxExact(store)
+    val mins = IncrementalView.read(store, "view", mmDef).get
+      .select("region", "min_amount", "max_amount")
+      .as[(String, BigDecimal, BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mins("na") == ((BigDecimal("0.5000000000"),
+      BigDecimal("5.0000000000"))), mins)
+    assert(mins("eu") == ((BigDecimal("10.0000000000"),
+      BigDecimal("20.0000000000"))), mins)
+  }
+
+  test("min/max: draining a buffer rebuilds ONLY that group from the " +
+      "target snapshot") {
+    val store = freshStore()
+    store.applyChanges("base", Seq("id"), rows(
+      (1, "na", 1.0), (2, "na", 2.0), (3, "na", 3.0), (4, "na", 4.0),
+      (5, "na", 5.0), (10, "eu", 10.0), (11, "eu", 20.0)), keys())
+    val from = IncrementalView.initialize(store, "base", "view", mmDef)
+    // delete the whole K=3 min buffer of na in ONE span → drain →
+    // group rebuild must repopulate the buffer COMPLETELY ([4,5])
+    store.applyChanges("base", Seq("id"), rows(), keys(1, 2, 3))
+    val to = store.versions("base").last
+    IncrementalView.refresh(store, "base", Seq("id"), "view", mmDef, from, to)
+    assertMinMaxExact(store)
+    val na = store.read("view").get.filter(col("region") === "na")
+      .select("minb_amount").as[Seq[BigDecimal]].head()
+    // a drained-then-spliced buffer would be empty; the rebuild serves
+    // the full (group-sized, < K) prefix
+    assert(na == Seq(BigDecimal("4.0000000000"),
+      BigDecimal("5.0000000000")), na)
+  }
+
+  test("min/max: an update moving the extremum between groups splices " +
+      "one side and admits on the other") {
+    val store = freshStore()
+    store.applyChanges("base", Seq("id"), rows(
+      (1, "na", 1.0), (2, "na", 2.0), (3, "na", 3.0), (4, "na", 4.0),
+      (10, "eu", 10.0), (11, "eu", 20.0)), keys())
+    val from = IncrementalView.initialize(store, "base", "view", mmDef)
+    store.applyChanges("base", Seq("id"), rows((1, "eu", 1.0)), keys())
+    val to = store.versions("base").last
+    IncrementalView.refresh(store, "base", Seq("id"), "view", mmDef, from, to)
+    assertMinMaxExact(store)
+    val m = IncrementalView.read(store, "view", mmDef).get
+      .select("region", "min_amount").as[(String, BigDecimal)]
+      .collect().toMap
+    assert(m("na") == BigDecimal("2.0000000000") &&
+      m("eu") == BigDecimal("1.0000000000"), m)
+  }
+
+  test("min/max: 25 rounds of seeded random churn stay recompute-exact") {
+    val store = freshStore()
+    val rnd = new scala.util.Random(20260814L)
+    val regions = Array("na", "eu", "ap")
+    var liveIds = Map.empty[Int, (String, Double)]
+    var nextId = 1
+    def randRows(k: Int): Seq[(Int, String, Double)] = (1 to k).map { _ =>
+      val id = nextId; nextId += 1
+      val r = (id, regions(rnd.nextInt(3)), (rnd.nextInt(400) + 1) / 4.0)
+      liveIds += id -> ((r._2, r._3)); r
+    }
+    store.applyChanges("base", Seq("id"), rows(randRows(12): _*), keys())
+    var from = IncrementalView.initialize(store, "base", "view", mmDef)
+    (1 to 25).foreach { round =>
+      // choose deletes and the update from PRE-round keys so one
+      // applyChanges batch never carries a duplicate PK (insert+update
+      // of the same id) or a same-batch insert+delete
+      // (deletions biased toward the smallest live values so buffer
+      // drains + rebuilds actually happen across the run)
+      val dels = liveIds.toSeq.sortBy(_._2._2)
+        .take(rnd.nextInt(4)).map(_._1)
+      dels.foreach(liveIds -= _)
+      val upd = liveIds.keys.toSeq.sorted.headOption.toSeq
+        .filter(_ => rnd.nextBoolean()).map { id =>
+          val moved = (id, regions(rnd.nextInt(3)), (rnd.nextInt(400) + 1) / 4.0)
+          liveIds += id -> ((moved._2, moved._3)); moved
+        }
+      val ins = randRows(rnd.nextInt(4))
+      store.applyChanges("base", Seq("id"),
+        rows(ins ++ upd: _*), keys(dels: _*))
+      val to = store.versions("base").last
+      IncrementalView.refresh(store, "base", Seq("id"), "view", mmDef, from, to)
+      from = to
+      assertMinMaxExact(store)
+    }
+  }
+
   test("a long refresh chain stays bit-exact (no per-refresh drift)") {
     val store = freshStore()
     store.applyChanges("base", Seq("id"), rows((1, "na", 0.1)), keys())
