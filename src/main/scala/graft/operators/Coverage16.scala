@@ -707,6 +707,49 @@ object Coverage16 {
         .limit(20)
     },
 
+    // ---- two-hop reach (friend-of-friend) --------------------------------
+    // Top-20 nodes by ≤2-hop neighborhood size over the co-purchase
+    // graph — the "recommendation reach" ranking (how many parts are
+    // one co-purchase away from being co-purchased). The 2-path join
+    // is the SAME Σ deg²-bounded shape as the triangle enumeration —
+    // the support-≥2 threshold is what keeps it bounded — and the
+    // DISTINCT collapse runs BEFORE the per-node count so the count
+    // never sees the multiplicity blowup. exact-2-hop (new2) =
+    // 2-paths minus direct edges (left_anti); all keys integer,
+    // ordered by (reach2 DESC, node).
+    QDef("q_graph_two_hop",
+      s"""WITH e AS MATERIALIZED (
+         |$copurchaseSql),
+         |u AS (SELECT p1 AS v, p2 AS w FROM e UNION ALL SELECT p2, p1 FROM e),
+         |p2s AS (SELECT DISTINCT a.v, b.w
+         |  FROM u a JOIN u b ON a.w = b.v AND a.v <> b.w),
+         |reach AS (SELECT v, w FROM p2s UNION SELECT v, w FROM u),
+         |r AS (SELECT v, CAST(count(*) AS BIGINT) AS reach2 FROM reach GROUP BY 1),
+         |n2 AS (SELECT v, CAST(count(*) AS BIGINT) AS new2 FROM (
+         |  SELECT v, w FROM p2s EXCEPT SELECT v, w FROM u) GROUP BY 1),
+         |d AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY 1)
+         |SELECT r.v AS node, d.deg, COALESCE(n2.new2, 0) AS new2, r.reach2
+         |FROM r JOIN d USING (v) LEFT JOIN n2 USING (v)
+         |ORDER BY r.reach2 DESC, r.v LIMIT 20
+         |""".stripMargin) { (s, dir) =>
+      val e = copurchaseEdges(s, dir)
+      val u = e.select(col("p1").as("v"), col("p2").as("w"))
+        .unionAll(e.select(col("p2").as("v"), col("p1").as("w")))
+      val p2s = u.as("a")
+        .join(u.as("b"), col("a.w") === col("b.v") && col("a.v") =!= col("b.w"))
+        .select(col("a.v").as("v"), col("b.w").as("w")).distinct()
+      val reach = p2s.union(u).distinct()
+        .groupBy("v").agg(count(lit(1)).as("reach2"))
+      val new2 = p2s.join(u, Seq("v", "w"), "left_anti")
+        .groupBy("v").agg(count(lit(1)).as("new2"))
+      val deg = u.groupBy("v").agg(count(lit(1)).as("deg"))
+      reach.join(deg, "v").join(new2, Seq("v"), "left")
+        .select(col("v").as("node"), col("deg"),
+          coalesce(col("new2"), lit(0L)).as("new2"), col("reach2"))
+        .orderBy(col("reach2").desc, col("node"))
+        .limit(20)
+    },
+
     // ---- degree assortativity --------------------------------------------
     // Newman's degree-assortativity coefficient of the co-purchase
     // graph — "do hubs link to hubs?" (negative = hub-to-leaf, the

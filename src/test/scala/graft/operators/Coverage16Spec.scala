@@ -424,6 +424,23 @@ class Coverage16Spec extends AnyFunSuite {
     assert(got == expect, got)
   }
 
+  test("q_graph_two_hop == brute-force adjacency-set BFS") {
+    val edges = Coverage16.copurchaseEdges(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val adj = collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val rows = adj.keys.toSeq.map { v =>
+      val two = adj(v).flatMap(adj) - v
+      (v, adj(v).size.toLong, (two -- adj(v)).size.toLong,
+        (two ++ adj(v)).size.toLong)
+    }
+    val expect = rows.sortBy(r => (-r._4, r._1)).take(20)
+    val got = SparkEntry.queries("q_graph_two_hop")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect, got)
+  }
+
   test("q_benford == brute-force first-digit histogram") {
     val prices = graft.table(spark, sfDir, "orders")
       .select("o_totalprice").as[Double].collect().filter(_ > 0)

@@ -121,7 +121,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // digit agg + 1-row total broadcast; no sort anywhere
     "q_benford" -> Budget(maxExchanges = 3),
     // token explode feeds two aggs; cum window is over ≤64 bucket rows
-    "q_vocab_growth" -> Budget(maxExchanges = 5)
+    "q_vocab_growth" -> Budget(maxExchanges = 5),
+    // 2-path join + distinct + three per-node aggs over the bounded
+    // edge table (memoized checkpoint); top-20 is TakeOrdered
+    "q_graph_two_hop" -> Budget(maxExchanges = 8)
   )
 
   private def finalizedPlan(name: String): String = {
