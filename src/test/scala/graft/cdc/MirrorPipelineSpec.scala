@@ -29,6 +29,13 @@ class MirrorPipelineSpec extends AnyFunSuite {
   private val vdef = ViewDef(Seq("last_name"), Seq.empty)
   private val viewSpec = MirrorPipeline.ViewSpec(
     "customers", Seq("id"), "by_last", vdef)
+  // min/max view riding the same pipeline: bufK=2 so the rename-move
+  // batch DRAINS Walker's buffer and exercises the per-group rebuild
+  // through the streaming path, not just the unit specs
+  private val mmVdef = ViewDef(Seq("last_name"), Seq.empty,
+    mins = Seq("id"), maxs = Seq("id"), bufK = 2)
+  private val mmViewSpec = MirrorPipeline.ViewSpec(
+    "customers", Seq("id"), "ids_by_last", mmVdef)
 
   private def assertConsistent(store: ParquetTableStore): Unit = {
     val expected = IncrementalView.compute(store.read("customers").get, vdef)
@@ -36,6 +43,14 @@ class MirrorPipelineSpec extends AnyFunSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
       s"view != mirror recompute: ${got.collect().toSeq} vs " +
         s"${expected.collect().toSeq}")
+    val expMm = IncrementalView.compute(store.read("customers").get, mmVdef)
+      .selectExpr("last_name", "n", "element_at(minb_id, 1)",
+        "element_at(maxb_id, 1)")
+    val gotMm = IncrementalView.read(store, "ids_by_last", mmVdef).get
+      .selectExpr("last_name", "n", "min_id", "max_id")
+    assert(gotMm.except(expMm).isEmpty && expMm.except(gotMm).isEmpty,
+      s"mm view != mirror recompute: ${gotMm.collect().toSeq} vs " +
+        s"${expMm.collect().toSeq}")
   }
 
   test("views track the mirror per batch, and survive a replay restart") {
@@ -51,7 +66,7 @@ class MirrorPipelineSpec extends AnyFunSuite {
       Fixtures.raw(Fixtures.customer("r", 3, "Ed", "Walker", "e@x"), 2)))
     val q = MirrorPipeline.start(
       CdcPipeline.fileSource(spark, in.toString), catalog,
-      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec),
+      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec),
       ckpt.toString)
     try {
       q.processAllAvailable()
@@ -70,6 +85,15 @@ class MirrorPipelineSpec extends AnyFunSuite {
       assert(store.read("by_last").get
         .select("last_name", "n").as[(String, Long)].collect().toMap ==
         Map("Thomas" -> 1L, "Walker" -> 1L))
+      // the rename-move drained Walker's bufK=2 buffer (3 spliced out,
+      // 2 arrived against an empty prefix) — the rebuild must have
+      // served the fresh extremes through the streaming path
+      val mm = IncrementalView.read(store, "ids_by_last", mmVdef).get
+        .selectExpr("last_name", "CAST(min_id AS BIGINT)",
+          "CAST(max_id AS BIGINT)")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(mm == Map("Thomas" -> ((1L, 1L)), "Walker" -> ((2L, 2L))), mm)
     } finally q.stop()
 
     // restart WITHOUT the checkpoint: both files replay (at-least-once
@@ -78,7 +102,7 @@ class MirrorPipelineSpec extends AnyFunSuite {
     val ckpt2 = Files.createTempDirectory("mirror-ckpt2")
     val q2 = MirrorPipeline.start(
       CdcPipeline.fileSource(spark, in.toString), catalog,
-      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec),
+      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec),
       ckpt2.toString)
     try {
       q2.processAllAvailable()
