@@ -712,6 +712,23 @@ class ParquetTableStore(spark: SparkSession, root: String,
       val cd = changesDir(target, v)
       if (Files.isDirectory(cd)) rmTree(cd)
     }
+    // GC: orphan change dirs — a crash between writeChangeFeed and the
+    // manifest/pointer write leaves a changes/<version>/ no _PARENT
+    // walk reaches (correct for serving, invisible forever). Doomed
+    // versions' dirs were removed above; anything left that names no
+    // retained manifest and isn't the current pointer is such an
+    // orphan. Single-writer stance (the store's, documented on
+    // applyChanges): vacuum never runs concurrently with a merge, so
+    // an in-flight merge's pre-manifest change dir can't be swept.
+    val retained = versions(target).toSet
+    val changesRoot = dir(target).resolve("changes")
+    if (Files.isDirectory(changesRoot)) {
+      listDir(changesRoot)
+        .filter(c => Files.isDirectory(c))
+        .filterNot(c => retained.contains(c.getFileName.toString) ||
+          currentVersion(target).contains(c.getFileName.toString))
+        .foreach(rmTree)
+    }
     // GC: bucket dirs referenced by no surviving manifest
     val live = versions(target)
       .flatMap(v => manifest(target, v).values).toSet

@@ -149,15 +149,35 @@ object IncrementalView {
   val IntentMarker = "_REFRESH_INTENT"
 
   /** Initialize the materialized view from the base's CURRENT content
-    * and record which base version it reflects. Reads the version
-    * through the _LATEST pointer (`store.version`) — never
-    * `versions().last`, which can name a manifest orphaned by a
-    * crashed merge that `read` does not serve. */
+    * and record which base version it reflects. The version is
+    * resolved ONCE through the _LATEST pointer (`store.version` —
+    * never `versions().last`, which can name a manifest orphaned by a
+    * crashed merge) and the snapshot is derived FROM it
+    * (`readVersion(base, at)`): resolving pointer and content
+    * separately would let a base merge committing between the two
+    * reads make the `_REFLECTS` marker claim a version newer than the
+    * aggregated snapshot, silently skipping that window's changes in
+    * every later refresh.
+    *
+    * An EMPTY base (every row deleted — a valid manifest with a live
+    * pointer and no buckets) initializes to an empty view: all
+    * existing view groups are deleted and the marker still records the
+    * version, so a later refresh picks up from it normally. */
   def initialize(store: ParquetTableStore, base: String, view: String,
       vdef: ViewDef): String = {
-    val snapshot = store.read(base).getOrElse(
-      throw new IllegalStateException(s"base table '$base' is empty"))
-    val at = store.version(base).get // the version `snapshot` reflects
+    val at = store.version(base).getOrElse(
+      throw new IllegalStateException(
+        s"base table '$base' has no committed version"))
+    val snapshot = store.readVersion(base, at) // the content at `at`, exactly
+    if (snapshot.columns.isEmpty) {
+      // empty manifest: no schema to aggregate — materialize emptiness
+      store.read(view).foreach { v =>
+        store.applyChanges(view, vdef.groupBy, v.filter(lit(false)),
+          v.select(vdef.groupBy.map(col): _*))
+      }
+      store.writeMarker(view, ReflectsMarker, at)
+      return at
+    }
     val fresh = compute(snapshot, vdef)
     // RE-initialization (vacuum recovery) merges over an existing
     // view: groups that vanished from the base must be deleted, or
@@ -196,7 +216,8 @@ object IncrementalView {
       case None => initialize(store, base, view, vdef)
       case Some(from) =>
         val to = store.version(base).getOrElse(
-          throw new IllegalStateException(s"base table '$base' is empty"))
+          throw new IllegalStateException(
+            s"base table '$base' has no committed version"))
         if (to != from) {
           if (!store.versions(base).contains(from))
             // `from` vacuumed: neither recorded span nor snapshot diff
@@ -225,7 +246,8 @@ object IncrementalView {
     val feed = store.changesBetween(base, basePks, fromVersion, toVersion)
     val d = delta(feed, vdef).cache()
     try {
-      if (d.isEmpty) return 0L
+      val nDelta = d.count() // one action both gates and reports
+      if (nDelta == 0L) return 0L
       val cur = store.read(view).getOrElse(
         throw new IllegalStateException(
           s"view '$view' not initialized — call initialize first"))
@@ -269,7 +291,7 @@ object IncrementalView {
           store.applyChanges(view, vdef.groupBy, upserts, deletes)
         } finally rebuildKeys.unpersist()
       }
-      d.count()
+      nDelta
     } finally d.unpersist()
   }
 

@@ -158,6 +158,29 @@ class ChangeFeedSpec extends AnyFunSuite {
       (2, "B", "delete")), got)
   }
 
+  test("vacuum sweeps orphan change dirs (crash before manifest) but " +
+      "keeps retained versions' feeds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf-orphan")
+    val sink = new ParquetTableStore(spark, root.toString, nBuckets = 4)
+    val v1 = apply(sink, Seq(
+      Fixtures.raw(Fixtures.customer("r", 1, "A", "X", "a@x"), 0)))
+    val v2 = apply(sink, Seq(
+      Fixtures.raw(Fixtures.customer("u", 1, "A2", "X", "a@x"), 1)))
+    // simulate the crash window: a change dir whose version never got a
+    // manifest — no _PARENT walk reaches it, and pre-fix no vacuum
+    // deleted it either
+    val orphan = root.resolve("customers").resolve("changes")
+      .resolve("v9999999999999-000000.manifest")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("_PARENT"), v2.getBytes)
+    assert(sink.vacuum("customers", keep = 2).isEmpty) // nothing doomed
+    assert(!java.nio.file.Files.exists(orphan), "orphan change dir kept")
+    // retained versions' change dirs survive and still serve the feed
+    val feed = sink.changesBetween("customers", Seq("id"), v1, v2)
+    assert(feed.inputFiles.forall(_.contains("/changes/")))
+    assert(feed.count() == 2)
+  }
+
   test("a column added between versions surfaces as updates (nulls-widening)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdf-evo").toString
     val sink = new ParquetTableStore(spark, root, nBuckets = 4)

@@ -161,6 +161,29 @@ class IncrementalViewSpec extends AnyFunSuite {
       Some(store.version("base").get))
   }
 
+  test("an emptied-out base initializes/rebuilds to an empty view " +
+      "instead of failing the stream") {
+    val store = freshStore()
+    store.applyChanges("base", Seq("id"),
+      rows((1, "na", 1.0), (2, "eu", 2.0)), keys())
+    IncrementalView.initialize(store, "base", "view", vdef)
+    // delete EVERY row: the manifest keeps a live _LATEST pointer with
+    // zero buckets — a legitimate state, not an error
+    store.applyChanges("base", Seq("id"), rows(), keys(1, 2))
+    // vacuum the marker's version away so refreshToCurrent must take
+    // the re-initialize path (the one that used to throw)
+    store.vacuum("base", keep = 1)
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", vdef)
+    assert(store.read("view").forall(_.isEmpty), "view kept ghost groups")
+    assert(store.readMarker("view", IncrementalView.ReflectsMarker) ==
+      Some(store.version("base").get))
+    // and direct initialize on an empty base with NO existing view:
+    // records the marker, materializes nothing, does not throw
+    val at = IncrementalView.initialize(store, "base", "view2", vdef)
+    assert(at == store.version("base").get)
+    assert(store.read("view2").isEmpty)
+  }
+
   // ---------------- MIN/MAX buffer maintenance ----------------
 
   private val mmDef = ViewDef(Seq("region"), Seq("amount"),
