@@ -275,59 +275,133 @@ class InMemorySink extends CdcSink {
   }
 }
 
+/** A writer lost the optimistic-concurrency race: another writer
+  * committed the successor version first. The losing merge's staged
+  * data, manifest and change feed are cleaned up before this is
+  * thrown; the caller re-reads the (new) current version and retries
+  * its applyChanges from fresh state. */
+class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 /** Spark-native materialized table with bucket-scoped merges: data
   * files live under hash buckets of the primary key, and each batch
   * rewrites ONLY the buckets that contain changed keys — per-batch cost
   * is O(batch + touched buckets), not O(table), which is what makes the
   * in-engine mirror viable when the table is 100 TB and a micro-batch
   * touches a handful of keys. This is the same file-level rewrite a
-  * Delta/Iceberg `MERGE INTO` performs; on a real deployment the store
-  * trait would sit in front of one of those formats.
+  * Delta/Iceberg `MERGE INTO` performs.
   *
   * Layout per table:
   * {{{
-  *   <root>/<table>/_LATEST            current manifest name (atomic flip)
+  *   <root>/<table>/_log/<seq>.commit  version-log entry (the commit)
   *   <root>/<table>/v<ts>.manifest     bucket -> data path, one per line
   *   <root>/<table>/data/<batch>/_b=N/ parquet for bucket N from <batch>
+  *   <root>/<table>/changes/<version>/ recorded change data feed
   * }}}
   *
   * A version is a manifest: unchanged buckets carry their previous data
   * path forward, so every retained version is a complete consistent
-  * snapshot (time travel) while sharing unchanged files. Readers resolve
-  * the manifest, never see a half-written batch, and a replayed batch
-  * (at-least-once) rewrites the same buckets with the same content.
+  * snapshot (time travel) while sharing unchanged files.
+  *
+  * COMMIT PROTOCOL (rename-free — deployable where the 100 TB lives).
+  * All filesystem access rides the root's HADOOP FileSystem, so the
+  * same store runs on `file:`, `hdfs://` and `s3a://` roots. A merge
+  * stages its data dirs, its manifest and its recorded change feed
+  * (all invisible — nothing references them yet), then commits by
+  * EXCLUSIVELY creating `_log/<seq>.commit` (20-digit zero-padded
+  * monotonic sequence, content `<manifest-name>\n#END`) at
+  * `parentSeq + 1` — the Delta `_delta_log` shape. The current version
+  * is the HIGHEST WELL-FORMED log entry:
+  *
+  *  - Torn commit (crash mid-write, readable on HDFS where a created
+  *    file is visible before its content lands): the entry fails the
+  *    `#END` terminator check and readers serve the previous entry —
+  *    a reader never sees a half-committed version. The next writer
+  *    skips over the torn slot (it never counted) and commits above it.
+  *  - Concurrent writers from the same parent: the exclusive create
+  *    arbitrates — exactly one wins the slot; the loser's staged
+  *    files are deleted and it gets [[ConcurrentWriteException]]
+  *    (clean loss; retry from the new current version).
+  *  - Atomicity of the exclusive create: java.nio `CREATE_NEW` on
+  *    local roots (the fast-path), HDFS atomic `create(overwrite =
+  *    false)`, S3A conditional puts on recent Hadoop (the same
+  *    contract Delta requires of its LogStore).
+  *
+  * Stores written by the pre-log protocol are adopted transparently:
+  * when the log has no entry, the legacy `_LATEST` pointer resolves
+  * (at sequence 0) and the next commit starts the log above it.
+  *
+  * A replayed batch (at-least-once) rewrites the same buckets with the
+  * same content, so replay converges; metadata markers
+  * (`readMarker`/`writeMarker`) carry the same `#END` torn-write guard.
   */
 class ParquetTableStore(spark: SparkSession, root: String,
     partitioning: Map[String, Seq[String]] = Map.empty,
     nBuckets: Int = 64) extends CdcSink {
   import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-  import java.nio.file.{Files, Paths, StandardCopyOption}
-  import scala.jdk.CollectionConverters._
+  import org.apache.hadoop.fs.Path
+  import graft.streaming.IndexFs
 
-  // The manifest/pointer machinery is java.nio by design (the _LATEST
-  // flip leans on local-FS ATOMIC_MOVE; object stores don't even HAVE
-  // atomic rename) — so a non-local root must fail HERE, loudly, not
-  // read an empty store and silently drop every mirrored table. The
-  // production stance for hdfs://s3a:// is a Delta/Iceberg-backed
-  // implementation of the same trait (see class scaladoc). An explicit
-  // `file:` scheme is accepted and normalized to its path (java.nio
-  // would otherwise treat "file:" as a literal relative component).
-  private val localRoot = {
-    val uri = new org.apache.hadoop.fs.Path(root).toUri
-    require(uri.getScheme == null || uri.getScheme == "file",
-      s"ParquetTableStore requires a local filesystem root (its _LATEST " +
-        s"pointer flip relies on local ATOMIC_MOVE); got '$root'. For " +
-        s"hdfs://s3a:// deployments put a transactional table format " +
-        s"(Delta/Iceberg MERGE) behind the CdcSink trait instead.")
-    if (uri.getScheme == "file") uri.getPath else root
+  private val rootPath = new Path(root)
+  private def dir(t: String) = new Path(rootPath, t)
+  private def logDir(t: String) = new Path(dir(t), "_log")
+
+  /** Well-formed small-file terminator — the torn-write guard for
+    * commit entries and markers. */
+  private val End = "#END"
+
+  private def parseTerminated(content: String): Option[String] = {
+    val i = content.lastIndexOf("\n" + End)
+    if (i >= 0) Some(content.substring(0, i)) else None
   }
 
-  private def dir(t: String) = Paths.get(localRoot, t)
-  private def pointer(t: String) = dir(t).resolve("_LATEST")
+  private val CommitName = """(\d{20})\.commit""".r
 
-  private def currentVersion(t: String): Option[String] = {
-    val p = pointer(t)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim) else None
+  /** Log entries, ascending by sequence. */
+  private def logEntries(t: String): Seq[(Long, String)] =
+    IndexFs.listNames(spark, logDir(t).toString).collect {
+      case n @ CommitName(seq) => (seq.toLong, n)
+    }.sortBy(_._1)
+
+  /** (sequence, version) of the highest WELL-FORMED commit; a legacy
+    * pre-log `_LATEST` pointer resolves at sequence 0. */
+  private def currentCommit(t: String): Option[(Long, String)] =
+    logEntries(t).reverseIterator.flatMap { case (seq, name) =>
+      IndexFs.readText(spark, new Path(logDir(t), name).toString)
+        .flatMap(parseTerminated).map(v => (seq, v.trim))
+    }.nextOption().orElse(
+      IndexFs.readText(spark, new Path(dir(t), "_LATEST").toString)
+        .map(v => (0L, v.trim)))
+
+  private def currentVersion(t: String): Option[String] =
+    currentCommit(t).map(_._2)
+
+  /** Commit `version` at the first free log slot from `firstSeq` up.
+    * Occupied WELL-FORMED slot = a concurrent writer won from the same
+    * parent — this merge is stale, loser cleanup is the caller's.
+    * Occupied TORN slot = a crashed commit that never counted — skip
+    * over it (readers resolve highest well-formed, so committing above
+    * a corpse is safe and unblocks the sequence). */
+  /** Test seam: runs immediately before the commit's exclusive create
+    * so specs can interleave a competing writer deterministically into
+    * the race window. No-op in production. */
+  private[cdc] var onBeforeCommit: () => Unit = () => ()
+
+  private def commitVersion(t: String, firstSeq: Long,
+      version: String): Unit = {
+    onBeforeCommit()
+    var seq = firstSeq
+    while (true) {
+      val p = new Path(logDir(t), f"$seq%020d.commit")
+      if (IndexFs.createExclusive(spark, p.toString, s"$version\n$End\n"))
+        return
+      if (IndexFs.readText(spark, p.toString)
+          .flatMap(parseTerminated).isDefined)
+        throw new ConcurrentWriteException(
+          s"commit slot $seq of '$t' was taken by a concurrent writer; " +
+            s"this merge (parent of '$version') is stale — re-read the " +
+            s"current version and retry")
+      seq += 1
+    }
   }
 
   /** bucket -> data directory (absolute), as recorded by `version`.
@@ -335,20 +409,27 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * can be moved or renamed wholesale without invalidating retained
     * versions; absolute entries (older manifests) pass through as-is. */
   def manifest(target: String, version: String): Map[Int, String] =
-    Files.readAllLines(dir(target).resolve(version)).asScala
-      .filter(_.nonEmpty)
+    IndexFs.readText(spark, new Path(dir(target), version).toString)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"manifest '$version' of '$target' not found"))
+      .split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
         val Array(b, path) = line.split("\t", 2)
-        val p = Paths.get(path)
-        b.toInt -> (if (p.isAbsolute) p else dir(target).resolve(p)).toString
+        val abs =
+          if (new Path(path).isAbsolute || path.contains("://")) path
+          else new Path(dir(target), path).toString
+        b.toInt -> abs
       }.toMap
 
-  /** Directory children, with the JDK stream closed (Files.list leaks a
-    * file descriptor per call otherwise). */
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toSeq finally s.close()
+  private def relativeToTable(t: String, abs: String): String = {
+    val prefix = dir(t).toString + "/"
+    if (abs.startsWith(prefix)) abs.substring(prefix.length) else abs
   }
+
+  /** Scheme-free path form for same-store comparisons (Hadoop
+    * listStatus returns fully-qualified paths; manifest resolution may
+    * build scheme-less ones). */
+  private def norm(p: String): String = new Path(p).toUri.getPath
 
   // Every table reads as ONE multi-path scan — planning is constant in
   // nBuckets (mergeSchema nulls in columns a bucket predates). Tables
@@ -366,7 +447,13 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val layout = partitioning.getOrElse(target, Seq.empty)
     if (paths.isEmpty) None
     else if (layout.isEmpty)
-      Some(spark.read.option("mergeSchema", "true").parquet(paths.sorted: _*))
+      // recursiveFileLookup turns partition DISCOVERY off entirely, so
+      // sibling `_b=N` bucket roots from different batch dirs can never
+      // trip basePath inference or CONFLICTING_DIRECTORY_STRUCTURES —
+      // the rename-free layout depends on this (bucket dirs keep their
+      // partitionBy names; nothing needs a post-write rename)
+      Some(spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(paths.sorted: _*))
     else {
       // Back-compat: bucket roots written before layout columns were
       // duplicated into the data files carry them ONLY as Hive
@@ -412,53 +499,43 @@ class ParquetTableStore(spark: SparkSession, root: String,
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   private def isLegacyLayout(root: String, layout: Seq[String]): Boolean =
-    legacyLayoutMemo.getOrElseUpdate(root, {
-      val p = Paths.get(root)
-      Files.isDirectory(p) && listDir(p).exists(c =>
-        Files.isDirectory(c) &&
-          layout.exists(col => c.getFileName.toString.startsWith(s"$col=")))
-    })
+    legacyLayoutMemo.getOrElseUpdate(root,
+      IndexFs.childDirs(spark, root).exists(name =>
+        layout.exists(col => name.startsWith(s"$col="))))
 
   def read(target: String): Option[DataFrame] =
     currentVersion(target).flatMap(v =>
       readPaths(target, manifest(target, v).values.toSeq))
 
-  /** The version `read` serves — the _LATEST pointer, which is the
-    * only authority (a manifest file orphaned by a crash between
-    * manifest write and pointer flip is NOT current, so callers
+  /** The version `read` serves — the highest committed log entry,
+    * which is the only authority (a manifest file orphaned by a crash
+    * between manifest write and commit is NOT current, so callers
     * recording "the version I saw" must use this, never
     * `versions(target).last`). */
   def version(target: String): Option[String] = currentVersion(target)
 
   /** Small metadata sidecar per table (e.g. the base version an
     * incremental view reflects — `IncrementalView`'s `_REFLECTS`).
-    * Same local-FS contract as the manifests. */
-  def readMarker(target: String, name: String): Option[String] = {
-    val p = dir(target).resolve(name)
-    if (Files.isRegularFile(p))
-      Some(new String(Files.readAllBytes(p)).trim)
-    else None
-  }
+    * Written rename-free (overwrite put) with the `#END` terminator; a
+    * torn marker reads as ABSENT, which every marker protocol treats
+    * as its safe direction (`_REFLECTS` absent → re-initialize;
+    * `_REFRESH_INTENT` absent → no recovery claim to honor). */
+  def readMarker(target: String, name: String): Option[String] =
+    IndexFs.readText(spark, new Path(dir(target), name).toString)
+      .flatMap(parseTerminated)
 
-  def writeMarker(target: String, name: String, value: String): Unit = {
-    Files.createDirectories(dir(target))
-    val tmp = dir(target).resolve(s"$name.tmp")
-    Files.write(tmp, value.getBytes)
-    Files.move(tmp, dir(target).resolve(name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeMarker(target: String, name: String, value: String): Unit =
+    IndexFs.writeText(spark, new Path(dir(target), name).toString,
+      s"$value\n$End\n")
 
   def removeMarker(target: String, name: String): Unit =
-    Files.deleteIfExists(dir(target).resolve(name))
+    IndexFs.delete(spark, new Path(dir(target), name).toString)
 
   /** All retained versions of a table, oldest first. */
-  def versions(target: String): Seq[String] = {
-    val d = dir(target).toFile
-    if (!d.exists()) Seq.empty
-    else d.listFiles().filter(f => f.isFile && f.getName.startsWith("v")
-        && f.getName.endsWith(".manifest"))
-      .map(_.getName).sorted.toSeq
-  }
+  def versions(target: String): Seq[String] =
+    IndexFs.listNames(spark, dir(target).toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .sorted
 
   /** Time travel: read the table as of an older version. Manifests pin
     * the exact data paths of every bucket at write time, so any
@@ -530,7 +607,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
     }
 
   private def changesDir(t: String, version: String) =
-    dir(t).resolve("changes").resolve(version)
+    new Path(new Path(dir(t), "changes"), version)
 
   /** The versions strictly after `from` up to `to`, oldest first,
     * IF every step has a recorded change dir and the `_PARENT` chain
@@ -540,11 +617,11 @@ class ParquetTableStore(spark: SparkSession, root: String,
     val acc = scala.collection.mutable.ListBuffer.empty[String]
     var v = to
     while (v != from) {
-      val d = changesDir(target, v)
-      val parentFile = d.resolve("_PARENT")
-      if (!Files.isRegularFile(parentFile)) return None
+      val parentFile = new Path(changesDir(target, v), "_PARENT")
+      val parentOpt = IndexFs.readText(spark, parentFile.toString)
+      if (parentOpt.isEmpty) return None
       acc.prepend(v)
-      val parent = new String(Files.readAllBytes(parentFile)).trim
+      val parent = parentOpt.get.trim
       if (parent.isEmpty && from.nonEmpty) return None // reached genesis
       v = parent
     }
@@ -580,7 +657,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
       fromVersion: String, toVersion: String): DataFrame = {
     import org.apache.spark.sql.functions.struct
     Seq(fromVersion, toVersion).foreach(v =>
-      require(Files.isRegularFile(dir(target).resolve(v)),
+      require(IndexFs.exists(spark, new Path(dir(target), v).toString),
         s"version '$v' of '$target' is not retained (vacuumed?) and no " +
           s"recorded change span covers it — a consumer standing on a " +
           s"vacuumed version must recompute from the current snapshot " +
@@ -656,8 +733,8 @@ class ParquetTableStore(spark: SparkSession, root: String,
     }
     // parent marker completes the span-walk proof; underscore prefix
     // keeps parquet reads from picking it up
-    Files.write(outDir.resolve("_PARENT"),
-      parentVersion.getOrElse("").getBytes)
+    IndexFs.writeText(spark, new Path(outDir, "_PARENT").toString,
+      parentVersion.getOrElse(""))
   }
 
   /** (_pre, _post) image pair → Delta-CDF rows. Null pre = absent at
@@ -696,56 +773,64 @@ class ParquetTableStore(spark: SparkSession, root: String,
     * references. Returns the deleted version names. */
   def vacuum(target: String, keep: Int = 2): Seq[String] = {
     val vs = versions(target)
-    val current = currentVersion(target).getOrElse("")
-    val doomed = vs.dropRight(math.max(keep, 1)).filterNot(_ == current)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    val cur = currentVersion(target)
+    val doomed = vs.dropRight(math.max(keep, 1))
+      .filterNot(v => cur.contains(v))
     doomed.foreach { v =>
-      Files.deleteIfExists(dir(target).resolve(v))
+      IndexFs.delete(spark, new Path(dir(target), v).toString)
       // the version's recorded change feed goes with it — spans that
       // crossed it break their _PARENT walk and fall back to the
       // snapshot diff over the retained manifests
-      val cd = changesDir(target, v)
-      if (Files.isDirectory(cd)) rmTree(cd)
+      IndexFs.deleteRecursive(spark, changesDir(target, v).toString)
     }
     // GC: orphan change dirs — a crash between writeChangeFeed and the
-    // manifest/pointer write leaves a changes/<version>/ no _PARENT
-    // walk reaches (correct for serving, invisible forever). Doomed
+    // manifest write leaves a changes/<version>/ no _PARENT walk
+    // reaches (correct for serving, invisible forever). Doomed
     // versions' dirs were removed above; anything left that names no
-    // retained manifest and isn't the current pointer is such an
+    // retained manifest and isn't the current version is such an
     // orphan. Single-writer stance (the store's, documented on
     // applyChanges): vacuum never runs concurrently with a merge, so
-    // an in-flight merge's pre-manifest change dir can't be swept.
+    // an in-flight merge's pre-commit change dir can't be swept.
     val retained = versions(target).toSet
-    val changesRoot = dir(target).resolve("changes")
-    if (Files.isDirectory(changesRoot)) {
-      listDir(changesRoot)
-        .filter(c => Files.isDirectory(c))
-        .filterNot(c => retained.contains(c.getFileName.toString) ||
-          currentVersion(target).contains(c.getFileName.toString))
-        .foreach(rmTree)
-    }
-    // GC: bucket dirs referenced by no surviving manifest
-    val live = versions(target)
-      .flatMap(v => manifest(target, v).values).toSet
-    val dataRoot = dir(target).resolve("data")
-    if (Files.exists(dataRoot)) {
-      listDir(dataRoot).foreach { batchDir =>
-        listDir(batchDir)
-          .filter(b => b.getFileName.toString.matches("b\\d+"))
-          .filterNot(b => live.contains(b.toString))
-          .foreach(rmTree)
-        // a batch dir whose buckets are all gone holds only write
-        // markers (_SUCCESS) — drop it whole, or soaks accumulate one
-        // empty dir per micro-batch forever
-        if (!listDir(batchDir).exists(
-            _.getFileName.toString.matches("b\\d+")))
-          rmTree(batchDir)
+    IndexFs.childDirs(spark, new Path(dir(target), "changes").toString)
+      .filterNot(n => retained.contains(n) || cur.contains(n))
+      .foreach(n => IndexFs.deleteRecursive(
+        spark, changesDir(target, n).toString))
+    // GC: log entries that commit a version no longer retained (the
+    // current one always is), and torn corpses below the current
+    // commit — resolution only ever needs the newest well-formed entry
+    currentCommit(target).foreach { case (curSeq, _) =>
+      logEntries(target).foreach { case (seq, name) =>
+        val p = new Path(logDir(target), name).toString
+        val v = IndexFs.readText(spark, p).flatMap(parseTerminated)
+          .map(_.trim)
+        val prune = v match {
+          case Some(ver) => !retained.contains(ver) && !cur.contains(ver)
+          case None => seq < curSeq // torn corpse beneath a real commit
+        }
+        if (prune) IndexFs.delete(spark, p)
       }
+    }
+    // GC: bucket dirs referenced by no surviving manifest. Bucket dirs
+    // are `_b=N` under the rename-free layout, `bN` under the legacy
+    // one — both shapes are swept.
+    val live = versions(target)
+      .flatMap(v => manifest(target, v).values).map(norm).toSet
+    val bucketName = "(_b=|b)\\d+"
+    val dataRoot = new Path(dir(target), "data")
+    IndexFs.childDirs(spark, dataRoot.toString).foreach { batch =>
+      val batchDir = new Path(dataRoot, batch)
+      IndexFs.listNames(spark, batchDir.toString)
+        .filter(_.matches(bucketName))
+        .filterNot(b => live.contains(norm(new Path(batchDir, b).toString)))
+        .foreach(b => IndexFs.deleteRecursive(
+          spark, new Path(batchDir, b).toString))
+      // a batch dir whose buckets are all gone holds only write
+      // markers (_SUCCESS) — drop it whole, or soaks accumulate one
+      // empty dir per micro-batch forever
+      if (!IndexFs.listNames(spark, batchDir.toString)
+          .exists(_.matches(bucketName)))
+        IndexFs.deleteRecursive(spark, batchDir.toString)
     }
     doomed
   }
@@ -755,7 +840,10 @@ class ParquetTableStore(spark: SparkSession, root: String,
     import spark.implicits._
     val bucketOf = pmod(xxhash64(pks.map(col): _*), lit(nBuckets)).cast("int")
 
-    val parentVersion: Option[String] = currentVersion(target)
+    // parent resolved ONCE — its sequence is the optimistic-concurrency
+    // token the commit below stands on
+    val parentCommit: Option[(Long, String)] = currentCommit(target)
+    val parentVersion: Option[String] = parentCommit.map(_._2)
     val prior: Map[Int, String] =
       parentVersion.map(v => manifest(target, v)).getOrElse(Map.empty)
 
@@ -796,8 +884,7 @@ class ParquetTableStore(spark: SparkSession, root: String,
       }
 
       val batch = f"b${System.currentTimeMillis()}%d-${System.nanoTime() % 1000000}%06d"
-      val batchDir = dir(target).resolve("data").resolve(batch)
-      Files.createDirectories(dir(target).resolve("data"))
+      val batchDir = new Path(new Path(dir(target), "data"), batch)
       // bucket layout first, then any configured layout (e.g. by
       // tenant/date) nested inside each bucket for path-level pruning.
       // Layout columns are written as `_p_<col>` COPIES so the data
@@ -815,19 +902,17 @@ class ParquetTableStore(spark: SparkSession, root: String,
         .write.mode("overwrite").partitionBy(parts: _*)
         .parquet(batchDir.toString)
 
-      // buckets that ended up empty (all keys deleted) write no dir and
-      // drop out of the manifest; written dirs are renamed `_b=N` → `bN`
-      // so manifest roots don't parse as partition directories on read
-      // (Spark rejects sibling `key=value` roots as conflicting layouts)
-      val written = listDir(batchDir)
-        .map(_.getFileName.toString).filter(_.startsWith("_b="))
+      // buckets that ended up empty (all keys deleted) write no dir
+      // and drop out of the manifest. `_b=N` dirs are referenced AS
+      // WRITTEN — no post-write rename (object stores only have
+      // copy+delete); readers are recursive-lookup scans, so the
+      // `key=value` names can't trip partition discovery, and Spark's
+      // underscore filter exempts names containing '='.
+      val written = IndexFs.listNames(spark, batchDir.toString)
+        .filter(_.startsWith("_b="))
         .map(_.stripPrefix("_b=").toInt)
       val nextManifest = (prior -- changedBuckets) ++
-        written.map { b =>
-          val plain = batchDir.resolve(s"b$b")
-          Files.move(batchDir.resolve(s"_b=$b"), plain)
-          b -> plain.toString
-        }
+        written.map(b => b -> new Path(batchDir, s"_b=$b").toString)
 
       // millis + padded nanos: two batches inside the same millisecond
       // still get distinct, lexicographically ordered version names
@@ -837,19 +922,29 @@ class ParquetTableStore(spark: SparkSession, root: String,
       // merge holds both images RIGHT NOW, so the delta-sized feed
       // costs one extra delta-sized write — serving it later costs
       // O(delta) instead of the snapshot diff's O(touched-bucket
-      // rows). Written before the manifest/pointer: a crash here
-      // leaves an orphan dir no `_PARENT` chain ever reaches.
+      // rows). Written before the commit: a crash here leaves an
+      // orphan dir no `_PARENT` chain ever reaches (vacuum sweeps it).
       writeChangeFeed(target, version, parentVersion, ups, dels, pks, cur)
 
       // persisted relative to the table dir so the store is relocatable
       val body = nextManifest.toSeq.sorted
-        .map { case (b, p) => s"$b\t${dir(target).relativize(Paths.get(p))}" }
+        .map { case (b, p) => s"$b\t${relativeToTable(target, p)}" }
         .mkString("\n")
-      Files.write(dir(target).resolve(version), body.getBytes)
-      val tmp = dir(target).resolve("_LATEST.tmp")
-      Files.write(tmp, version.getBytes)
-      Files.move(tmp, pointer(target), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      IndexFs.writeText(spark,
+        new Path(dir(target), version).toString, body)
+      // THE commit: exclusive create of the next log slot. Losing the
+      // race means a concurrent writer advanced the table under this
+      // merge — unstage everything (nothing references it) and
+      // surface the clean loss.
+      try commitVersion(target,
+        parentCommit.map(_._1).getOrElse(0L) + 1L, version)
+      catch {
+        case e: ConcurrentWriteException =>
+          IndexFs.delete(spark, new Path(dir(target), version).toString)
+          IndexFs.deleteRecursive(spark, changesDir(target, version).toString)
+          IndexFs.deleteRecursive(spark, batchDir.toString)
+          throw e
+      }
     } finally {
       ups.unpersist()
       dels.unpersist()

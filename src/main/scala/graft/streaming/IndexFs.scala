@@ -70,4 +70,64 @@ private[graft] object IndexFs {
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Names of ALL children of `path` (files and directories); empty if
+    * absent. The file/dir split is the caller's business. */
+  def listNames(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  def mkdirs(spark: SparkSession, path: String): Unit =
+    fs(spark, path).mkdirs(new Path(path))
+
+  /** Idempotent single-file delete (through the FS, so checksum
+    * siblings on LocalFileSystem go with it). */
+  def delete(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new Path(path), false)
+
+  def deleteRecursive(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new Path(path), true)
+
+  /** EXCLUSIVE create-with-content: true iff THIS call created the
+    * file — the rename-free commit primitive (a version-log entry's
+    * successful exclusive create IS the commit; see
+    * `cdc.ParquetTableStore`). Local filesystems take the java.nio
+    * `CREATE_NEW` fast-path (atomic create on POSIX); everything else
+    * rides Hadoop `create(path, overwrite = false)` — atomic on HDFS,
+    * conditional-put-backed on object stores whose connector supports
+    * it (recent Hadoop S3A), check-then-act otherwise (the same
+    * residual Delta accepts on plain S3 without a coordinating
+    * LogStore). */
+  def createExclusive(spark: SparkSession, path: String,
+      text: String): Boolean = {
+    val f = fs(spark, path)
+    val p = f.makeQualified(new Path(path))
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        try {
+          java.nio.file.Files.write(local, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case _ =>
+        try {
+          val out = f.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if f.exists(p) => false
+        }
+    }
+  }
 }

@@ -18,8 +18,10 @@ class IncrementalViewSpec extends AnyFunSuite {
 
   private val vdef = ViewDef(Seq("region"), Seq("amount"))
 
+  // explicit file: URI — the whole IVM suite runs through the store's
+  // Hadoop-FS code path (the exact route an hdfs://s3a:// root takes)
   private def freshStore() = new ParquetTableStore(spark,
-    java.nio.file.Files.createTempDirectory("graft-ivm").toString,
+    "file:" + java.nio.file.Files.createTempDirectory("graft-ivm"),
     nBuckets = 8)
 
   private def rows(t: (Int, String, Double)*): DataFrame =

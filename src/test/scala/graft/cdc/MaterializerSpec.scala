@@ -275,19 +275,21 @@ class MaterializerSpec extends AnyFunSuite {
     assert(sink.state("orders_sink")(Seq(100L))("product") == "thing")
   }
 
-  test("parquet table store fails FAST on a non-local root (no silent empty store)") {
-    // the _LATEST pointer flip is local-FS ATOMIC_MOVE; handed an
-    // hdfs:// root the store would otherwise just see an empty mirror
-    val e = intercept[IllegalArgumentException] {
-      new ParquetTableStore(spark, "hdfs://namenode:8020/store")
-    }
-    assert(e.getMessage.contains("local filesystem root"), e.getMessage)
-    intercept[IllegalArgumentException] {
-      new ParquetTableStore(spark, "s3a://bucket/store")
-    }
-    // local roots, with or without the explicit scheme, stay accepted
-    val tmp = java.nio.file.Files.createTempDirectory("pts-scheme").toString
-    new ParquetTableStore(spark, tmp)
-    new ParquetTableStore(spark, s"file:$tmp")
+  test("non-local roots are ACCEPTED (rename-free log commit needs no " +
+      "atomic rename) and file: roots run the full merge path") {
+    // pre-log protocol the constructor failed fast on hdfs://s3a://
+    // because the _LATEST flip leaned on local ATOMIC_MOVE; the
+    // version-log commit is rename-free, so every Hadoop FS routes
+    new ParquetTableStore(spark, "hdfs://namenode:8020/store")
+    new ParquetTableStore(spark, "s3a://bucket/store")
+    // an explicit file: URI root exercises the exact Hadoop-FS code
+    // path an hdfs:// root takes (the IndexFs adoption pattern)
+    val tmp = java.nio.file.Files.createTempDirectory("pts-scheme")
+    val sink = new ParquetTableStore(spark, s"file:$tmp")
+    Materializer.applyBatch(toDf(Fixtures.goldenSequence), catalog,
+      Envelope.defaultRegistry, sink)
+    val rows = sink.read("customers").get
+      .select("id", "first_name").as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "Sally", 3 -> "Edward"))
   }
 }

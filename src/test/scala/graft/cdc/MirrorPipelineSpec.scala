@@ -56,9 +56,11 @@ class MirrorPipelineSpec extends AnyFunSuite {
   test("views track the mirror per batch, and survive a replay restart") {
     val in = Files.createTempDirectory("mirror-in")
     val ckpt = Files.createTempDirectory("mirror-ckpt")
-    val storeRoot = Files.createTempDirectory("mirror-store")
+    // explicit file: URI root: the full mirror+IVM composition rides
+    // the store's Hadoop-FS path end to end
+    val storeRoot = "file:" + Files.createTempDirectory("mirror-store")
     val catalog = CdcCatalog.fromPropertiesString("pk.customers=id\n")
-    val store = new ParquetTableStore(spark, storeRoot.toString)
+    val store = new ParquetTableStore(spark, storeRoot)
 
     writeBatch(in, 0, Seq(
       Fixtures.raw(Fixtures.customer("r", 1, "Sally", "Thomas", "s@x"), 0),
