@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 extension batch 1: the full BPE tokenizer-training loop —
+  * `q_bpe_merge` (Coverage7) computes ONE merge step; a real pipeline
+  * trains N merges iteratively and then APPLIES the learned table.
+  * The loop rides the k-core fixpoint discipline (Coverage16:
+  * localCheckpoint per round, released in-loop, bounded rounds).
+  *
+  * Reference scope: SURVEY.md §2-B LLM-pipeline operator family
+  * (tokenization / text analysis).
+  */
+object Coverage17 {
+
+  /** Number of trained merges. Small enough for the unrolled DuckDB
+    * CTE oracle (the q_pagerank move: the oracle recomputes the exact
+    * loop at fixed N), large enough that later rounds merge MERGED
+    * symbols (step 6 on the gate corpus merges 'm'+'er'). */
+  val BpeN = 8
+
+  /** BPE state is a string per word: every symbol wrapped as
+    * `(sym)`, e.g. "hello" → "(h)(e)(l)(l)(o)". The wrapping makes
+    * one literal `replace(w, '(a)(b)', '(ab)')` per merge step apply
+    * the merge GREEDILY LEFT-TO-RIGHT over non-overlapping
+    * occurrences — the BPE application rule — with identical
+    * semantics in Spark and DuckDB (both `replace`s scan leftmost and
+    * continue after the replacement), and no false boundary matches:
+    * a pattern `(e)(l)` cannot match inside "(e)(ll)" because every
+    * symbol carries its own closing paren. Symbols stay in [a-z]+ by
+    * the word filter, so the delimiters never collide with content. */
+  private def wrapped(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w0"))
+      .filter(col("w0").rlike("^[a-z]{2,}$"))
+      .groupBy("w0").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w0"), "(.)", "($1)").as("w"), col("freq"))
+
+  private def symsCol: org.apache.spark.sql.Column =
+    split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(")
+
+  /** Train BpeN merges over the word-frequency table (NOT the corpus:
+    * the vocabulary is Heaps-law bounded regardless of corpus size, so
+    * each round's pair count and merge rewrite are vocab-sized — the
+    * property that makes corpus-scale BPE training feasible; the
+    * corpus is touched exactly once, for the frequency aggregation).
+    * Per round: one vocab-sized pair explode + hash agg + top-1
+    * collect (the fixpoint-control pattern — ONE row to the driver per
+    * round), then a literal-replace projection re-checkpointed via
+    * loopInput with the superseded round released in-loop (the k-core
+    * discipline, Coverage16.scala). Returns the merge table and the
+    * final tokenized vocabulary. */
+  private[operators] def trainBpe(s: SparkSession,
+      dir: String): (Seq[(Long, String, String, Long)], DataFrame) =
+    BpeMemo.get(s, dir) {
+      var vocab = DedupOps.loopInput(wrapped(s, dir))
+      val merges =
+        scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+      (1 to BpeN).foreach { step =>
+        val top = vocab
+          .select(col("freq"), symsCol.as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> concat(element_at(syms, i), '|', element_at(syms, i + 1)))"))
+            .as("p"))
+          .groupBy("p").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p")).limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val Array(a, b) = top(0).getString(0).split("\\|", 2)
+          merges += ((step.toLong, a, b, top(0).getLong(1)))
+          val next = DedupOps.loopInput(vocab.select(
+            call_function("replace", col("w"),
+              lit(s"($a)($b)"), lit(s"($a$b)")).as("w"),
+            col("freq")))
+          next.count() // materialize before the input's blocks drop
+          DedupOps.releaseLoopInput(vocab)
+          vocab = next
+        }
+      }
+      (merges.toSeq, vocab)
+    }
+
+  // ---- shared DuckDB oracle: the unrolled training CTE ----------------
+  // One CTE pair (best-pair, merged-vocab) per round — the oracle IS
+  // the loop at fixed N, independently recomputed (the q_pagerank
+  // move). Pair keys travel as 'a|b' strings so the per-round top-1
+  // tiebreak (cnt DESC, p) is one binary string compare in both
+  // engines.
+  private def pairsOf(v: String): String =
+    s"""(SELECT freq, unnest(list_transform(range(1, len(syms)),
+       |    i -> syms[i] || '|' || syms[i+1])) AS p
+       |  FROM (SELECT freq, string_split(substr(w, 2, length(w) - 2), ')(') AS syms
+       |        FROM $v))""".stripMargin
+
+  private val trainCte: String = {
+    val head =
+      """words AS (
+        |  SELECT w0, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w0
+        |    FROM documents)
+        |  WHERE regexp_matches(w0, '^[a-z]{2,}$') GROUP BY w0),
+        |v0 AS (SELECT regexp_replace(w0, '(.)', '(\1)', 'g') AS w, freq
+        |       FROM words)""".stripMargin
+    val rounds = (1 to BpeN).map { r =>
+      s"""b$r AS (
+         |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM ${pairsOf(s"v${r - 1}")}
+         |  GROUP BY p ORDER BY cnt DESC, p LIMIT 1),
+         |v$r AS (
+         |  SELECT replace(v.w,
+         |      '(' || split_part(b.p, '|', 1) || ')(' || split_part(b.p, '|', 2) || ')',
+         |      '(' || replace(b.p, '|', '') || ')') AS w, v.freq
+         |  FROM v${r - 1} v, b$r b)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- BPE tokenizer training: the full N-merge loop ------------------
+    QDef("q_bpe_train", {
+      val sel = (1 to BpeN).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS step, split_part(p, '|', 1) AS lhs, " +
+          s"split_part(p, '|', 2) AS rhs, cnt FROM b$r")
+        .mkString(" UNION ALL ")
+      s"WITH $trainCte\nSELECT * FROM ($sel) ORDER BY step"
+    }) { (s, dir) =>
+      import s.implicits._
+      val (merges, _) = trainBpe(s, dir)
+      merges.toDF("step", "lhs", "rhs", "cnt").orderBy("step")
+    },
+
+    // ---- apply the trained tokenizer ------------------------------------
+    // Token frequencies of the corpus under the learned merge table —
+    // the vocabulary a downstream token-budget/packing stage consumes.
+    // Spark serves it from the training loop's final checkpointed
+    // vocab (one explode + hash agg + TakeOrdered); the oracle
+    // re-derives the same state through the unrolled CTE.
+    QDef("q_bpe_apply",
+      s"""WITH $trainCte
+         |SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(string_split(substr(w, 2, length(w) - 2), ')(')) AS token
+         |  FROM v$BpeN)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25
+         |""".stripMargin) { (s, dir) =>
+      val (_, vocab) = trainBpe(s, dir)
+      vocab.select(col("freq"), explode(symsCol).as("token"))
+        .groupBy("token").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(25)
+    }
+  )
+}
+
+/** Process-level memo for the trained BPE state (merge table + final
+  * vocab checkpoint), shared by q_bpe_train / q_bpe_apply — one
+  * training loop per corpus snapshot, the GraphMemo posture. The vocab
+  * rides a loopInput checkpoint (liveCkpts → released by
+  * DedupOps.clearMemos' sweep); this map's references are dropped in
+  * the same sweep. */
+private[operators] object BpeMemo {
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Long, String, String, Long)], DataFrame)]
+  private val hits = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  def get(s: SparkSession, dir: String)(
+      build: => (Seq[(Long, String, String, Long)], DataFrame))
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val key = (s, dir)
+    if (memo.contains(key)) hits.put("bpe", ())
+    memo.getOrElseUpdate(key, build)
+  }
+
+  def drainHits(): Set[String] = {
+    val h = hits.keySet.toSet
+    hits.clear()
+    h
+  }
+
+  def clear(): Unit = {
+    memo.clear()
+    hits.clear()
+  }
+}

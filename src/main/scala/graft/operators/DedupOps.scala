@@ -183,7 +183,8 @@ object DedupOps {
 
   /** Drain and return the memo tables hit since the last call. */
   def drainMemoHits(): Set[String] = {
-    val hit = memoHits.keySet.toSet ++ GraphMemo.drainHits()
+    val hit = memoHits.keySet.toSet ++ GraphMemo.drainHits() ++
+      BpeMemo.drainHits()
     memoHits.clear()
     hit
   }
@@ -209,6 +210,7 @@ object DedupOps {
     while (r != null) { r.unpersist(true); r = liveCkpts.poll() }
     memoHits.clear()
     GraphMemo.clear() // the co-purchase edge memo rides the same sweep
+    BpeMemo.clear() // trained-BPE state too (vocab ckpt drains above)
     // bloom-probe broadcasts ride query plans the same way the memo
     // frames do; release them in the same sweep so repeated bench runs
     // don't stack multi-MB executor copies

@@ -124,7 +124,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_vocab_growth" -> Budget(maxExchanges = 5),
     // 2-path join + distinct + three per-node aggs over the bounded
     // edge table (memoized checkpoint); top-20 is TakeOrdered
-    "q_graph_two_hop" -> Budget(maxExchanges = 8)
+    "q_graph_two_hop" -> Budget(maxExchanges = 8),
+    // r10: token frequencies off the trained-BPE vocab checkpoint —
+    // one explode + hash agg + TakeOrdered (1 observed + 1 slack).
+    // q_bpe_train itself is iterative (k-core posture): per-round
+    // plans constant-size by loopInput; Coverage17Spec pins it by
+    // reference-equality instead of a static audit.
+    "q_bpe_apply" -> Budget(maxExchanges = 2)
   )
 
   private def finalizedPlan(name: String): String = {
