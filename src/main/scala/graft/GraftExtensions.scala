@@ -74,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.SrpExpressions.bucketsBuilder(children)))
     ext.injectFunction((
+      new FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[graft.functions.DHash64].getName, "dhash64"),
+      (children: Seq[Expression]) =>
+        graft.functions.ImageHashExpressions.builder(children)))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))

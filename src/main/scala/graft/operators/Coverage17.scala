@@ -133,6 +133,97 @@ object Coverage17 {
       merges.toDF("step", "lhs", "rhs", "cnt").orderBy("step")
     },
 
+    // ---- image near-dup dedup: dHash + Hamming banding ------------------
+    // The image bridge of the near-dup family: synthesize a real 24-bit
+    // BMP per image doc (deterministic gradient + planted variants —
+    // Multimodal.ImageDupSynth), decode it through the genuine JDK BMP
+    // reader, dHash the decoded pixels with the codegen'd `dhash64`
+    // expression, and band the 64-bit hash through the exact SimHash
+    // machinery (4 × 16-bit bands → equi-join candidates → hamming ≤ 3
+    // verify). Threshold 3 < 4 bands ⇒ banding provably equals the
+    // all-pairs scan (pigeonhole: ≤3 differing bits leave ≥1 band
+    // intact), so the blocked join is lossless — the 100 TB shape with
+    // a small-corpus exactness proof (ImageDedupSpec pins it). The
+    // v=3 brightness-shifted variants land at hamming 0 even though
+    // every pixel byte differs — the perceptual (not checksum) signal.
+    // The oracle recomputes pixels in closed integer form and mirrors
+    // the banding; a decode/orientation/channel bug breaks every row.
+    QDef("q_dedup_images",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, r, c,
+        |    (((doc_id // 12) * 73 + r * 29 + c * 13) * 17) % 200
+        |    + CASE WHEN (doc_id // 3) % 4 = 1 AND r = 2 AND c = 3 THEN 40
+        |           WHEN (doc_id // 3) % 4 = 2 AND c = 0 AND r < 4 THEN 40
+        |           WHEN (doc_id // 3) % 4 = 3 THEN 25 ELSE 0 END AS p
+        |  FROM ids CROSS JOIN (SELECT unnest(range(0, 8)) AS r)
+        |           CROSS JOIN (SELECT unnest(range(0, 9)) AS c)),
+        |bits AS (
+        |  SELECT a.doc_id, a.r * 8 + a.c AS idx,
+        |         CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.r = b.r
+        |    AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |bands AS (
+        |  SELECT doc_id, idx // 16 AS band,
+        |         CAST(sum(bit << (idx % 16)) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bucket = b.bucket AND b.doc_id > a.doc_id),
+        |ham AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.d1
+        |  JOIN bits y ON y.doc_id = c.d2 AND y.idx = x.idx
+        |  GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.functions.ImageHashExpressions.register(s)
+      val px = table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 3 === 0).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(Multimodal.ImageDupSynth.bmp(id)))
+            require(img != null, s"doc $id: BMP decode failed")
+            val out = new Array[Int](72)
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 9) {
+                out(r * 9 + c) = img.getRGB(c, r) & 0xff // gray: B == G == R
+                c += 1
+              }
+              r += 1
+            }
+            (id, out.toSeq)
+          }
+        }.toDF("doc_id", "px")
+      val sig = px.select(col("doc_id"),
+        call_function("dhash64", col("px")).as("h"))
+      val banded = sig.select(col("doc_id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(h, ${b * 16}) & 65535").as("bucket"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("h"), col("bb.band"), col("bb.bucket"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h")))
+            .cast("bigint").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+
     // ---- apply the trained tokenizer ------------------------------------
     // Token frequencies of the corpus under the learned merge table —
     // the vocabulary a downstream token-budget/packing stage consumes.
