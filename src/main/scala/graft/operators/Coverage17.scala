@@ -118,7 +118,159 @@ object Coverage17 {
     (head +: rounds).mkString(",\n")
   }
 
+  // ---- PII enrichment + redaction (shared by the two queries below) ----
+  // The same deterministic doc_id-keyed enrichment q_pii_flags scans
+  // (Coverage16 — the find half); these queries are the APPLY half.
+  private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val piiPhone = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+  private val piiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  private val enrichSql =
+    """SELECT doc_id, source,
+      |    text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      |        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' host 10.' || doc_id % 256 || '.' || (doc_id * 7) % 256
+      |        || '.' || (doc_id * 13) % 256 ELSE '' END AS text
+      |  FROM documents""".stripMargin
+
+  private val redactSql =
+    s"""SELECT doc_id, source,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(text,
+       |          '$piiEmail', '[EMAIL]', 'g'),
+       |        '$piiPhone', '[PHONE]', 'g'),
+       |      '$piiIp', '[IP]', 'g') AS text, text AS orig
+       |  FROM enriched""".stripMargin
+
+  private def enriched(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit("."), ((col("doc_id") * 13) % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+
+  /** In-place masking: email → phone → IP, in that order (the
+    * placeholders carry no digits or '@', so no pass can re-match
+    * another's output; identical leftmost-all semantics both engines —
+    * the same RE2-compatible subset as the scan). */
+  private[graft] def redacted(s: SparkSession, dir: String): DataFrame =
+    enriched(s, dir).select(col("doc_id"), col("source"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), piiEmail, "[EMAIL]"),
+          piiPhone, "[PHONE]"),
+        piiIp, "[IP]").as("text"), col("text").as("orig"))
+
   val defs: Seq[QDef] = Seq(
+
+    // ---- PII redaction: the APPLY half of the compliance story ----------
+    // q_pii_flags finds, takedowns remove whole docs; this masks
+    // in place and proves the result clean — per-source mask counts,
+    // how many docs changed, and a residual re-scan that must come
+    // back ZERO (the find → redact → re-scan-zero loop, pinned
+    // end-to-end with the takedown machinery in CompliancePipelineSpec).
+    QDef("q_pii_redact",
+      // assembled by concatenation, NOT margin interpolation: the
+      // enrich/redact sub-SQL contains `||` at line starts, which an
+      // outer stripMargin would eat one bar of
+      s"WITH enriched AS ($enrichSql),\nr AS ($redactSql)\n" +
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '\\[EMAIL\\]'))) AS BIGINT)
+         |    AS masked_emails,
+         |  CAST(sum(len(regexp_extract_all(text, '\\[PHONE\\]'))) AS BIGINT)
+         |    AS masked_phones,
+         |  CAST(sum(len(regexp_extract_all(text, '\\[IP\\]'))) AS BIGINT)
+         |    AS masked_ips,
+         |  CAST(sum(CASE WHEN text <> orig THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS redacted_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '$piiEmail'))
+         |    + len(regexp_extract_all(text, '$piiPhone'))
+         |    + len(regexp_extract_all(text, '$piiIp'))) AS BIGINT)
+         |    AS residual_pii,
+         |  CAST(sum(length(text)) AS BIGINT) AS redacted_chars
+         |FROM r GROUP BY source
+         |""".stripMargin) { (s, dir) =>
+      redacted(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit("\\[EMAIL\\]"))).as("masked_emails"),
+        sum(regexp_count(col("text"), lit("\\[PHONE\\]"))).as("masked_phones"),
+        sum(regexp_count(col("text"), lit("\\[IP\\]"))).as("masked_ips"),
+        sum(when(col("text") =!= col("orig"), 1L).otherwise(0L))
+          .as("redacted_docs"),
+        sum(regexp_count(col("text"), lit(piiEmail)) +
+          regexp_count(col("text"), lit(piiPhone)) +
+          regexp_count(col("text"), lit(piiIp))).as("residual_pii"),
+        sum(length(col("text")).cast("long")).as("redacted_chars"))
+    },
+
+    // ---- corpus prep WITH redaction composed in --------------------------
+    // q_corpus_prep's quality → exact-dedup → token-budget pipeline
+    // with the redaction stage spliced in FRONT — still one declarative
+    // plan (Catalyst sees scan → regexp projections → filter → semi-join
+    // → PrefixSum at once), which is the point: masking adds zero
+    // materialization boundaries and zero extra shuffles to the
+    // flagship. Quality and dedup run over the REDACTED text (a doc
+    // whose only difference was its PII dedups away; placeholders count
+    // as tokens exactly once, both engines).
+    QDef("q_corpus_prep_redacted",
+      s"WITH enriched AS ($enrichSql),\n" +
+      s"red AS (SELECT doc_id, source, text FROM ($redactSql) rr),\n" +
+      s"""m AS (SELECT doc_id, source, text,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS alpha
+         |  FROM red),
+         |q AS (SELECT doc_id, source, text FROM m
+         |      WHERE alpha > (SELECT quantile_cont(alpha, 0.25) FROM m)),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q
+         |      GROUP BY md5(lower(trim(text)))),
+         |d AS (SELECT q.doc_id, q.source,
+         |        CAST(len(string_split_regex(trim(q.text), '\\s+')) AS BIGINT)
+         |          AS toks,
+         |        md5(CAST(q.doc_id AS VARCHAR)) AS ord
+         |      FROM q JOIN k USING (doc_id)),
+         |c AS (SELECT doc_id, source, toks,
+         |        sum(toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d)
+         |SELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum - toks < 600
+         |""".stripMargin) { (s, dir) =>
+      val m = redacted(s, dir).select(
+        col("doc_id"), col("source"), col("text"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / length(col("text"))).as("alpha"))
+      val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
+      val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
+        .select("doc_id", "source", "text")
+      val keep = q.groupBy(md5(lower(trim(col("text"))).cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val d = q.join(keep, Seq("doc_id"), "left_semi").select(
+        col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      graft.plans.PrefixSum.perKey(d, "source",
+          md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+          col("toks"), "cum")
+        .filter(col("cum") - col("toks") < 600)
+        .select(col("doc_id"), col("source"), col("toks"),
+          col("cum").as("cum_tokens"))
+    },
 
     // ---- BPE tokenizer training: the full N-merge loop ------------------
     QDef("q_bpe_train", {

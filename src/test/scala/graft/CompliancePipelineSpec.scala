@@ -78,4 +78,41 @@ class CompliancePipelineSpec extends AnyFunSuite {
     assert(!got2.exists(p => flagged.contains(p._1) || flagged.contains(p._2)),
       s"tombstoned content resurfaced: $got2")
   }
+
+  test("PII scan -> REDACT -> re-scan comes back zero (the in-place " +
+      "masking alternative to whole-doc takedown)") {
+    val pii = Seq(
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      "[0-9]{3}-[0-9]{4}-[0-9]{4}",
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(pii.map(p =>
+        sum(regexp_count(col("text"), lit(p))).cast("long")): _*)
+        .as[(Long, Long, Long)].head() match {
+          case (a, b, c) => a + b + c
+        }
+
+    // 1. SCAN the enriched corpus: all three PII classes present
+    val before = operators.Coverage17.redacted(spark, sfDir)
+    assert(hits(before.select(col("orig").as("text"))) > 0,
+      "enrichment planted no PII — the re-scan-zero claim would be vacuous")
+
+    // 2. REDACT is the q_pii_redact masking; re-scan must be clean
+    assert(hits(before.select("text")) == 0L,
+      "redacted corpus still scans PII-positive")
+
+    // 3. masked docs keep their surrounding content (the point of
+    // masking over takedown): every doc survives, placeholders mark
+    // the removals, and a doc with no PII is byte-identical
+    val rows = before.select(col("doc_id"), col("text"), col("orig"))
+      .as[(Long, String, String)].collect()
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, red, orig) =>
+      if (id % 5 != 0 && id % 7 != 0 && id % 11 != 0)
+        assert(red == orig, s"doc $id had no PII but changed")
+      else assert(red.contains("[EMAIL]") == (id % 5 == 0) &&
+        red.contains("[PHONE]") == (id % 7 == 0) &&
+        red.contains("[IP]") == (id % 11 == 0), s"doc $id placeholders wrong")
+    }
+  }
 }
