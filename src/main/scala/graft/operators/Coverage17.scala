@@ -376,6 +376,131 @@ object Coverage17 {
         .filter(col("hamming") <= 3)
     },
 
+    // ---- TPC-H Q12: shipping modes and order priority -------------------
+    // The last two classic topologies (Q12 here, Q20 below) close the
+    // 22/22 set. The corpus lacks shipmode/commitdate/receiptdate
+    // entirely, so both engines derive them deterministically from
+    // existing keys (the q_pii_flags enrichment move — identical
+    // integer expressions both sides; receipt 1–30 days after ship,
+    // commit ±30 days around it, mode a 7-way key hash). Plan shape:
+    // the mode/date filter cuts lineitem BEFORE the one orderkey
+    // shuffle join; priority classification is a hash agg over the
+    // survivors. No sort anywhere but the 2-row output.
+    QDef("q_tpch_q12",
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    (['MAIL','SHIP','AIR','RAIL','TRUCK','FOB','REG AIR'])
+        |      [CAST((l_orderkey * 3 + l_linenumber) % 7 AS INTEGER) + 1]
+        |      AS l_shipmode,
+        |    CAST(l_shipdate AS DATE) AS sd,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 5 + l_linenumber * 11) % 61 - 30 AS INTEGER)
+        |      AS cd,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 13 + l_linenumber * 7) % 30 + 1 AS INTEGER)
+        |      AS rd
+        |  FROM lineitem)
+        |SELECT l_shipmode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN l ON o_orderkey = l_orderkey
+        |WHERE l_shipmode IN ('MAIL', 'SHIP')
+        |  AND cd < rd AND sd < cd
+        |  AND rd >= DATE '1996-01-01' AND rd < DATE '1997-01-01'
+        |GROUP BY l_shipmode ORDER BY l_shipmode
+        |""".stripMargin) { (s, dir) =>
+      val modes = array(Seq("MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "FOB",
+        "REG AIR").map(lit): _*)
+      val sd = to_date(col("l_shipdate"))
+      val l = table(s, dir, "lineitem").select(col("l_orderkey"),
+          element_at(modes,
+            (((col("l_orderkey") * 3 + col("l_linenumber")) % 7) + 1)
+              .cast("int")).as("l_shipmode"),
+          sd.as("sd"),
+          date_add(sd, ((col("l_orderkey") * 5 + col("l_linenumber") * 11)
+            % 61 - 30).cast("int")).as("cd"),
+          date_add(sd, ((col("l_orderkey") * 13 + col("l_linenumber") * 7)
+            % 30 + 1).cast("int")).as("rd"))
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("cd") < col("rd") && col("sd") < col("cd") &&
+          col("rd") >= to_date(lit("1996-01-01")) &&
+          col("rd") < to_date(lit("1997-01-01")))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, dir, "orders")
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_shipmode")
+    },
+
+    // ---- TPC-H Q20: potential part promotion ----------------------------
+    // partsupp doesn't exist in the corpus — it derives as the DISTINCT
+    // (partkey, suppkey) pairs lineitem actually exercised, with
+    // ps_availqty a key hash in 1..12 (selective against half-year
+    // demand: ~1 in 5 suppliers qualify, so the predicate genuinely
+    // discriminates). Topology preserved from the classic: part-name
+    // prefix IN-subquery (broadcast semi), the correlated availqty >
+    // half-of-year-demand agg (keyed join against the year's per-pair
+    // sums), supplier IN-subquery (semi), nation broadcast. Exact
+    // decimal halving both engines.
+    QDef("q_tpch_q20",
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    (l_partkey * 17 + l_suppkey * 29) % 12 + 1 AS ps_availqty
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(38,10))) / 2 AS half_qty
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |chosen AS (
+        |  SELECT DISTINCT ps_suppkey FROM ps
+        |  JOIN agg ON agg.l_partkey = ps.ps_partkey
+        |    AND agg.l_suppkey = ps.ps_suppkey
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+        |                       WHERE p_name LIKE 'red gi%')
+        |    AND CAST(ps_availqty AS DECIMAL(38,10)) > half_qty)
+        |SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT ps_suppkey FROM chosen)
+        |  AND n_name IN ('NATION_2', 'NATION_8', 'NATION_9', 'NATION_12',
+        |                 'NATION_20', 'NATION_21')
+        |ORDER BY s_name
+        |""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val ps = li.select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey")).distinct()
+        .withColumn("ps_availqty",
+          (col("ps_partkey") * 17 + col("ps_suppkey") * 29) % 12 + 1)
+      val yearAgg = li.filter(
+          to_date(col("l_shipdate")) >= to_date(lit("1996-01-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1997-01-01")))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((sum(dec(col("l_quantity"))) / 2).as("half_qty"))
+      val redParts = table(s, dir, "part")
+        .filter(col("p_name").like("red gi%")).select("p_partkey")
+      val chosen = ps
+        .join(yearAgg, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .join(broadcast(redParts),
+          col("ps_partkey") === col("p_partkey"), "left_semi")
+        .filter(col("ps_availqty").cast("decimal(38,10)") > col("half_qty"))
+        .select("ps_suppkey").distinct()
+      val nations = table(s, dir, "nation").filter(col("n_name").isin(
+        "NATION_2", "NATION_8", "NATION_9", "NATION_12", "NATION_20",
+        "NATION_21"))
+      table(s, dir, "supplier")
+        .join(chosen, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(broadcast(nations),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    },
+
     // ---- apply the trained tokenizer ------------------------------------
     // Token frequencies of the corpus under the learned merge table —
     // the vocabulary a downstream token-budget/packing stage consumes.

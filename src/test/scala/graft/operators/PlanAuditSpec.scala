@@ -130,7 +130,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q_bpe_train itself is iterative (k-core posture): per-round
     // plans constant-size by loopInput; Coverage17Spec pins it by
     // reference-equality instead of a static audit.
-    "q_bpe_apply" -> Budget(maxExchanges = 2)
+    "q_bpe_apply" -> Budget(maxExchanges = 2),
+    // r10: the last two classic topologies. Q12 is filter-then-one-
+    // orderkey-join + hash agg (2 observed + 1 slack); Q20's pair
+    // distinct, year agg, pair join and final distinct (4 + 1) — the
+    // part/nation dims ride broadcast semis, no SMJ anywhere
+    "q_tpch_q12" -> Budget(maxExchanges = 3),
+    "q_tpch_q20" -> Budget(maxExchanges = 5)
   )
 
   private def finalizedPlan(name: String): String = {
