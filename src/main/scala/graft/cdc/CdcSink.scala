@@ -334,7 +334,7 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * same content, so replay converges; metadata markers
   * (`readMarker`/`writeMarker`) carry the same `#END` torn-write guard.
   */
-class ParquetTableStore(spark: SparkSession, root: String,
+class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     partitioning: Map[String, Seq[String]] = Map.empty,
     nBuckets: Int = 64) extends CdcSink {
   import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}

@@ -47,21 +47,64 @@ import org.apache.spark.sql.functions._
   * single span. The buffers come from `functions.BottomKDec`, a
   * map-side-combinable bounded heap, so even (re)initialization
   * never materializes a group's full value list.
+  *
+  * COUNT(DISTINCT) (also non-invertible: the count moves only when a
+  * group's LAST occurrence of a value dies or its first is born) is
+  * maintained through a TWO-LEVEL CASCADE of this same machinery: a
+  * count-only occurrence view grouped by (groupBy, c) follows the
+  * base's change feed, and a count-only view over THAT view's own
+  * recorded change feed counts its live rows per group — which is the
+  * distinct count, exactly. Every leg reuses the marker/intent crash
+  * protocol unchanged (exactly-once per leg), every leg is O(delta +
+  * touched groups), and `read` joins the counts back as `nd_<c>`.
   */
 object IncrementalView {
 
   /** View definition: group keys + columns maintained as exact sums,
     * plus columns maintained as min / max through `bufK`-element
-    * exact-decimal extreme buffers. Changing a view's definition
+    * exact-decimal extreme buffers, plus columns maintained as exact
+    * per-group COUNT(DISTINCT) through a two-level view cascade (see
+    * [[valsView]]). `where` restricts the view to base rows matching a
+    * SQL predicate (applied identically to the snapshot and to every
+    * feed image, so a row updated across the boundary enters/leaves
+    * the view as an insert/delete). Changing a view's definition
     * requires re-`initialize` (the stored schema is the definition). */
   final case class ViewDef(groupBy: Seq[String], sums: Seq[String],
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil, bufK: Int = 8) {
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil, bufK: Int = 8,
+      distincts: Seq[String] = Nil, where: Option[String] = None) {
     require(groupBy.nonEmpty, "a view needs at least one group-by column")
     require(bufK >= 1, "bufK must be positive")
     def sumCol(c: String): String = s"sum_$c"
     def minbCol(c: String): String = s"minb_$c"
     def maxbCol(c: String): String = s"maxb_$c"
+    def ndCol(c: String): String = s"nd_$c"
   }
+
+  /** COUNT(DISTINCT c) is not self-maintainable under deletes (the
+    * count moves only when a group's LAST occurrence of a value dies,
+    * or its first is born) — the classic fix is an occurrence-count
+    * auxiliary. Here the auxiliary IS another IncrementalView: a
+    * count-only view grouped by (groupBy, c) maintained from the
+    * base's change feed, whose own bucket-scoped merges RECORD a
+    * change feed — and a second count-only view over THAT feed,
+    * grouped by groupBy, counts the live (group, value) rows, which
+    * is exactly the distinct count. Both legs reuse the
+    * marker/intent crash protocol unchanged, so the cascade is
+    * exactly-once per leg with no new atomicity machinery; each
+    * refresh leg is O(delta + touched groups). */
+  private[cdc] def valsView(view: String, c: String): String =
+    s"${view}__vals_$c"
+  private[cdc] def ndView(view: String, c: String): String =
+    s"${view}__nd_$c"
+
+  private def auxDef(vdef: ViewDef, c: String): ViewDef = {
+    val notNull = s"`$c` IS NOT NULL" // COUNT(DISTINCT) ignores nulls
+    ViewDef(vdef.groupBy :+ c, Nil,
+      where = Some(vdef.where.map(w => s"($w) AND $notNull")
+        .getOrElse(notNull)))
+  }
+
+  private def ndDef(vdef: ViewDef): ViewDef = ViewDef(vdef.groupBy, Nil)
 
   private def dec(c: String): String = s"CAST(`$c` AS DECIMAL(38,10))"
 
@@ -69,7 +112,8 @@ object IncrementalView {
     * initializer, the rebuild path, and the spec's equality anchor. */
   def compute(base: DataFrame, vdef: ViewDef): DataFrame = {
     graft.functions.BottomKDec.register(base.sparkSession)
-    base.groupBy(vdef.groupBy.map(col): _*)
+    vdef.where.map(w => base.filter(expr(w))).getOrElse(base)
+      .groupBy(vdef.groupBy.map(col): _*)
       .agg(count(lit(1)).as("n"),
         (vdef.sums.map(c =>
           sum(col(c).cast("decimal(38,10)")).as(vdef.sumCol(c))) ++
@@ -91,7 +135,8 @@ object IncrementalView {
       col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val k = vdef.bufK
-    feed.withColumn("_sgn", sgn)
+    vdef.where.map(w => feed.filter(expr(w))).getOrElse(feed)
+      .withColumn("_sgn", sgn)
       .groupBy(vdef.groupBy.map(col): _*)
       .agg(sum(col("_sgn")).as("_dn"),
         (vdef.sums.map(c => sum(col("_sgn") *
@@ -165,10 +210,14 @@ object IncrementalView {
     * version, so a later refresh picks up from it normally. */
   def initialize(store: ParquetTableStore, base: String, view: String,
       vdef: ViewDef): String = {
-    val at = store.version(base).getOrElse(
-      throw new IllegalStateException(
-        s"base table '$base' has no committed version"))
-    val snapshot = store.readVersion(base, at) // the content at `at`, exactly
+    // "" = the base has no committed version at all (e.g. a distinct-
+    // cascade aux table over an empty base that never materialized a
+    // merge) — a valid empty state, recorded as the sentinel so a
+    // later refresh re-initializes the moment a real version appears
+    val at = store.version(base).getOrElse("")
+    val snapshot =
+      if (at.isEmpty) store.spark.emptyDataFrame
+      else store.readVersion(base, at)
     if (snapshot.columns.isEmpty) {
       // empty manifest: no schema to aggregate — materialize emptiness
       store.read(view).foreach { v =>
@@ -176,6 +225,7 @@ object IncrementalView {
           v.select(vdef.groupBy.map(col): _*))
       }
       store.writeMarker(view, ReflectsMarker, at)
+      initializeDistincts(store, base, view, vdef)
       return at
     }
     val fresh = compute(snapshot, vdef)
@@ -190,8 +240,22 @@ object IncrementalView {
     }
     store.applyChanges(view, vdef.groupBy, fresh, stale)
     store.writeMarker(view, ReflectsMarker, at)
+    initializeDistincts(store, base, view, vdef)
     at
   }
+
+  /** Initialize the COUNT(DISTINCT) cascade: one occurrence view per
+    * column over the base, one count view over each occurrence view.
+    * Each leg may read the base slightly ahead of the main view's
+    * snapshot under a concurrent base writer; the single-writer
+    * refresh loop (MirrorPipeline's stance) keeps all legs aligned at
+    * every quiescent point. */
+  private def initializeDistincts(store: ParquetTableStore, base: String,
+      view: String, vdef: ViewDef): Unit =
+    vdef.distincts.foreach { c =>
+      initialize(store, base, valsView(view, c), auxDef(vdef, c))
+      initialize(store, valsView(view, c), ndView(view, c), ndDef(vdef))
+    }
 
   /** Advance the view to the base's CURRENT version, from wherever
     * the `_REFLECTS` marker says it stands — initializing on first
@@ -215,13 +279,13 @@ object IncrementalView {
     store.readMarker(view, ReflectsMarker) match {
       case None => initialize(store, base, view, vdef)
       case Some(from) =>
-        val to = store.version(base).getOrElse(
-          throw new IllegalStateException(
-            s"base table '$base' has no committed version"))
+        val to = store.version(base).getOrElse("")
         if (to != from) {
-          if (!store.versions(base).contains(from))
-            // `from` vacuumed: neither recorded span nor snapshot diff
-            // can serve it — rebuild from the current snapshot
+          if (from.isEmpty || !store.versions(base).contains(from))
+            // `from` vacuumed (or the base materialized its first
+            // version since the empty-sentinel init): neither recorded
+            // span nor snapshot diff can serve it — rebuild from the
+            // current snapshot
             initialize(store, base, view, vdef)
           else {
             store.writeMarker(view, IntentMarker,
@@ -231,6 +295,16 @@ object IncrementalView {
             store.removeMarker(view, IntentMarker)
           }
         }
+    }
+    // the COUNT(DISTINCT) cascade advances leg by leg, each with its
+    // own marker/intent protocol — a crash resumes whichever leg was
+    // interrupted, exactly once (initialize above already seeded the
+    // legs; these are no-ops when already current)
+    vdef.distincts.foreach { c =>
+      refreshToCurrent(store, base, basePks,
+        valsView(view, c), auxDef(vdef, c))
+      refreshToCurrent(store, valsView(view, c), vdef.groupBy :+ c,
+        ndView(view, c), ndDef(vdef))
     }
   }
 
@@ -296,9 +370,11 @@ object IncrementalView {
   }
 
   /** The view with derived consumer columns: avg = exact sum / n
-    * (double only at the edge), and min_/max_ scalars = head of each
+    * (double only at the edge), min_/max_ scalars = head of each
     * extreme buffer (exact decimals; the buffers stay visible for
-    * callers that audit prefix health). */
+    * callers that audit prefix health), and nd_<c> = exact
+    * COUNT(DISTINCT c) joined in from the cascade's count view (0 for
+    * groups whose every value is null). */
   def read(store: ParquetTableStore, view: String,
       vdef: ViewDef): Option[DataFrame] =
     store.read(view).map { v =>
@@ -309,8 +385,18 @@ object IncrementalView {
       val withMin = vdef.mins.foldLeft(withAvg) { (df, c) =>
         df.withColumn(s"min_$c", element_at(col(vdef.minbCol(c)), 1))
       }
-      vdef.maxs.foldLeft(withMin) { (df, c) =>
+      val withMax = vdef.maxs.foldLeft(withMin) { (df, c) =>
         df.withColumn(s"max_$c", element_at(col(vdef.maxbCol(c)), 1))
+      }
+      vdef.distincts.foldLeft(withMax) { (df, c) =>
+        val nd = store.read(ndView(view, c)) match {
+          case Some(t) => t.select(vdef.groupBy.map(col) :+
+            col("n").as(vdef.ndCol(c)): _*)
+          case None => df.select(vdef.groupBy.map(col): _*)
+            .limit(0).withColumn(vdef.ndCol(c), lit(0L))
+        }
+        df.join(nd, vdef.groupBy, "left")
+          .withColumn(vdef.ndCol(c), coalesce(col(vdef.ndCol(c)), lit(0L)))
       }
     }
 }

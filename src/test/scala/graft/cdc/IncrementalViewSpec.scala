@@ -334,6 +334,97 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------- COUNT(DISTINCT) cascade ----------------
+
+  private val ndvDef = ViewDef(Seq("region"), Seq.empty,
+    distincts = Seq("amount"))
+
+  /** n and nd_amount must equal a recompute (COUNT + COUNT(DISTINCT))
+    * of the current base — including groups whose last occurrence of
+    * a value was deleted this span. */
+  private def assertDistinctExact(store: ParquetTableStore): Unit = {
+    val exp = store.read("base").get.groupBy("region")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("amount")).as("nd"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = IncrementalView.read(store, "view", ndvDef).get
+      .select(col("region"), col("n"), col("nd_amount"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == exp, s"\ngot      $got\nexpected $exp")
+  }
+
+  test("count-distinct: last-occurrence deletes decrement, duplicate " +
+      "inserts don't inflate, value moves re-count per group") {
+    val store = freshStore()
+    // na: amounts {1.0 ×2, 2.0}; eu: {2.0}
+    store.applyChanges("base", Seq("id"),
+      rows((1, "na", 1.0), (2, "na", 1.0), (3, "na", 2.0), (4, "eu", 2.0)),
+      keys())
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", ndvDef)
+    assertDistinctExact(store)
+
+    // delete ONE of na's two 1.0 rows: nd must NOT move (occurrence
+    // count 2 → 1); delete na's only 2.0: nd drops 2 → 1
+    store.applyChanges("base", Seq("id"), rows(), keys(1, 3))
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", ndvDef)
+    assertDistinctExact(store)
+    val na = IncrementalView.read(store, "view", ndvDef).get
+      .filter(col("region") === "na").select("n", "nd_amount")
+      .as[(Long, Long)].head()
+    assert(na == ((1L, 1L)), na)
+
+    // move eu's 2.0 to na as 3.0 (update changes BOTH group and value)
+    store.applyChanges("base", Seq("id"), rows((4, "na", 3.0)), keys())
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", ndvDef)
+    assertDistinctExact(store)
+    assert(IncrementalView.read(store, "view", ndvDef).get
+      .filter(col("region") === "eu").isEmpty)
+
+    // a replayed refresh is a no-op on every cascade leg
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", ndvDef)
+    assertDistinctExact(store)
+  }
+
+  test("count-distinct: 25 rounds of seeded churn stay recompute-exact, " +
+      "including rounds that retire a group's last occurrence of a value") {
+    val store = freshStore()
+    val rnd = new scala.util.Random(20260815L)
+    val regions = Array("na", "eu", "ap")
+    // values drawn from a SMALL palette so occurrence counts > 1 are
+    // common and last-occurrence retirement actually happens
+    def pal() = (rnd.nextInt(6) + 1) / 2.0
+    var live = Map.empty[Int, (String, Double)]
+    var nextId = 1
+    def ins(k: Int): Seq[(Int, String, Double)] = (1 to k).map { _ =>
+      val id = nextId; nextId += 1
+      val r = (id, regions(rnd.nextInt(3)), pal())
+      live += id -> ((r._2, r._3)); r
+    }
+    store.applyChanges("base", Seq("id"), rows(ins(10): _*), keys())
+    IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", ndvDef)
+    (1 to 25).foreach { round =>
+      // deletions biased toward a value's LAST live occurrence: pick a
+      // (region, amount) cell with exactly one row half the time
+      val cells = live.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+      val lastOcc = cells.filter(_._2.size == 1).values.flatten.toSeq.sorted
+      val dels = ((if (lastOcc.nonEmpty && rnd.nextBoolean())
+          Seq(lastOcc(rnd.nextInt(lastOcc.size))) else Seq.empty) ++
+        live.keys.toSeq.sorted.take(rnd.nextInt(3))).distinct
+      dels.foreach(live -= _)
+      val upd = live.keys.toSeq.sorted.headOption.toSeq
+        .filter(_ => rnd.nextBoolean()).map { id =>
+          val m = (id, regions(rnd.nextInt(3)), pal())
+          live += id -> ((m._2, m._3)); m
+        }
+      store.applyChanges("base", Seq("id"),
+        rows(ins(rnd.nextInt(3)) ++ upd: _*), keys(dels: _*))
+      IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", ndvDef)
+      assertDistinctExact(store)
+    }
+  }
+
   test("a long refresh chain stays bit-exact (no per-refresh drift)") {
     val store = freshStore()
     store.applyChanges("base", Seq("id"), rows((1, "na", 0.1)), keys())

@@ -36,6 +36,12 @@ class MirrorPipelineSpec extends AnyFunSuite {
     mins = Seq("id"), maxs = Seq("id"), bufK = 2)
   private val mmViewSpec = MirrorPipeline.ViewSpec(
     "customers", Seq("id"), "ids_by_last", mmVdef)
+  // count-distinct cascade through the streaming path: the rename-move
+  // batch retires Thomas's last 'George' occurrence
+  private val ndVdef = ViewDef(Seq("last_name"), Seq.empty,
+    distincts = Seq("first_name"))
+  private val ndViewSpec = MirrorPipeline.ViewSpec(
+    "customers", Seq("id"), "firsts_by_last", ndVdef)
 
   private def assertConsistent(store: ParquetTableStore): Unit = {
     val expected = IncrementalView.compute(store.read("customers").get, vdef)
@@ -51,6 +57,16 @@ class MirrorPipelineSpec extends AnyFunSuite {
     assert(gotMm.except(expMm).isEmpty && expMm.except(gotMm).isEmpty,
       s"mm view != mirror recompute: ${gotMm.collect().toSeq} vs " +
         s"${expMm.collect().toSeq}")
+    val expNd = store.read("customers").get.groupBy("last_name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("first_name")).as("nd"))
+    val gotNd = IncrementalView.read(store, "firsts_by_last", ndVdef).get
+      .selectExpr("last_name", "n", "nd_first_name")
+    assert(gotNd.except(expNd).isEmpty && expNd.except(gotNd).isEmpty,
+      s"nd view != mirror recompute: ${gotNd.collect().toSeq} vs " +
+        s"${expNd.collect().toSeq}")
   }
 
   test("views track the mirror per batch, and survive a replay restart") {
@@ -68,7 +84,7 @@ class MirrorPipelineSpec extends AnyFunSuite {
       Fixtures.raw(Fixtures.customer("r", 3, "Ed", "Walker", "e@x"), 2)))
     val q = MirrorPipeline.start(
       CdcPipeline.fileSource(spark, in.toString), catalog,
-      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec),
+      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec, ndViewSpec),
       ckpt.toString)
     try {
       q.processAllAvailable()
@@ -104,7 +120,7 @@ class MirrorPipelineSpec extends AnyFunSuite {
     val ckpt2 = Files.createTempDirectory("mirror-ckpt2")
     val q2 = MirrorPipeline.start(
       CdcPipeline.fileSource(spark, in.toString), catalog,
-      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec),
+      Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec, ndViewSpec),
       ckpt2.toString)
     try {
       q2.processAllAvailable()
