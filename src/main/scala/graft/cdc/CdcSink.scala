@@ -296,6 +296,7 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *   <root>/<table>/v<ts>.manifest     bucket -> data path, one per line
   *   <root>/<table>/data/<batch>/_b=N/ parquet for bucket N from <batch>
   *   <root>/<table>/changes/<version>/ recorded change data feed
+  *   <root>/<table>/_stats/<ver>.stats per-bucket zone maps (tracked tables)
   * }}}
   *
   * A version is a manifest: unchanged buckets carry their previous data
@@ -336,8 +337,9 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   */
 class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     partitioning: Map[String, Seq[String]] = Map.empty,
-    nBuckets: Int = 64) extends CdcSink {
-  import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    nBuckets: Int = 64,
+    statsColumns: Map[String, Seq[String]] = Map.empty) extends CdcSink {
+  import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
   import org.apache.hadoop.fs.Path
   import graft.streaming.IndexFs
 
@@ -544,6 +546,178 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
   def readVersion(target: String, version: String): DataFrame =
     readPaths(target, manifest(target, version).values.toSeq)
       .getOrElse(spark.emptyDataFrame)
+
+  // ---- pruned reads ---------------------------------------------------
+  // The read-side answer to "the manifest IS the bucket-level file
+  // pruning": three ways to open FEWER than all nBuckets bucket dirs.
+  //  - readKeys: point lookups — the key hash names its bucket, so a
+  //    k-key probe opens ≤ k of nBuckets dirs regardless of table size.
+  //  - readRange: zone maps — per-bucket min/max recorded at merge
+  //    time (`_stats/<version>.stats` sidecar, carry-forward like
+  //    manifest paths). On a HASH-bucketed layout these prune columns
+  //    whose values correlate with the bucket (low-cardinality or
+  //    PK-derived); uniform high-cardinality columns span every bucket
+  //    and honestly don't prune — see BucketStats and SCALING.md.
+  //  - readPartitionEq: the configured `_p_<col>=v` layout dirs,
+  //    narrowed per bucket root by a glob — value-level path pruning
+  //    for the declared partition columns.
+  // A torn or missing stats sidecar degrades to a full scan (never a
+  // wrong prune); every API returns its PruneReport twin so specs and
+  // the stress tool assert on buckets OPENED, not on wall-clock.
+
+  private def statsDir(t: String) = new Path(dir(t), "_stats")
+  private def statsPath(t: String, version: String) =
+    new Path(statsDir(t), version.stripSuffix(".manifest") + ".stats")
+
+  private def readStatsFile(t: String,
+      version: String): Option[Map[Int, Map[String, ColStats]]] =
+    IndexFs.readText(spark, statsPath(t, version).toString)
+      .flatMap(parseTerminated).map(BucketStats.parse)
+
+  /** The zone maps backing the CURRENT version (None when the table
+    * is not stats-tracked or the sidecar is torn/absent). */
+  def bucketStats(target: String): Option[Map[Int, Map[String, ColStats]]] =
+    currentVersion(target).flatMap(readStatsFile(target, _))
+
+  /** `column BETWEEN lo AND hi` (either bound optional, NULL never
+    * matches) reading only buckets whose zone maps may overlap. */
+  def readRange(target: String, column: String, lo: Option[Any],
+      hi: Option[Any]): Option[DataFrame] =
+    readRangePruned(target, column, lo, hi).map(_._1)
+
+  def readRangePruned(target: String, column: String, lo: Option[Any],
+      hi: Option[Any]): Option[(DataFrame, PruneReport)] = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "readRange needs at least one bound")
+    val loE = lo.map(BucketStats.encodeBound)
+    val hiE = hi.map(BucketStats.encodeBound)
+    currentVersion(target).flatMap { v =>
+      val m = manifest(target, v)
+      val keep = readStatsFile(target, v) match {
+        case Some(st) => m.keySet.filter { b =>
+          st.get(b).flatMap(_.get(column)) match {
+            case Some(cs) => BucketStats.mayOverlap(cs, loE, hiE)
+            case None => true // untracked bucket/column: never mis-prune
+          }
+        }
+        case None => m.keySet
+      }
+      val resid = (lo.map(col(column) >= lit(_)) ++
+        hi.map(col(column) <= lit(_))).reduce(_ && _)
+      statFiltered(target, m, keep, resid)
+    }
+  }
+
+  /** `column = value` reading only buckets whose zone maps (min/max +
+    * membership bloom) may contain the value. The bloom is what makes
+    * point predicates prunable on a HASH-bucketED layout at all — a
+    * value present in k rows lives in ≤ k buckets, and every other
+    * bucket's bloom proves its absence (false positives only ever
+    * open extra buckets). */
+  def readEq(target: String, column: String, value: Any): Option[DataFrame] =
+    readEqPruned(target, column, value).map(_._1)
+
+  def readEqPruned(target: String, column: String,
+      value: Any): Option[(DataFrame, PruneReport)] =
+    currentVersion(target).flatMap { v =>
+      val m = manifest(target, v)
+      val keep = readStatsFile(target, v) match {
+        case Some(st) => m.keySet.filter { b =>
+          st.get(b).flatMap(_.get(column)) match {
+            case Some(cs) => BucketStats.mayContainEq(cs, value)
+            case None => true
+          }
+        }
+        case None => m.keySet
+      }
+      statFiltered(target, m, keep, col(column) === lit(value))
+    }
+
+  private def statFiltered(target: String, m: Map[Int, String],
+      keep: Set[Int],
+      resid: org.apache.spark.sql.Column): Option[(DataFrame, PruneReport)] = {
+    val report = PruneReport(m.size, keep.size)
+    if (keep.isEmpty)
+      // provably empty; limit(0) keeps the schema and costs zero IO
+      // (OptimizeLimitZero collapses it to an empty relation)
+      readPaths(target, m.values.toSeq.sorted.take(1))
+        .map(df => (df.filter(resid).limit(0), report))
+    else
+      readPaths(target, keep.toSeq.sorted.flatMap(m.get))
+        .map(df => (df.filter(resid), report))
+  }
+
+  /** Point lookups: rows of `target` matching the (small, driver-side
+    * broadcastable) key set. `keys` carries exactly the pk columns
+    * WITH THE TABLE'S TYPES — the bucket is recomputed with the same
+    * `xxhash64(pks)` the merge used, so a type mismatch would probe
+    * the wrong bucket; the semi-join below would then return nothing
+    * rather than wrong rows. Opens ≤ |distinct key buckets| dirs. */
+  def readKeys(target: String, pks: Seq[String],
+      keys: DataFrame): Option[DataFrame] =
+    readKeysPruned(target, pks, keys).map(_._1)
+
+  def readKeysPruned(target: String, pks: Seq[String],
+      keys: DataFrame): Option[(DataFrame, PruneReport)] = {
+    val bucketOf = pmod(xxhash64(pks.map(col): _*), lit(nBuckets)).cast("int")
+    currentVersion(target).flatMap { v =>
+      val m = manifest(target, v)
+      // ≤ nBuckets scalars — bucket ids, not data
+      val wanted = keys.select(bucketOf.as("_b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val keep = m.keySet.intersect(wanted)
+      val report = PruneReport(m.size, keep.size)
+      if (keep.isEmpty)
+        readPaths(target, m.values.toSeq.sorted.take(1))
+          .map(df => (df.limit(0), report))
+      else
+        readPaths(target, keep.toSeq.sorted.flatMap(m.get)).map { df =>
+          (df.join(broadcast(keys.select(pks.map(col): _*).distinct()),
+            pks, "left_semi"), report)
+        }
+    }
+  }
+
+  /** `column = value` over a configured layout column, narrowing each
+    * bucket root to its `_p_<column>=<value>` subtree (deeper layout
+    * levels via glob). Buckets with no matching subtree are skipped
+    * entirely. Legacy-layout roots (pre-`_p_` stores) carry the value
+    * only as a reconstructed directory column, so their presence
+    * degrades this table to a full read + filter — correct, just
+    * unpruned. */
+  def readPartitionEq(target: String, column: String,
+      value: String): Option[DataFrame] =
+    readPartitionEqPruned(target, column, value).map(_._1)
+
+  def readPartitionEqPruned(target: String, column: String,
+      value: String): Option[(DataFrame, PruneReport)] = {
+    val layout = partitioning.getOrElse(target, Seq.empty)
+    require(layout.contains(column),
+      s"'$column' is not a configured layout column of '$target' " +
+        s"(layout: ${layout.mkString(", ")})")
+    val resid = col(column) === lit(value)
+    currentVersion(target).flatMap { v =>
+      val m = manifest(target, v)
+      val roots = m.values.toSeq.sorted
+      if (roots.exists(isLegacyLayout(_, layout)))
+        readPaths(target, roots)
+          .map(df => (df.filter(resid), PruneReport(m.size, m.size)))
+      else {
+        val nest = layout.takeWhile(_ != column)
+          .map(c => s"_p_$c=*/").mkString
+        val perBucket = roots.map(r =>
+          r -> IndexFs.glob(spark, s"$r/${nest}_p_$column=$value"))
+        val kept = perBucket.filter(_._2.nonEmpty)
+        val report = PruneReport(m.size, kept.size)
+        if (kept.isEmpty)
+          readPaths(target, roots.take(1))
+            .map(df => (df.filter(resid).limit(0), report))
+        else
+          readPaths(target, kept.flatMap(_._2))
+            .map(df => (df.filter(resid), report))
+      }
+    }
+  }
 
   /** The latest retained version committed at or before `ms` (epoch
     * millis) — version names embed their commit wall-clock
@@ -782,6 +956,7 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       // crossed it break their _PARENT walk and fall back to the
       // snapshot diff over the retained manifests
       IndexFs.deleteRecursive(spark, changesDir(target, v).toString)
+      IndexFs.delete(spark, statsPath(target, v).toString)
     }
     // GC: orphan change dirs — a crash between writeChangeFeed and the
     // manifest write leaves a changes/<version>/ no _PARENT walk
@@ -796,6 +971,15 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       .filterNot(n => retained.contains(n) || cur.contains(n))
       .foreach(n => IndexFs.deleteRecursive(
         spark, changesDir(target, n).toString))
+    // stats sidecars follow the same orphan rule (crash between the
+    // sidecar write and the commit), keyed by version base name
+    val retainedBases = retained.map(_.stripSuffix(".manifest")) ++
+      cur.map(_.stripSuffix(".manifest"))
+    IndexFs.listNames(spark, statsDir(target).toString)
+      .filter(_.endsWith(".stats"))
+      .filterNot(n => retainedBases.contains(n.stripSuffix(".stats")))
+      .foreach(n => IndexFs.delete(
+        spark, new Path(statsDir(target), n).toString))
     // GC: log entries that commit a version no longer retained (the
     // current one always is), and torn corpses below the current
     // commit — resolution only ever needs the newest well-formed entry
@@ -918,6 +1102,25 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       // still get distinct, lexicographically ordered version names
       val version = f"v${System.currentTimeMillis()}%d-${System.nanoTime() % 1000000}%06d.manifest"
 
+      // Zone maps: one touched-bucket-sized aggregation when the table
+      // is stats-tracked, with untouched buckets' entries carried
+      // forward from the parent sidecar exactly like manifest paths.
+      // Staged pre-commit (orphans on crash are vacuum-swept, same as
+      // the change feed); a column newly added to tracking simply has
+      // no entries for old buckets, which readRange treats as "keep".
+      val trackCols = statsColumns.getOrElse(target, Seq.empty)
+        .filter(next.columns.contains)
+      if (trackCols.nonEmpty) {
+        val fresh = BucketStats.compute(
+          next.withColumn("_b", bucketOf), "_b", trackCols)
+        val parentStats = parentVersion
+          .flatMap(readStatsFile(target, _)).getOrElse(Map.empty)
+        val full = ((parentStats -- changedBuckets) ++ fresh)
+          .view.filterKeys(nextManifest.keySet).toMap
+        IndexFs.writeText(spark, statsPath(target, version).toString,
+          BucketStats.serialize(full) + s"\n$End\n")
+      }
+
       // Recorded change data feed (the Delta `_change_data` move): the
       // merge holds both images RIGHT NOW, so the delta-sized feed
       // costs one extra delta-sized write — serving it later costs
@@ -941,6 +1144,7 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       catch {
         case e: ConcurrentWriteException =>
           IndexFs.delete(spark, new Path(dir(target), version).toString)
+          IndexFs.delete(spark, statsPath(target, version).toString)
           IndexFs.deleteRecursive(spark, changesDir(target, version).toString)
           IndexFs.deleteRecursive(spark, batchDir.toString)
           throw e

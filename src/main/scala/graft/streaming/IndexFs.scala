@@ -83,6 +83,16 @@ private[graft] object IndexFs {
   def mkdirs(spark: SparkSession, path: String): Unit =
     fs(spark, path).mkdirs(new Path(path))
 
+  /** Paths matching a Hadoop glob pattern (e.g. a `_p_day=&#42;` level
+    * under each bucket root); empty when nothing matches — the
+    * pre-check that lets path-pruned reads hand `spark.read` only
+    * CONCRETE existing directories (a zero-match glob handed straight
+    * to the reader throws instead of reading nothing). */
+  def glob(spark: SparkSession, pattern: String): Seq[String] = {
+    val matched = fs(spark, pattern).globStatus(new Path(pattern))
+    if (matched == null) Nil else matched.toSeq.map(_.getPath.toString)
+  }
+
   /** Idempotent single-file delete (through the FS, so checksum
     * siblings on LocalFileSystem go with it). */
   def delete(spark: SparkSession, path: String): Unit =

@@ -1,0 +1,237 @@
+package graft.cdc
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Read-path pruning for `ParquetTableStore`: zone maps
+  * (`_stats/<version>.stats` — per-bucket min/max + membership bloom,
+  * carried forward like manifest paths), key-hash point lookups, and
+  * layout-dir narrowing. The assertions are on buckets OPENED
+  * (PruneReport) and on `inputFiles`, never on wall-clock — the
+  * quantity that matters at 100 TB is files skipped.
+  *
+  * Honesty pins (SCALING.md §Store): on a hash-bucketed layout,
+  * min/max CANNOT prune a mid-domain range (every bucket spans the
+  * domain — asserted, not hidden), CAN prune a whole-range miss, and
+  * the BLOOM is what prunes point predicates. Degradation is always
+  * toward the full scan: torn sidecar, untracked column, unsupported
+  * bound — never a wrong prune.
+  */
+class StorePruningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val NB = 64
+
+  private var lastRoot: java.nio.file.Path = _
+
+  private def freshStore(stats: Map[String, Seq[String]] = Map(
+      "t" -> Seq("tenant", "ts", "score")),
+      partitioning: Map[String, Seq[String]] = Map.empty): ParquetTableStore = {
+    lastRoot = Files.createTempDirectory("graft-prune")
+    new ParquetTableStore(spark, "file:" + lastRoot, partitioning,
+      nBuckets = NB, statsColumns = stats)
+  }
+
+  private def rows(ids: Range): DataFrame =
+    ids.map { id =>
+      (id.toLong, s"t${id % 40}", id.toLong,
+        new java.sql.Timestamp(1700000000000L + id * 1000L), id / 10.0)
+    }.toDF("id", "tenant", "ts", "tst", "score")
+
+  private def noKeys: DataFrame = Seq.empty[Long].toDF("id")
+
+  private def sortedIds(df: DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("readEq on a point predicate prunes via the per-bucket bloom " +
+      "and matches the unpruned filter") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 600), noKeys)
+    val (df, rep) = store.readEqPruned("t", "tenant", "t7").get
+    val expected = sortedIds(store.read("t").get.filter($"tenant" === "t7"))
+    assert(sortedIds(df) == expected && expected.size == 15)
+    // 15 rows live in ≤ 15 of 64 buckets; the bloom keeps those plus
+    // at most a few false positives
+    assert(rep.bucketsTotal == NB && rep.bucketsKept >= 1 &&
+      rep.bucketsKept <= 25, rep)
+  }
+
+  test("readRange outside the table's whole domain prunes every bucket " +
+      "and still returns the right schema") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 600), noKeys)
+    val (df, rep) = store.readRangePruned("t", "ts",
+      Some(10000L), None).get
+    assert(rep.bucketsKept == 0 && rep.bucketsTotal == NB)
+    assert(df.count() == 0 &&
+      df.columns.toSet == Set("id", "tenant", "ts", "tst", "score"))
+  }
+
+  test("readRange mid-domain on a hash-bucketed store honestly keeps " +
+      "every bucket (min/max spans) but stays correct") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 600), noKeys)
+    val (df, rep) = store.readRangePruned("t", "ts",
+      Some(250L), Some(350L)).get
+    // ~9 uniform ids per bucket: almost every bucket's [min,max]
+    // straddles the probe range (the odd small bucket may fall fully
+    // to one side — that prune is still provable, just rare)
+    assert(rep.bucketsKept >= rep.bucketsTotal - 3, rep)
+    assert(sortedIds(df) == (250L to 350L))
+  }
+
+  test("readRange accepts timestamp bounds through the canonical " +
+      "micros encoding") {
+    val store = freshStore(Map("t" -> Seq("tst")))
+    store.applyChanges("t", Seq("id"), rows(0 until 200), noKeys)
+    val lo = new java.sql.Timestamp(1700000000000L + 50 * 1000L)
+    val hi = new java.sql.Timestamp(1700000000000L + 60 * 1000L)
+    val df = store.readRange("t", "tst", Some(lo), Some(hi)).get
+    assert(sortedIds(df) == (50L to 60L))
+    // and a miss beyond the newest timestamp prunes all buckets
+    val (_, rep) = store.readRangePruned("t", "tst",
+      Some(new java.sql.Timestamp(1800000000000L)), None).get
+    assert(rep.bucketsKept == 0)
+  }
+
+  test("merges carry untouched buckets' stats forward and refresh " +
+      "touched ones") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 600), noKeys)
+    // move two rows into a tenant that never existed before
+    val upd = Seq(
+      (3L, "t999", 3L, new java.sql.Timestamp(1700000003000L), 0.3),
+      (7L, "t999", 7L, new java.sql.Timestamp(1700000007000L), 0.7))
+      .toDF("id", "tenant", "ts", "tst", "score")
+    store.applyChanges("t", Seq("id"), upd, noKeys)
+    val st = store.bucketStats("t").get
+    // every manifest bucket still has stats (carry-forward is complete)
+    assert(store.version("t").isDefined)
+    val manifestBuckets = st.keySet
+    val (df, rep) = store.readEqPruned("t", "tenant", "t999").get
+    assert(sortedIds(df) == Seq(3L, 7L))
+    assert(rep.bucketsKept <= 6, rep) // ≤ 2 real + bloom fps
+    // old value of the moved rows no longer matches them
+    val t3 = store.readEq("t", "tenant", "t3").get
+    assert(!sortedIds(t3).contains(3L) && sortedIds(t3).contains(43L))
+    assert(manifestBuckets.nonEmpty)
+  }
+
+  test("deleting a tenant's last rows makes its point probe prune to " +
+      "(almost) nothing") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 600), noKeys)
+    val doomed = (0 until 600).filter(_ % 40 == 11).map(_.toLong)
+    store.applyChanges("t", Seq("id"),
+      rows(0 until 0), doomed.toDF("id"))
+    val (df, rep) = store.readEqPruned("t", "tenant", "t11").get
+    assert(df.count() == 0)
+    // rewritten buckets' fresh blooms exclude t11; untouched buckets
+    // never contained it — only false positives remain
+    assert(rep.bucketsKept <= 6, rep)
+  }
+
+  test("a torn stats sidecar degrades to the full scan, never a wrong " +
+      "prune") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 300), noKeys)
+    val root = storeRoot(store)
+    val statsDir = new java.io.File(root, "t/_stats")
+    val sidecar = statsDir.listFiles().filter(_.getName.endsWith(".stats")).head
+    val torn = new String(Files.readAllBytes(sidecar.toPath))
+      .stripSuffix("\n").stripSuffix("#END").stripSuffix("\n")
+    Files.write(sidecar.toPath, torn.getBytes)
+    // the sidecar was written through LocalFileSystem, which keeps a
+    // .crc sibling; drop it or the re-read trips on the checksum
+    // instead of exercising the torn-content path (an object store
+    // has no such sibling)
+    Files.deleteIfExists(
+      sidecar.toPath.resolveSibling("." + sidecar.getName + ".crc"))
+    val (df, rep) = store.readEqPruned("t", "tenant", "t5").get
+    assert(rep.bucketsKept == rep.bucketsTotal)
+    assert(sortedIds(df) ==
+      sortedIds(store.read("t").get.filter($"tenant" === "t5")))
+  }
+
+  test("an all-NULL tracked column is provably prunable for any range") {
+    val store = freshStore(Map("t" -> Seq("maybe")))
+    val df = (0 until 100).map(i => (i.toLong, null: java.lang.Long))
+      .toDF("id", "maybe")
+    store.applyChanges("t", Seq("id"), df, noKeys)
+    val (res, rep) = store.readRangePruned("t", "maybe",
+      Some(0L), Some(1000000L)).get
+    assert(rep.bucketsKept == 0 && res.count() == 0)
+  }
+
+  test("NaN in a float column disables that bucket's stats (any-tag) " +
+      "instead of mis-pruning") {
+    val store = freshStore(Map("t" -> Seq("score")))
+    val df = (0 until 100).map(i =>
+      (i.toLong, if (i == 37) Double.NaN else i / 10.0))
+      .toDF("id", "score")
+    store.applyChanges("t", Seq("id"), df, noKeys)
+    val res = store.readRange("t", "score", Some(2.0), Some(3.0)).get
+    assert(sortedIds(res) == (20L to 30L))
+  }
+
+  test("readKeys opens only the keys' hash buckets") {
+    val store = freshStore(Map.empty)
+    store.applyChanges("t", Seq("id"), rows(0 until 600), noKeys)
+    val probe = Seq(5L, 250L, 599L).toDF("id")
+    val (df, rep) = store.readKeysPruned("t", Seq("id"), probe).get
+    assert(sortedIds(df) == Seq(5L, 250L, 599L))
+    assert(rep.bucketsKept <= 3 && rep.bucketsTotal == NB, rep)
+    // a key that never existed: its bucket is opened, nothing matches
+    val (miss, _) = store.readKeysPruned("t", Seq("id"),
+      Seq(123456L).toDF("id")).get
+    assert(miss.count() == 0)
+  }
+
+  test("readPartitionEq narrows every bucket to the value's layout " +
+      "subtree") {
+    val store = freshStore(Map.empty, Map("p" -> Seq("day")))
+    val df = (0 until 400).map(i => (i.toLong, s"d${i % 4}", i))
+      .toDF("id", "day", "v")
+    store.applyChanges("p", Seq("id"), df, noKeys)
+    val (res, rep) = store.readPartitionEqPruned("p", "day", "d2").get
+    assert(sortedIds(res) ==
+      (0 until 400).filter(_ % 4 == 2).map(_.toLong))
+    assert(res.inputFiles.nonEmpty &&
+      res.inputFiles.forall(_.contains("_p_day=d2")))
+    // buckets that happened to receive no d2 row have no d2 subtree
+    // and are skipped outright — dir-level pruning on top of the
+    // within-bucket narrowing the inputFiles assertion pins
+    assert(rep.bucketsKept <= rep.bucketsTotal &&
+      rep.bucketsKept >= rep.bucketsTotal / 2, rep)
+    // a day that was never written: zero matching subtrees anywhere
+    val (none, rep2) = store.readPartitionEqPruned("p", "day", "d9").get
+    assert(none.count() == 0 && rep2.bucketsKept == 0)
+  }
+
+  test("vacuum sweeps dropped versions' sidecars and orphans, keeps " +
+      "the current one") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 100), noKeys)
+    store.applyChanges("t", Seq("id"), rows(100 until 120), noKeys)
+    store.applyChanges("t", Seq("id"), rows(120 until 140), noKeys)
+    val statsDir = new java.io.File(storeRoot(store), "t/_stats")
+    // plant an orphan (crash between sidecar write and commit)
+    Files.write(statsDir.toPath.resolve("v0-orphan.stats"),
+      "0\tYQ==\tstr\tYQ==\tYQ==\t-\n#END\n".getBytes)
+    assert(statsDir.listFiles().count(_.getName.endsWith(".stats")) == 4)
+    store.vacuum("t", keep = 1)
+    val left = statsDir.listFiles().map(_.getName).filter(_.endsWith(".stats"))
+    assert(left.length == 1 &&
+      store.version("t").get.stripSuffix(".manifest") + ".stats" == left.head)
+    // pruned reads still work after vacuum
+    assert(store.readEq("t", "tenant", "t7").get.count() ==
+      store.read("t").get.filter($"tenant" === "t7").count())
+  }
+
+  /** Local path behind the most recent `freshStore` root. */
+  private def storeRoot(store: ParquetTableStore): java.io.File =
+    lastRoot.toFile
+}
