@@ -376,6 +376,87 @@ object Coverage17 {
         .filter(col("hamming") <= 3)
     },
 
+    // ---- audio near-dup dedup: energy-envelope dHash + banding ----------
+    // The audio bridge of the near-dup family, the WAV dual of
+    // q_dedup_images: synthesize a real RIFF/WAV per audio doc
+    // (deterministic frame energies + planted variants —
+    // Multimodal.AudioDupSynth), decode it through the genuine
+    // javax.sound path, fingerprint the FRAME-ENERGY ENVELOPE (bit i =
+    // e(i+1) > e(i) — invariant under any positive volume scaling, the
+    // perceptual signal: v=3's ×1.5 louder copies land at hamming 0
+    // though every PCM byte differs), and band the 64-bit hash through
+    // the same 4 × 16-bit machinery (threshold 3 < 4 bands ⇒ banding
+    // provably equals all-pairs; AudioDedupSpec pins it). The oracle
+    // recomputes every energy in closed integer form and mirrors the
+    // banding; a byte-order or signedness bug in decode breaks every
+    // row (the decoder additionally asserts frame sums are exact).
+    QDef("q_dedup_audio",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |en AS (
+        |  SELECT doc_id, f,
+        |    (((((doc_id // 12) * 7349 + f * 131) % 9973)
+        |      * (((doc_id // 12) * 7349 + f * 131) % 9973)) % 9601) * 2 + 300
+        |      AS e0
+        |  FROM ids CROSS JOIN (SELECT unnest(range(0, 65)) AS f)),
+        |ev AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN (doc_id // 3) % 4 = 1 AND f = 7 THEN e0 + 8000
+        |         WHEN (doc_id // 3) % 4 = 2 AND f IN (10,20,30,40,50)
+        |           THEN e0 + 8000
+        |         WHEN (doc_id // 3) % 4 = 3 THEN e0 * 3 // 2
+        |         ELSE e0 END AS e
+        |  FROM en),
+        |bits AS (
+        |  SELECT a.doc_id, a.f AS idx,
+        |         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM ev a JOIN ev b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64),
+        |bands AS (
+        |  SELECT doc_id, idx // 16 AS band,
+        |         CAST(sum(bit << (idx % 16)) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bucket = b.bucket AND b.doc_id > a.doc_id),
+        |ham AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.d1
+        |  JOIN bits y ON y.doc_id = c.d2 AND y.idx = x.idx
+        |  GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sig = table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 3 === 1).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val wav = Multimodal.AudioDupSynth.wav(id)
+            val en = Multimodal.AudioDupSynth.decodeEnergies(wav, id)
+            (id, Multimodal.AudioDupSynth.fingerprint(en))
+          }
+        }.toDF("doc_id", "h")
+      val banded = sig.select(col("doc_id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(h, ${b * 16}) & 65535").as("bucket"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("h"), col("bb.band"), col("bb.bucket"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h")))
+            .cast("bigint").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+
     // ---- TPC-H Q12: shipping modes and order priority -------------------
     // The last two classic topologies (Q12 here, Q20 below) close the
     // 22/22 set. The corpus lacks shipmode/commitdate/receiptdate

@@ -136,7 +136,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // distinct, year agg, pair join and final distinct (4 + 1) — the
     // part/nation dims ride broadcast semis, no SMJ anywhere
     "q_tpch_q12" -> Budget(maxExchanges = 3),
-    "q_tpch_q20" -> Budget(maxExchanges = 5)
+    "q_tpch_q20" -> Budget(maxExchanges = 5),
+    // r10: fingerprint dedups — decode rides mapPartitions (no
+    // shuffle); the cost is the band self-join + distinct. Never an
+    // all-pairs join: candidates are the band-bucket equi-join.
+    "q_dedup_images" -> Budget(maxExchanges = 4),
+    "q_dedup_audio" -> Budget(maxExchanges = 4)
   )
 
   private def finalizedPlan(name: String): String = {
