@@ -101,10 +101,15 @@ object BucketStats {
     case _ => false
   }
 
-  /** How many items each per-bucket bloom is sized for — ~0.9 KB of
-    * sidecar per (bucket, column) per 1k; saturation past this only
-    * raises the false-positive rate (keeps extra buckets), never
-    * mis-prunes. */
+  /** Default per-bucket bloom capacity — ~0.9 KB of sidecar per
+    * (bucket, column) per 1k items; saturation past this only raises
+    * the false-positive rate (keeps extra buckets), never mis-prunes.
+    * SIZE THIS TO THE EXPECTED ROWS-PER-BUCKET (a store ctor knob):
+    * a saturated bloom keeps every bucket and the sidecar cost was
+    * wasted. At very large per-bucket cardinalities the honest move
+    * is more buckets (the store supports any nBuckets) and tracking
+    * only the columns actually probed — a 1B-distinct bucket would
+    * need ~0.9 GB of bloom, which is no longer metadata. */
   val BloomItems = 8192L
 
   /** Per-bucket min/max (+ bloom where the domain allows) of `cols`
@@ -112,8 +117,8 @@ object BucketStats {
     * aggregation + one driver collect of ≤ touched-buckets rows — the
     * only cost a merge pays for stats; the bloom buffers are
     * fixed-size per (group × partition) regardless of cardinality. */
-  def compute(df: DataFrame, bucketCol: String,
-      cols: Seq[String]): Map[Int, Map[String, ColStats]] = {
+  def compute(df: DataFrame, bucketCol: String, cols: Seq[String],
+      bloomItems: Long = BloomItems): Map[Int, Map[String, ColStats]] = {
     val tracked: Seq[(String, Column, String, Boolean)] = cols.flatMap { c =>
       val dt = df.schema(c).dataType
       statExpr(dt, col(c)).map { case (e, tag) => (c, e, tag, bloomable(dt)) }
@@ -122,7 +127,7 @@ object BucketStats {
     graft.functions.BloomAgg.register(df.sparkSession)
     val aggs = tracked.flatMap { case (_, e, _, bl) =>
       Seq(min(e), max(e)) ++ (if (bl) Seq(call_function("zone_bloom",
-        e.cast("string"), lit(BloomItems))) else Nil)
+        e.cast("string"), lit(bloomItems))) else Nil)
     }
     df.groupBy(col(bucketCol)).agg(aggs.head, aggs.tail: _*)
       .collect().map { row =>

@@ -338,7 +338,8 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     partitioning: Map[String, Seq[String]] = Map.empty,
     nBuckets: Int = 64,
-    statsColumns: Map[String, Seq[String]] = Map.empty) extends CdcSink {
+    statsColumns: Map[String, Seq[String]] = Map.empty,
+    bloomItems: Long = BucketStats.BloomItems) extends CdcSink {
   import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
   import org.apache.hadoop.fs.Path
   import graft.streaming.IndexFs
@@ -1105,14 +1106,23 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       // Zone maps: one touched-bucket-sized aggregation when the table
       // is stats-tracked, with untouched buckets' entries carried
       // forward from the parent sidecar exactly like manifest paths.
-      // Staged pre-commit (orphans on crash are vacuum-swept, same as
-      // the change feed); a column newly added to tracking simply has
-      // no entries for old buckets, which readRange treats as "keep".
+      // Computed by READING BACK the just-written batch parquet (with
+      // partition discovery, so `_b` comes from the dir names) rather
+      // than re-running the merge plan: the scan is column-pruned to
+      // the tracked columns and reads exactly what was committed —
+      // cheaper than the anti-join recompute, and immune to any
+      // nondeterminism between two evaluations of `next`. Staged
+      // pre-commit (orphans on crash are vacuum-swept, same as the
+      // change feed); a column newly added to tracking simply has no
+      // entries for old buckets, which readRange treats as "keep".
       val trackCols = statsColumns.getOrElse(target, Seq.empty)
         .filter(next.columns.contains)
       if (trackCols.nonEmpty) {
-        val fresh = BucketStats.compute(
-          next.withColumn("_b", bucketOf), "_b", trackCols)
+        val fresh =
+          if (written.isEmpty) Map.empty[Int, Map[String, ColStats]]
+          else BucketStats.compute(
+            spark.read.parquet(batchDir.toString), "_b", trackCols,
+            bloomItems)
         val parentStats = parentVersion
           .flatMap(readStatsFile(target, _)).getOrElse(Map.empty)
         val full = ((parentStats -- changedBuckets) ++ fresh)
