@@ -71,10 +71,14 @@ object IncrementalView {
     * requires re-`initialize` (the stored schema is the definition). */
   final case class ViewDef(groupBy: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil, bufK: Int = 8,
-      distincts: Seq[String] = Nil, where: Option[String] = None) {
+      distincts: Seq[String] = Nil, where: Option[String] = None,
+      vars: Seq[String] = Nil) {
     require(groupBy.nonEmpty, "a view needs at least one group-by column")
     require(bufK >= 1, "bufK must be positive")
+    require(vars.forall(sums.contains),
+      s"variance needs the first moment too — add ${vars.filterNot(sums.contains).mkString(", ")} to sums")
     def sumCol(c: String): String = s"sum_$c"
+    def sum2Col(c: String): String = s"sum2_$c"
     def minbCol(c: String): String = s"minb_$c"
     def maxbCol(c: String): String = s"maxb_$c"
     def ndCol(c: String): String = s"nd_$c"
@@ -108,6 +112,19 @@ object IncrementalView {
 
   private def dec(c: String): String = s"CAST(`$c` AS DECIMAL(38,10))"
 
+  /** The second moment's square is kept EXACT in decimal: inputs are
+    * first narrowed to DECIMAL(18,5) so the product is DECIMAL(37,10)
+    * — inside the 38-digit budget instead of tripping Spark's
+    * precision-capping (which would silently round). VAR/STDDEV are
+    * therefore maintainable under deletes as plain signed sums
+    * (n, Σx, Σx²), with the textbook cancellation confined to the
+    * derive-at-read edge. Values must fit ±10^13 at 5 dp — wider
+    * inputs belong in a wider custom buffer, not silent rounding. */
+  private def sq(c: String): String = {
+    val d = s"CAST(`$c` AS DECIMAL(18,5))"
+    s"($d * $d)"
+  }
+
   /** One-shot (re)computation of the view from a base snapshot — the
     * initializer, the rebuild path, and the spec's equality anchor. */
   def compute(base: DataFrame, vdef: ViewDef): DataFrame = {
@@ -117,6 +134,8 @@ object IncrementalView {
       .agg(count(lit(1)).as("n"),
         (vdef.sums.map(c =>
           sum(col(c).cast("decimal(38,10)")).as(vdef.sumCol(c))) ++
+         vdef.vars.map(c =>
+          sum(expr(sq(c))).cast("decimal(38,10)").as(vdef.sum2Col(c))) ++
          vdef.mins.map(c => expr(
            s"bottomk_dec(${dec(c)}, ${vdef.bufK}, false)").as(vdef.minbCol(c))) ++
          vdef.maxs.map(c => expr(
@@ -141,6 +160,8 @@ object IncrementalView {
       .agg(sum(col("_sgn")).as("_dn"),
         (vdef.sums.map(c => sum(col("_sgn") *
           col(c).cast("decimal(38,10)")).as(s"_d_$c")) ++
+         vdef.vars.map(c => sum(col("_sgn") * expr(sq(c)))
+           .cast("decimal(38,10)").as(s"_d2_$c")) ++
          vdef.mins.flatMap(c => Seq(
            expr(s"bottomk_dec(CASE WHEN _sgn = 1 THEN ${dec(c)} END, $k, false)")
              .as(s"_i_min_$c"),
@@ -337,6 +358,9 @@ object IncrementalView {
           vdef.sums.map(c =>
             (coalesce(col(vdef.sumCol(c)), zero) + col(s"_d_$c"))
               .cast("decimal(38,10)").as(vdef.sumCol(c))) ++
+          vdef.vars.map(c =>
+            (coalesce(col(vdef.sum2Col(c)), zero) + col(s"_d2_$c"))
+              .cast("decimal(38,10)").as(vdef.sum2Col(c))) ++
           vdef.mins.map(c => bufMerge(vdef, c, asc = true)) ++
           vdef.maxs.map(c => bufMerge(vdef, c, asc = false)): _*)
       val live = merged.filter(col("n") > 0)
@@ -382,7 +406,17 @@ object IncrementalView {
         df.withColumn(s"avg_$c",
           (col(vdef.sumCol(c)) / col("n")).cast("double"))
       }
-      val withMin = vdef.mins.foldLeft(withAvg) { (df, c) =>
+      // sample variance / stddev derived from the exact moments at the
+      // read edge (double only here; null below n = 2, like VAR_SAMP)
+      val withVar = vdef.vars.foldLeft(withAvg) { (df, c) =>
+        val n = col("n").cast("double")
+        val s1 = col(vdef.sumCol(c)).cast("double")
+        val s2 = col(vdef.sum2Col(c)).cast("double")
+        df.withColumn(s"var_$c",
+            when(col("n") >= 2, greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))))
+          .withColumn(s"stddev_$c", sqrt(col(s"var_$c")))
+      }
+      val withMin = vdef.mins.foldLeft(withVar) { (df, c) =>
         df.withColumn(s"min_$c", element_at(col(vdef.minbCol(c)), 1))
       }
       val withMax = vdef.maxs.foldLeft(withMin) { (df, c) =>

@@ -334,6 +334,84 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------- VAR/STDDEV from exact moments ----------------
+
+  private val varDef = ViewDef(Seq("region"), Seq("amount"),
+    vars = Seq("amount"))
+
+  /** The second moment must equal a recompute BIT-FOR-BIT (it is a
+    * signed decimal sum like sum_amount), and the derived var/stddev
+    * must match VAR_SAMP/STDDEV_SAMP to float tolerance (the engines
+    * differ only in summation order at the read edge). */
+  private def assertVarExact(store: ParquetTableStore): Unit = {
+    val expectedMoments = IncrementalView.compute(
+      store.read("base").get, varDef)
+      .select("region", "n", "sum_amount", "sum2_amount")
+    val gotMoments = store.read("view").get
+      .select("region", "n", "sum_amount", "sum2_amount")
+    assert(gotMoments.except(expectedMoments).isEmpty &&
+      expectedMoments.except(gotMoments).isEmpty,
+      s"moments drifted:\ngot ${gotMoments.collect().toSeq}\n" +
+        s"expected ${expectedMoments.collect().toSeq}")
+    val exp = store.read("base").get.groupBy("region")
+      .agg(var_samp(col("amount")).as("v"))
+      .as[(String, Option[Double])].collect().toMap
+    val got = IncrementalView.read(store, "view", varDef).get
+      .select(col("region"), col("var_amount"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(got.keySet == exp.keySet, s"groups: $got vs $exp")
+    got.foreach { case (r, v) =>
+      (v, exp(r)) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b)),
+            s"region $r: var $a vs var_samp $b")
+        case (a, b) => assert(a == b, s"region $r: $a vs $b")
+      }
+    }
+  }
+
+  test("variance: maintained moments stay recompute-exact through " +
+      "insert/update/delete churn; single-row groups read as null") {
+    val store = freshStore()
+    val rnd = new scala.util.Random(20260816L)
+    val regions = Array("na", "eu", "ap", "sa")
+    var liveIds = Set.empty[Int]
+    var nextId = 1
+    def randRows(k: Int): Seq[(Int, String, Double)] = (1 to k).map { _ =>
+      val id = nextId; nextId += 1; liveIds += id
+      (id, regions(rnd.nextInt(4)), (rnd.nextInt(4000) + 1) / 4.0)
+    }
+    store.applyChanges("base", Seq("id"), rows(randRows(20): _*), keys())
+    var from = IncrementalView.initialize(store, "base", "view", varDef)
+    assertVarExact(store)
+    (1 to 25).foreach { _ =>
+      val dels = rnd.shuffle(liveIds.toSeq).take(rnd.nextInt(4))
+      liveIds --= dels
+      val upd = liveIds.toSeq.sorted.headOption.toSeq
+        .filter(_ => rnd.nextBoolean())
+        .map(id => (id, regions(rnd.nextInt(4)), (rnd.nextInt(4000) + 1) / 4.0))
+      val ins = randRows(rnd.nextInt(4))
+      store.applyChanges("base", Seq("id"),
+        rows(ins ++ upd: _*), keys(dels: _*))
+      val to = store.versions("base").last
+      IncrementalView.refresh(store, "base", Seq("id"), "view", varDef,
+        from, to)
+      from = to
+      assertVarExact(store)
+    }
+    // a group reduced to one row reads var as null, not zero or a crash
+    val solo = store.read("base").get.filter(col("region") === "na")
+      .select("id").as[Int].collect().toSeq
+    if (solo.size > 1) {
+      store.applyChanges("base", Seq("id"), rows(), keys(solo.drop(1): _*))
+      val to = store.versions("base").last
+      IncrementalView.refresh(store, "base", Seq("id"), "view", varDef,
+        from, to)
+      from = to
+      assertVarExact(store)
+    }
+  }
+
   // ---------------- COUNT(DISTINCT) cascade ----------------
 
   private val ndvDef = ViewDef(Seq("region"), Seq.empty,
