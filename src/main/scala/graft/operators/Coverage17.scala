@@ -599,6 +599,36 @@ object Coverage17 {
       vocab.select(col("freq"), explode(symsCol).as("token"))
         .groupBy("token").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(25)
+    },
+
+    // ---- tokenizer fertility ---------------------------------------------
+    // Tokens-per-word distribution under the trained merge table — THE
+    // downstream tokenizer-quality metric (a fertility shift is how a
+    // vocab mismatch with the corpus shows up in training cost: every
+    // extra token per word is proportional sequence length). Grain =
+    // tokens-per-word bucket; all-integer outputs (word count, corpus
+    // occurrences, corpus characters) so both engines agree exactly —
+    // ratios are the consumer's division. Spark serves it from the
+    // training loop's checkpointed vocab: one projection + hash agg
+    // over the Heaps-bounded vocabulary, corpus touched zero times.
+    QDef("q_bpe_fertility",
+      s"""WITH $trainCte
+         |SELECT CAST(len(string_split(substr(w, 2, length(w) - 2), ')(')) AS BIGINT) AS toks,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(freq) AS BIGINT) AS occurrences,
+         |  CAST(sum((length(w) - 2 * len(string_split(substr(w, 2, length(w) - 2), ')('))) * freq) AS BIGINT) AS total_chars
+         |FROM v$BpeN
+         |GROUP BY toks ORDER BY toks
+         |""".stripMargin) { (s, dir) =>
+      val (_, vocab) = trainBpe(s, dir)
+      vocab.select(col("freq"),
+          size(symsCol).cast("long").as("toks"),
+          (length(col("w")) - lit(2) * size(symsCol)).cast("long").as("chars"))
+        .groupBy("toks")
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum(col("freq")).cast("bigint").as("occurrences"),
+          sum(col("chars") * col("freq")).cast("bigint").as("total_chars"))
+        .orderBy("toks")
     }
   )
 }

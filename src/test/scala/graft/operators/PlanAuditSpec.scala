@@ -131,6 +131,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // plans constant-size by loopInput; Coverage17Spec pins it by
     // reference-equality instead of a static audit.
     "q_bpe_apply" -> Budget(maxExchanges = 2),
+    // r10: fertility histogram off the same vocab checkpoint — one
+    // projection + hash agg + toks sort (2 observed + 1 slack)
+    "q_bpe_fertility" -> Budget(maxExchanges = 3),
     // r10: the last two classic topologies. Q12 is filter-then-one-
     // orderkey-join + hash agg (2 observed + 1 slack); Q20's pair
     // distinct, year agg, pair join and final distinct (4 + 1) — the
