@@ -43,7 +43,14 @@ class PrefixedBandIndex(spark: SparkSession, dir: String,
 
   private def readOpt(sub: String): Option[DataFrame] = {
     val p = s"$dir/$sub"
-    if (IndexFs.exists(spark, p)) Some(spark.read.parquet(p)) else None
+    // a dir holding only write markers (_SUCCESS, checksum siblings)
+    // reads as ABSENT: an empty micro-batch's append creates exactly
+    // that shape, and handing it to spark.read fails schema inference
+    // — the guard both prevents and HEALS the footer-less state
+    if (IndexFs.exists(spark, p) && IndexFs.listNames(spark, p)
+        .exists(n => !n.startsWith("_") && !n.startsWith(".")))
+      Some(spark.read.parquet(p))
+    else None
   }
 
   /** Accumulated tombstoned ids, deduped; None if no delete ever ran.
