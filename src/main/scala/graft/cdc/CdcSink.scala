@@ -691,12 +691,45 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     readPartitionEqPruned(target, column, value).map(_._1)
 
   def readPartitionEqPruned(target: String, column: String,
-      value: String): Option[(DataFrame, PruneReport)] = {
+      value: String): Option[(DataFrame, PruneReport)] =
+    partitionPruned(target, column, col(column) === lit(value),
+      v => v == value)
+
+  /** `lo <= column <= hi` (either bound optional) over a configured
+    * layout column, keeping only the `_p_<column>=v` subtrees whose
+    * DIRECTORY NAME falls in the range — the 100 TB time-slice scan.
+    * Values compare as STRINGS, the partition-dir contract (ISO
+    * dates, zero-padded counters); a layout whose values don't sort
+    * lexicographically belongs in zone maps, not dir names. */
+  def readPartitionRange(target: String, column: String, lo: Option[String],
+      hi: Option[String]): Option[DataFrame] =
+    readPartitionRangePruned(target, column, lo, hi).map(_._1)
+
+  def readPartitionRangePruned(target: String, column: String,
+      lo: Option[String], hi: Option[String])
+      : Option[(DataFrame, PruneReport)] = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "readPartitionRange needs at least one bound")
+    val resid = (lo.map(col(column) >= lit(_)) ++
+      hi.map(col(column) <= lit(_))).reduce(_ && _)
+    partitionPruned(target, column, resid,
+      v => lo.forall(v >= _) && hi.forall(v <= _))
+  }
+
+  /** Shared dir-pruning walk: glob each bucket root's subtree level
+    * for `column`, keep leaf dirs whose value passes `keep`, read only
+    * those (residual filter applied — dir names are authoritative for
+    * the value, the filter is defense in depth). Legacy-layout roots
+    * (pre-`_p_` stores) carry values only as reconstructed directory
+    * columns, so their presence degrades the table to a full read +
+    * filter — correct, just unpruned. */
+  private def partitionPruned(target: String, column: String,
+      resid: org.apache.spark.sql.Column,
+      keep: String => Boolean): Option[(DataFrame, PruneReport)] = {
     val layout = partitioning.getOrElse(target, Seq.empty)
     require(layout.contains(column),
       s"'$column' is not a configured layout column of '$target' " +
         s"(layout: ${layout.mkString(", ")})")
-    val resid = col(column) === lit(value)
     currentVersion(target).flatMap { v =>
       val m = manifest(target, v)
       val roots = m.values.toSeq.sorted
@@ -706,8 +739,11 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       else {
         val nest = layout.takeWhile(_ != column)
           .map(c => s"_p_$c=*/").mkString
-        val perBucket = roots.map(r =>
-          r -> IndexFs.glob(spark, s"$r/${nest}_p_$column=$value"))
+        val prefix = s"_p_$column="
+        val perBucket = roots.map { r =>
+          r -> IndexFs.glob(spark, s"$r/$nest$prefix*").filter(p =>
+            keep(new Path(p).getName.stripPrefix(prefix)))
+        }
         val kept = perBucket.filter(_._2.nonEmpty)
         val report = PruneReport(m.size, kept.size)
         if (kept.isEmpty)

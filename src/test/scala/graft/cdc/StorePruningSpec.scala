@@ -211,6 +211,30 @@ class StorePruningSpec extends AnyFunSuite {
     assert(none.count() == 0 && rep2.bucketsKept == 0)
   }
 
+  test("readPartitionRange keeps only in-range layout subtrees (the " +
+      "time-slice scan)") {
+    val store = freshStore(Map.empty, Map("p" -> Seq("day")))
+    val df = (0 until 400).map(i => (i.toLong, f"2024-01-${i % 8 + 1}%02d", i))
+      .toDF("id", "day", "v")
+    store.applyChanges("p", Seq("id"), df, noKeys)
+    val (res, rep) = store.readPartitionRangePruned("p", "day",
+      Some("2024-01-03"), Some("2024-01-05")).get
+    assert(sortedIds(res) ==
+      (0 until 400).filter(i => i % 8 >= 2 && i % 8 <= 4).map(_.toLong))
+    assert(res.inputFiles.nonEmpty && res.inputFiles.forall(p =>
+      p.contains("_p_day=2024-01-03") || p.contains("_p_day=2024-01-04") ||
+        p.contains("_p_day=2024-01-05")), res.inputFiles.take(3).toSeq)
+    assert(rep.bucketsKept >= rep.bucketsTotal / 2, rep)
+    // one-sided bound; range entirely before the data prunes all
+    val tail = store.readPartitionRange("p", "day",
+      Some("2024-01-07"), None).get
+    assert(sortedIds(tail) ==
+      (0 until 400).filter(i => i % 8 >= 6).map(_.toLong))
+    val (none, rep2) = store.readPartitionRangePruned("p", "day",
+      None, Some("2023-12-31")).get
+    assert(none.count() == 0 && rep2.bucketsKept == 0)
+  }
+
   test("vacuum sweeps dropped versions' sidecars and orphans, keeps " +
       "the current one") {
     val store = freshStore()
