@@ -35,13 +35,14 @@ object MirrorPipeline {
       views: Seq[ViewSpec], checkpointDir: String,
       dlqDir: Option[String] = None,
       partitioning: Map[String, Seq[String]] = Map.empty,
-      nBuckets: Int = 64): StreamingQuery =
+      nBuckets: Int = 64,
+      statsColumns: Map[String, Seq[String]] = Map.empty): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val store = new ParquetTableStore(batch.sparkSession, storeRoot,
-          partitioning, nBuckets)
+          partitioning, nBuckets, statsColumns)
         Materializer.applyBatch(batch, catalog, registry, store, dlqDir)
         views.foreach { v =>
           // a batch may not touch this view's base at all — then the

@@ -601,6 +601,61 @@ object Coverage17 {
         .orderBy(col("cnt").desc, col("token")).limit(25)
     },
 
+    // ---- training-sequence packing ---------------------------------------
+    // The GPT-style concat-and-split packing accountant: docs are laid
+    // end to end per source in deterministic md5 order and cut into
+    // fixed-capacity training sequences; each doc STARTS in pack
+    // floor(start/C) and straddles into the next when its span crosses
+    // a cut. Output per (source, pack): docs started, their token
+    // mass, and how many straddle — the truncation/waste ledger a
+    // packing stage reports before anyone trains on it. All-integer
+    // (capacity 256), deterministic in both engines. Plan shape: the
+    // cumulative sum rides PrefixSum's two-phase form (no key-sized
+    // window task — the q_corpus_prep machinery), then one hash agg;
+    // at 100 TB no task ever scans more than ~1/256 of one source.
+    QDef("q_pack_sequences",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    CAST(sum(toks) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM d),
+        |p AS (
+        |  SELECT source, (cum - toks) // 256 AS pack_id, toks,
+        |    CASE WHEN (cum - 1) // 256 > (cum - toks) // 256
+        |         THEN 1 ELSE 0 END AS straddle
+        |  FROM c)
+        |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS toks_sum,
+        |  CAST(sum(straddle) AS BIGINT) AS n_straddle
+        |FROM p GROUP BY source, pack_id
+        |ORDER BY source, pack_id
+        |""".stripMargin) { (s, dir) =>
+      val cap = 256L
+      val d = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val c = graft.plans.PrefixSum.perKey(d, "source",
+        md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+        col("toks"), "cum")
+      c.select(col("source"),
+          expr(s"(cum - toks) div $cap").as("pack_id"),
+          col("toks"),
+          when(expr(s"(cum - 1) div $cap") > expr(s"(cum - toks) div $cap"),
+            1L).otherwise(0L).as("straddle"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("toks")).cast("bigint").as("toks_sum"),
+          sum(col("straddle")).cast("bigint").as("n_straddle"))
+        .orderBy("source", "pack_id")
+    },
+
     // ---- tokenizer fertility ---------------------------------------------
     // Tokens-per-word distribution under the trained merge table — THE
     // downstream tokenizer-quality metric (a fertility shift is how a

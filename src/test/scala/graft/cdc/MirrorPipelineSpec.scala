@@ -85,7 +85,8 @@ class MirrorPipelineSpec extends AnyFunSuite {
     val q = MirrorPipeline.start(
       CdcPipeline.fileSource(spark, in.toString), catalog,
       Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec, ndViewSpec),
-      ckpt.toString)
+      ckpt.toString,
+      statsColumns = Map("customers" -> Seq("last_name")))
     try {
       q.processAllAvailable()
       assertConsistent(store)
@@ -114,6 +115,27 @@ class MirrorPipelineSpec extends AnyFunSuite {
       assert(mm == Map("Thomas" -> ((1L, 1L)), "Walker" -> ((2L, 2L))), mm)
     } finally q.stop()
 
+    // the live mirror doubles as the serving path: point lookups ride
+    // the key-hash buckets, attribute probes the zone-map bloom —
+    // equality vs the full filter and FEWER buckets opened, while the
+    // stream is the only writer the store has ever seen
+    val statsStore = new ParquetTableStore(spark, storeRoot,
+      statsColumns = Map("customers" -> Seq("last_name")))
+    // probe keys carry the TABLE'S types (id is INT in the mirrored
+    // schema): a long here would hash to a different bucket and read
+    // nothing — the contract readKeys' scaladoc pins
+    val (hit, keyRep) = statsStore.readKeysPruned("customers", Seq("id"),
+      Seq(2).toDF("id")).get
+    assert(hit.select("first_name").as[String].collect().toSeq ==
+      Seq("George"))
+    assert(keyRep.bucketsKept <= 1, keyRep)
+    val (walkers, eqRep) = statsStore.readEqPruned(
+      "customers", "last_name", "Walker").get
+    assert(walkers.select("id").as[Long].collect().toSeq == Seq(2L))
+    // exactly the one bucket whose bloom holds 'Walker' — the other
+    // live bucket's bloom (Thomas only) proves its absence
+    assert(eqRep.bucketsKept == 1, eqRep)
+
     // restart WITHOUT the checkpoint: both files replay (at-least-once
     // redelivery) — identical content re-merges, the change feeds net
     // to zero, and the views stay exactly consistent
@@ -121,7 +143,8 @@ class MirrorPipelineSpec extends AnyFunSuite {
     val q2 = MirrorPipeline.start(
       CdcPipeline.fileSource(spark, in.toString), catalog,
       Envelope.defaultRegistry, storeRoot.toString, Seq(viewSpec, mmViewSpec, ndViewSpec),
-      ckpt2.toString)
+      ckpt2.toString,
+      statsColumns = Map("customers" -> Seq("last_name")))
     try {
       q2.processAllAvailable()
       assertConsistent(store)

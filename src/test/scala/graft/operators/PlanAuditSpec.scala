@@ -140,6 +140,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // part/nation dims ride broadcast semis, no SMJ anywhere
     "q_tpch_q12" -> Budget(maxExchanges = 3),
     "q_tpch_q20" -> Budget(maxExchanges = 5),
+    // r10: packing ledger — PrefixSum two-phase cumsum (bounded-domain
+    // offset window, no key-sized window task) + one hash agg + sort
+    "q_pack_sequences" -> Budget(maxExchanges = 7),
     // r10: fingerprint dedups — decode rides mapPartitions (no
     // shuffle); the cost is the band self-join + distinct. Never an
     // all-pairs join: candidates are the band-bucket equi-join.
