@@ -601,6 +601,65 @@ object Coverage17 {
         .orderBy(col("cnt").desc, col("token")).limit(25)
     },
 
+    // ---- URL canonicalization dedup --------------------------------------
+    // The web-corpus exact-dup step that runs BEFORE any content
+    // hashing: the same page arrives under scheme/case/www/trailing-
+    // slash/tracking-param/fragment variants, and canonicalization is
+    // what collapses them. URLs are derived deterministically from
+    // doc_id (the q_pii_flags enrichment move — five variants per
+    // group of five docs, identical construction in both engines);
+    // canonical form = lowercase, scheme off, leading www. off,
+    // fragment off, query off, trailing slash off — an empty-
+    // replacement regexp chain (RE2-safe, no group refs, so ONE
+    // pattern set serves Java and RE2 alike). Per-row projection +
+    // one hash agg: no joins, no windows, scale-free.
+    QDef("q_dedup_urls",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'https://site' || (doc_id // 5) % 40 || '.example.com/p/' || doc_id // 5
+        |      WHEN 1 THEN 'HTTPS://WWW.Site' || (doc_id // 5) % 40 || '.Example.com/p/' || doc_id // 5
+        |      WHEN 2 THEN 'https://site' || (doc_id // 5) % 40 || '.example.com/p/' || doc_id // 5 || '/'
+        |      WHEN 3 THEN 'http://site' || (doc_id // 5) % 40 || '.example.com/p/' || doc_id // 5 || '?utm_source=feed&utm_campaign=c1'
+        |      ELSE 'https://site' || (doc_id // 5) % 40 || '.example.com/p/' || doc_id // 5 || '#section-2'
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url), '^https?://', ''), '^www\.', ''), '#.*$', ''), '\?.*$', ''), '/$', '')
+        |      AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM c GROUP BY canonical_url HAVING count(*) > 1
+        |ORDER BY canonical_url
+        |""".stripMargin) { (s, dir) =>
+      val g = expr("doc_id div 5")
+      val gm = expr("(doc_id div 5) % 40")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://site"), gm, lit(".example.com/p/"), g))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("HTTPS://WWW.Site"), gm, lit(".Example.com/p/"), g))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://site"), gm, lit(".example.com/p/"), g, lit("/")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://site"), gm, lit(".example.com/p/"), g,
+            lit("?utm_source=feed&utm_campaign=c1")))
+        .otherwise(
+          concat(lit("https://site"), gm, lit(".example.com/p/"), g,
+            lit("#section-2")))
+      val canonical = Seq("^https?://", "^www\\.", "#.*$", "\\?.*$", "/$")
+        .foldLeft(lower(url)) { (c, p) => regexp_replace(c, p, "") }
+      table(s, dir, "documents")
+        .select(col("doc_id"), canonical.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          min(col("doc_id")).cast("bigint").as("keeper"))
+        .filter(col("n_docs") > 1)
+        .orderBy("canonical_url")
+    },
+
     // ---- training-sequence packing ---------------------------------------
     // The GPT-style concat-and-split packing accountant: docs are laid
     // end to end per source in deterministic md5 order and cut into

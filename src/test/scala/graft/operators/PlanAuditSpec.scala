@@ -140,6 +140,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // part/nation dims ride broadcast semis, no SMJ anywhere
     "q_tpch_q12" -> Budget(maxExchanges = 3),
     "q_tpch_q20" -> Budget(maxExchanges = 5),
+    // r10: URL canonicalization dedup — per-row regex chain + one
+    // hash agg + sort; no joins anywhere
+    "q_dedup_urls" -> Budget(maxExchanges = 3),
     // r10: packing ledger — PrefixSum two-phase cumsum (bounded-domain
     // offset window, no key-sized window task) + one hash agg + sort
     "q_pack_sequences" -> Budget(maxExchanges = 7),
