@@ -118,6 +118,40 @@ object Coverage17 {
     (head +: rounds).mkString(",\n")
   }
 
+  /** Unrolled 10-iteration personalized-PageRank oracle — the
+    * q_pagerank move with teleport mass confined to the seed node. */
+  private lazy val pprOracle: String = {
+    val steps = (1 to 10).map { i =>
+      s""", p$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN n.node = s.seed THEN CAST(0.15 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END
+         |      + CAST(0.85 AS DOUBLE)
+         |        * coalesce(sum(p.r * w.w), CAST(0 AS DOUBLE)) AS r
+         |  FROM nodes n CROSS JOIN seed s
+         |  LEFT JOIN w ON w.dst = n.node
+         |  LEFT JOIN p${i - 1} p ON p.node = w.src
+         |  GROUP BY n.node, s.seed)""".stripMargin
+    }.mkString
+    s"""WITH nx AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |edges AS (
+       |  SELECT src, dst, count(*) AS c FROM nx WHERE dst IS NOT NULL
+       |  GROUP BY src, dst),
+       |outd AS (SELECT src, sum(c) AS tot FROM edges GROUP BY src),
+       |w AS (SELECT e.src, e.dst, e.c / o.tot AS w
+       |      FROM edges e JOIN outd o USING (src)),
+       |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+       |seed AS (SELECT min(node) AS seed FROM nodes),
+       |p0 AS (SELECT node,
+       |  CASE WHEN node = s.seed THEN CAST(1.0 AS DOUBLE)
+       |       ELSE CAST(0 AS DOUBLE) END AS r
+       |  FROM nodes, seed s)$steps
+       |SELECT node, round(r, 6) + 0.0 AS ppr FROM p10""".stripMargin
+  }
+
   // ---- PII enrichment + redaction (shared by the two queries below) ----
   // The same deterministic doc_id-keyed enrichment q_pii_flags scans
   // (Coverage16 — the find half); these queries are the APPLY half.
@@ -599,6 +633,46 @@ object Coverage17 {
       vocab.select(col("freq"), explode(symsCol).as("token"))
         .groupBy("token").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(25)
+    },
+
+    // ---- personalized PageRank (random walk with restart) ---------------
+    // The recommendation dual of q_pagerank: teleport mass returns to
+    // a SEED node (deterministically the lexicographic-min event type)
+    // instead of spreading uniformly, so ranks answer "what is reached
+    // from HERE" — related-item scoring over the same transition
+    // graph. Identical loop discipline (10 damped iterations,
+    // loopInput-checkpointed edge weights, rank vector rebroadcast per
+    // round, facts touched once) and the same unrolled-CTE oracle
+    // move; round-6 determinism convention.
+    QDef("q_ppr", pprOracle) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val nx = ev.select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(wOrd).as("dst"))
+        .filter(col("dst").isNotNull)
+      val edges = nx.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      val outd = edges.groupBy("src").agg(sum(col("c")).as("tot"))
+      val wts = DedupOps.loopInput(edges.join(outd, "src")
+        .select(col("src"), col("dst"), (col("c") / col("tot")).as("w")))
+      val nodes = DedupOps.loopInput(
+        ev.select(col("event_type").as("node")).distinct())
+      val seed = nodes.agg(min(col("node")).as("seed"))
+      def restart(mass: Double) =
+        when(col("node") === col("seed"), lit(mass)).otherwise(lit(0.0))
+      var p = nodes.crossJoin(broadcast(seed))
+        .select(col("node"), restart(1.0).as("r"))
+      for (_ <- 1 to 10) {
+        val inflow = wts
+          .join(p.withColumnRenamed("node", "src"), "src")
+          .groupBy("dst").agg(sum(col("r") * col("w")).as("inflow"))
+        p = nodes.crossJoin(broadcast(seed))
+          .join(inflow, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (restart(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0)))
+              .as("r"))
+      }
+      p.select(col("node"), (round(col("r"), 6) + lit(0.0)).as("ppr"))
     },
 
     // ---- URL canonicalization dedup --------------------------------------
