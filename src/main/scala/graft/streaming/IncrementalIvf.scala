@@ -60,6 +60,9 @@ object IncrementalIvf {
     * it into its own `batch=<id>` directory (overwrite → replay-safe). */
   def processBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     require(batchId > 0, s"batch ids >= 1 (0 is the bootstrap), got $batchId")
+    // empty micro-batch = no-op: a zero-row write would still create a
+    // footer-less batch=N dir (the IncrementalPostings guard's rationale)
+    if (batch.isEmpty) return
     writeBatch(batch, dir, batchId)
   }
 

@@ -83,6 +83,11 @@ object IncrementalPostings {
     * doc) is what later [[delete]]s resolve lengths against without
     * touching the postings tree. */
   def processBatch(docs: DataFrame, dir: String, batchId: Long): Unit = {
+    // empty micro-batches are routine under a real trigger cadence; a
+    // zero-row write still creates batch=N dirs (just _SUCCESS), which
+    // break per-dir reads' schema inference and accumulate forever —
+    // and skipping is replay-consistent (redelivered nothing is nothing)
+    if (docs.isEmpty) return
     tokenize(docs).withColumn("term_bucket", bucketCol)
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/postings/batch=$batchId")

@@ -59,6 +59,10 @@ object IncrementalSubstringDedup {
     * per-doc span report to `reports/batch=<id>` and append its new
     * grams to `grams/batch=<id>` (both overwrite → replay-safe). */
   def processBatch(raw: DataFrame, dir: String, batchId: Long): Unit = {
+    // empty micro-batch = no-op: consolidate reads each reports/batch=N
+    // dir INDIVIDUALLY, so one footer-less dir from a zero-row write
+    // would break it outright (the IncrementalPostings guard's rationale)
+    if (raw.isEmpty) return
     val spark = raw.sparkSession
     val docs = SubstringDedup.tokenize(raw)
     // the two writes below are separate Spark actions, and exchange

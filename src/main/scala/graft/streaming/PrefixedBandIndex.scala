@@ -95,6 +95,10 @@ class PrefixedBandIndex(spark: SparkSession, dir: String,
     * never ingested. Never-ingested ids tombstone harmlessly (the anti
     * join simply matches nothing). */
   def delete(ids: Seq[Long], deleteId: Long): Unit = {
+    // an empty takedown must not touch the index: a zero-row write
+    // would leave a footer-less del= dir (the readOpt empty-append
+    // hazard), and there is nothing to record anyway
+    if (ids.isEmpty) return
     import spark.implicits._
     ids.distinct.toDF(idCol)
       .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
