@@ -635,6 +635,50 @@ object Coverage17 {
         .orderBy(col("cnt").desc, col("token")).limit(25)
     },
 
+    // ---- composite quality verdict (the filter's WHY) --------------------
+    // Corpus filters don't just drop documents — they must report WHY,
+    // or the curation loop is unsteerable. Three Gopher-style rules
+    // composed into a reasons BITMAP (bit0 too-short, bit1 low
+    // stopword density, bit2 low distinct-token ratio), each stated in
+    // CROSS-MULTIPLIED INTEGER form (stops·10 < toks, dtoks·5 <
+    // toks·3) so no float ratio ever reaches a threshold comparison —
+    // zero cross-engine rounding surface by construction. Output is
+    // the verdict histogram (verdict 0 = keep). Per-row expressions +
+    // one hash agg over ≤ 8 groups: scan-speed at any scale.
+    QDef("q_quality_verdict",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS dtoks,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS BIGINT) AS stops
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN toks < 25 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN stops * 10 < toks THEN 2 ELSE 0 END)
+        |    + (CASE WHEN dtoks * 5 < toks * 3 THEN 4 ELSE 0 END) AS verdict
+        |  FROM t)
+        |SELECT CAST(verdict AS BIGINT) AS verdict,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM v GROUP BY verdict ORDER BY verdict
+        |""".stripMargin) { (s, dir) =>
+      val w = split(trim(col("text")), " ")
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(w).cast("long").as("toks"),
+          size(array_distinct(w)).cast("long").as("dtoks"),
+          size(regexp_extract_all(col("text"),
+            lit("\\b(the|a|of|and|to)\\b"), lit(0))).cast("long").as("stops"))
+        .select(col("doc_id"),
+          (when(col("toks") < 25, 1L).otherwise(0L)
+            + when(col("stops") * 10 < col("toks"), 2L).otherwise(0L)
+            + when(col("dtoks") * 5 < col("toks") * 3, 4L).otherwise(0L))
+            .as("verdict"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .orderBy("verdict")
+    },
+
     // ---- personalized PageRank (random walk with restart) ---------------
     // The recommendation dual of q_pagerank: teleport mass returns to
     // a SEED node (deterministically the lexicographic-min event type)

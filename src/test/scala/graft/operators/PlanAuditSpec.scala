@@ -140,6 +140,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // part/nation dims ride broadcast semis, no SMJ anywhere
     "q_tpch_q12" -> Budget(maxExchanges = 3),
     "q_tpch_q20" -> Budget(maxExchanges = 5),
+    // r10: quality verdict bitmap — per-row integer rules + one hash
+    // agg over <= 8 verdict groups
+    "q_quality_verdict" -> Budget(maxExchanges = 2),
     // r10: URL canonicalization dedup — per-row regex chain + one
     // hash agg + sort; no joins anywhere
     "q_dedup_urls" -> Budget(maxExchanges = 3),
