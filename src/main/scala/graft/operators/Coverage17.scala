@@ -118,6 +118,54 @@ object Coverage17 {
     (head +: rounds).mkString(",\n")
   }
 
+  /** Oracle CTE chain shared by q_corpus_prep_redacted / _packed —
+    * enrich → redact → alpha-quality quartile → exact dedup →
+    * md5-ordered per-source token cumsum (`c`). ONE definition so the
+    * two flagship forms cannot drift. Assembled by concatenation, not
+    * interpolation into a stripMargin template (the round-10 `||`
+    * margin-eating gotcha). */
+  private lazy val prepCtes: String =
+    s"WITH enriched AS ($enrichSql),\n" +
+    s"red AS (SELECT doc_id, source, text FROM ($redactSql) rr),\n" +
+    """m AS (SELECT doc_id, source, text,
+      |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS alpha
+      |  FROM red),
+      |q AS (SELECT doc_id, source, text FROM m
+      |      WHERE alpha > (SELECT quantile_cont(alpha, 0.25) FROM m)),
+      |k AS (SELECT min(doc_id) AS doc_id FROM q
+      |      GROUP BY md5(lower(trim(text)))),
+      |d AS (SELECT q.doc_id, q.source,
+      |        CAST(len(string_split_regex(trim(q.text), '\s+')) AS BIGINT)
+      |          AS toks,
+      |        md5(CAST(q.doc_id AS VARCHAR)) AS ord
+      |      FROM q JOIN k USING (doc_id)),
+      |c AS (SELECT doc_id, source, toks,
+      |        sum(toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM d)""".stripMargin
+
+  /** Spark side of [[prepCtes]] up to the budgeted survivors, `cum`
+    * carried (the per-source contiguous position of each doc). */
+  private def budgetedPrep(s: SparkSession, dir: String): DataFrame = {
+    val m = redacted(s, dir).select(
+      col("doc_id"), col("source"), col("text"),
+      (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+        / length(col("text"))).as("alpha"))
+    val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
+    val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
+      .select("doc_id", "source", "text")
+    val keep = q.groupBy(md5(lower(trim(col("text"))).cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val d = q.join(keep, Seq("doc_id"), "left_semi").select(
+      col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    graft.plans.PrefixSum.perKey(d, "source",
+        md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+        col("toks"), "cum")
+      .filter(col("cum") - col("toks") < 600)
+  }
+
   /** Unrolled 10-iteration personalized-PageRank oracle — the
     * q_pagerank move with teleport mass confined to the seed node. */
   private lazy val pprOracle: String = {
@@ -264,46 +312,47 @@ object Coverage17 {
     // whose only difference was its PII dedups away; placeholders count
     // as tokens exactly once, both engines).
     QDef("q_corpus_prep_redacted",
-      s"WITH enriched AS ($enrichSql),\n" +
-      s"red AS (SELECT doc_id, source, text FROM ($redactSql) rr),\n" +
-      s"""m AS (SELECT doc_id, source, text,
-         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-         |      / length(text) AS alpha
-         |  FROM red),
-         |q AS (SELECT doc_id, source, text FROM m
-         |      WHERE alpha > (SELECT quantile_cont(alpha, 0.25) FROM m)),
-         |k AS (SELECT min(doc_id) AS doc_id FROM q
-         |      GROUP BY md5(lower(trim(text)))),
-         |d AS (SELECT q.doc_id, q.source,
-         |        CAST(len(string_split_regex(trim(q.text), '\\s+')) AS BIGINT)
-         |          AS toks,
-         |        md5(CAST(q.doc_id AS VARCHAR)) AS ord
-         |      FROM q JOIN k USING (doc_id)),
-         |c AS (SELECT doc_id, source, toks,
-         |        sum(toks) OVER (PARTITION BY source ORDER BY ord, doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM d)
-         |SELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum_tokens
-         |FROM c WHERE cum - toks < 600
-         |""".stripMargin) { (s, dir) =>
-      val m = redacted(s, dir).select(
-        col("doc_id"), col("source"), col("text"),
-        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
-          / length(col("text"))).as("alpha"))
-      val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
-      val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
-        .select("doc_id", "source", "text")
-      val keep = q.groupBy(md5(lower(trim(col("text"))).cast("binary")))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val d = q.join(keep, Seq("doc_id"), "left_semi").select(
-        col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
-      graft.plans.PrefixSum.perKey(d, "source",
-          md5(col("doc_id").cast("string").cast("binary")), "doc_id",
-          col("toks"), "cum")
-        .filter(col("cum") - col("toks") < 600)
+      prepCtes +
+      "\nSELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum_tokens" +
+      "\nFROM c WHERE cum - toks < 600\n") { (s, dir) =>
+      budgetedPrep(s, dir)
         .select(col("doc_id"), col("source"), col("toks"),
           col("cum").as("cum_tokens"))
+    },
+
+    // ---- corpus prep packed: the full pipeline into training shape -------
+    // The last mile: quality → dedup → redaction → per-source token
+    // budget → SEQUENCE PACKING, still ONE declarative plan. The
+    // budget keeps each source's md5-ordered PREFIX, so the budget
+    // cumsum is already the contiguous lay-end-to-end position of
+    // every surviving doc — the pack cut (capacity 128) is pure
+    // arithmetic on it, no second prefix pass. Output is the
+    // per-(source, pack) ledger a trainer consumes: docs started,
+    // token mass, straddle count.
+    QDef("q_corpus_prep_packed",
+      prepCtes + """,
+        |b AS (SELECT source, toks, cum FROM c WHERE cum - toks < 600),
+        |p AS (SELECT source, (cum - toks) // 128 AS pack_id, toks,
+        |        CASE WHEN (cum - 1) // 128 > (cum - toks) // 128
+        |             THEN 1 ELSE 0 END AS straddle
+        |      FROM b)
+        |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS toks_sum,
+        |  CAST(sum(straddle) AS BIGINT) AS n_straddle
+        |FROM p GROUP BY source, pack_id
+        |ORDER BY source, pack_id
+        |""".stripMargin) { (s, dir) =>
+      budgetedPrep(s, dir)
+        .select(col("source"),
+          expr("(cum - toks) div 128").as("pack_id"), col("toks"),
+          when(expr("(cum - 1) div 128") > expr("(cum - toks) div 128"),
+            1L).otherwise(0L).as("straddle"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("toks")).cast("bigint").as("toks_sum"),
+          sum(col("straddle")).cast("bigint").as("n_straddle"))
+        .orderBy("source", "pack_id")
     },
 
     // ---- BPE tokenizer training: the full N-merge loop ------------------

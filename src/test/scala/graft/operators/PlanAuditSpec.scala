@@ -140,6 +140,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // part/nation dims ride broadcast semis, no SMJ anywhere
     "q_tpch_q12" -> Budget(maxExchanges = 3),
     "q_tpch_q20" -> Budget(maxExchanges = 5),
+    // r10: the packed flagship — the redacted-prep chain (quartile
+    // broadcast + dedup semi-join + PrefixSum) + the pack hash agg
+    "q_corpus_prep_packed" -> Budget(maxExchanges = 9),
     // r10: quality verdict bitmap — per-row integer rules + one hash
     // agg over <= 8 verdict groups
     "q_quality_verdict" -> Budget(maxExchanges = 2),
