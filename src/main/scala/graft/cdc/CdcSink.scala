@@ -587,26 +587,34 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     readRangePruned(target, column, lo, hi).map(_._1)
 
   def readRangePruned(target: String, column: String, lo: Option[Any],
-      hi: Option[Any]): Option[(DataFrame, PruneReport)] = {
+      hi: Option[Any]): Option[(DataFrame, PruneReport)] =
+    currentVersion(target).flatMap(
+      readRangePrunedAt(target, _, column, lo, hi))
+
+  /** Version-pinned twin: the same pruned range read against a
+    * RETAINED version — a reader pinning one snapshot for a
+    * multi-query session stays consistent while merges continue
+    * (sidecars are retained and vacuumed with their manifests, so
+    * time travel and pruning reach exactly the same history). */
+  def readRangePrunedAt(target: String, version: String, column: String,
+      lo: Option[Any], hi: Option[Any]): Option[(DataFrame, PruneReport)] = {
     require(lo.nonEmpty || hi.nonEmpty,
       "readRange needs at least one bound")
     val loE = lo.map(BucketStats.encodeBound)
     val hiE = hi.map(BucketStats.encodeBound)
-    currentVersion(target).flatMap { v =>
-      val m = manifest(target, v)
-      val keep = readStatsFile(target, v) match {
-        case Some(st) => m.keySet.filter { b =>
-          st.get(b).flatMap(_.get(column)) match {
-            case Some(cs) => BucketStats.mayOverlap(cs, loE, hiE)
-            case None => true // untracked bucket/column: never mis-prune
-          }
+    val m = manifest(target, version)
+    val keep = readStatsFile(target, version) match {
+      case Some(st) => m.keySet.filter { b =>
+        st.get(b).flatMap(_.get(column)) match {
+          case Some(cs) => BucketStats.mayOverlap(cs, loE, hiE)
+          case None => true // untracked bucket/column: never mis-prune
         }
-        case None => m.keySet
       }
-      val resid = (lo.map(col(column) >= lit(_)) ++
-        hi.map(col(column) <= lit(_))).reduce(_ && _)
-      statFiltered(target, m, keep, resid)
+      case None => m.keySet
     }
+    val resid = (lo.map(col(column) >= lit(_)) ++
+      hi.map(col(column) <= lit(_))).reduce(_ && _)
+    statFiltered(target, m, keep, resid)
   }
 
   /** `column = value` reading only buckets whose zone maps (min/max +
@@ -620,19 +628,23 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
 
   def readEqPruned(target: String, column: String,
       value: Any): Option[(DataFrame, PruneReport)] =
-    currentVersion(target).flatMap { v =>
-      val m = manifest(target, v)
-      val keep = readStatsFile(target, v) match {
-        case Some(st) => m.keySet.filter { b =>
-          st.get(b).flatMap(_.get(column)) match {
-            case Some(cs) => BucketStats.mayContainEq(cs, value)
-            case None => true
-          }
+    currentVersion(target).flatMap(readEqPrunedAt(target, _, column, value))
+
+  /** Version-pinned twin of [[readEqPruned]] (see readRangePrunedAt). */
+  def readEqPrunedAt(target: String, version: String, column: String,
+      value: Any): Option[(DataFrame, PruneReport)] = {
+    val m = manifest(target, version)
+    val keep = readStatsFile(target, version) match {
+      case Some(st) => m.keySet.filter { b =>
+        st.get(b).flatMap(_.get(column)) match {
+          case Some(cs) => BucketStats.mayContainEq(cs, value)
+          case None => true
         }
-        case None => m.keySet
       }
-      statFiltered(target, m, keep, col(column) === lit(value))
+      case None => m.keySet
     }
+    statFiltered(target, m, keep, col(column) === lit(value))
+  }
 
   private def statFiltered(target: String, m: Map[Int, String],
       keep: Set[Int],
@@ -659,24 +671,27 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     readKeysPruned(target, pks, keys).map(_._1)
 
   def readKeysPruned(target: String, pks: Seq[String],
+      keys: DataFrame): Option[(DataFrame, PruneReport)] =
+    currentVersion(target).flatMap(readKeysPrunedAt(target, _, pks, keys))
+
+  /** Version-pinned twin of [[readKeysPruned]] (see readRangePrunedAt). */
+  def readKeysPrunedAt(target: String, version: String, pks: Seq[String],
       keys: DataFrame): Option[(DataFrame, PruneReport)] = {
     val bucketOf = pmod(xxhash64(pks.map(col): _*), lit(nBuckets)).cast("int")
-    currentVersion(target).flatMap { v =>
-      val m = manifest(target, v)
-      // ≤ nBuckets scalars — bucket ids, not data
-      val wanted = keys.select(bucketOf.as("_b")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val keep = m.keySet.intersect(wanted)
-      val report = PruneReport(m.size, keep.size)
-      if (keep.isEmpty)
-        readPaths(target, m.values.toSeq.sorted.take(1))
-          .map(df => (df.limit(0), report))
-      else
-        readPaths(target, keep.toSeq.sorted.flatMap(m.get)).map { df =>
-          (df.join(broadcast(keys.select(pks.map(col): _*).distinct()),
-            pks, "left_semi"), report)
-        }
-    }
+    val m = manifest(target, version)
+    // ≤ nBuckets scalars — bucket ids, not data
+    val wanted = keys.select(bucketOf.as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val keep = m.keySet.intersect(wanted)
+    val report = PruneReport(m.size, keep.size)
+    if (keep.isEmpty)
+      readPaths(target, m.values.toSeq.sorted.take(1))
+        .map(df => (df.limit(0), report))
+    else
+      readPaths(target, keep.toSeq.sorted.flatMap(m.get)).map { df =>
+        (df.join(broadcast(keys.select(pks.map(col): _*).distinct()),
+          pks, "left_semi"), report)
+      }
   }
 
   /** `column = value` over a configured layout column, narrowing each

@@ -235,6 +235,36 @@ class StorePruningSpec extends AnyFunSuite {
     assert(none.count() == 0 && rep2.bucketsKept == 0)
   }
 
+  test("version-pinned pruned reads serve a consistent snapshot while " +
+      "merges continue") {
+    val store = freshStore()
+    store.applyChanges("t", Seq("id"), rows(0 until 400), noKeys)
+    val v1 = store.version("t").get
+    // a later merge deletes every t13 row and moves one key's tenant
+    val doomed = (0 until 400).filter(_ % 40 == 13).map(_.toLong)
+    store.applyChanges("t", Seq("id"),
+      Seq((0L, "t777", 0L,
+        new java.sql.Timestamp(1700000000000L), 0.0))
+        .toDF("id", "tenant", "ts", "tst", "score"),
+      doomed.toDF("id"))
+    // pinned at v1: t13 still there, t777 not yet — with bloom pruning
+    val (old13, rep13) = store.readEqPrunedAt("t", v1, "tenant", "t13").get
+    assert(sortedIds(old13) == doomed.sorted)
+    assert(rep13.bucketsKept < rep13.bucketsTotal, rep13)
+    assert(store.readEqPrunedAt("t", v1, "tenant", "t777").get._1.count() == 0)
+    // current: the other way round
+    assert(store.readEq("t", "tenant", "t13").get.count() == 0)
+    assert(sortedIds(store.readEq("t", "tenant", "t777").get) == Seq(0L))
+    // pinned key fetch sees the pre-merge image of the moved key
+    val (oldKey, _) = store.readKeysPrunedAt("t", v1, Seq("id"),
+      Seq(0L).toDF("id")).get
+    assert(oldKey.select("tenant").as[String].collect().toSeq == Seq("t0"))
+    // pinned range read against the old sidecar
+    val (oldRange, _) = store.readRangePrunedAt("t", v1, "ts",
+      Some(390L), None).get
+    assert(sortedIds(oldRange) == (390L to 399L))
+  }
+
   test("vacuum sweeps dropped versions' sidecars and orphans, keeps " +
       "the current one") {
     val store = freshStore()
