@@ -83,6 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("zone_bloom"),
+      new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "zone_bloom"),
+      (children: Seq[Expression]) =>
+        graft.functions.BloomAgg(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("composite_lower_bound"),
       new ExpressionInfo(classOf[CompositeLowerBound].getName,
         "composite_lower_bound"),
