@@ -313,18 +313,23 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * `parentSeq + 1` — the Delta `_delta_log` shape. The current version
   * is the HIGHEST WELL-FORMED log entry:
   *
-  *  - Torn commit (crash mid-write, readable on HDFS where a created
-  *    file is visible before its content lands): the entry fails the
-  *    `#END` terminator check and readers serve the previous entry —
-  *    a reader never sees a half-committed version. The next writer
-  *    skips over the torn slot (it never counted) and commits above it.
+  *  - Torn commit: log-entry VISIBILITY IS ATOMIC WITH CONTENT
+  *    (IndexFs.createExclusive publishes via hard-link on local
+  *    roots, temp+rename on HDFS, conditional put on object stores),
+  *    so a crash leaves either a complete entry or nothing — a torn
+  *    slot can only come from the check-then-act residual (object
+  *    stores without conditional put) or a pre-fix writer. Either
+  *    way it fails the `#END` terminator check and readers serve the
+  *    previous entry; the next writer grants it a bounded grace
+  *    window (in case it is merely in-flight on a residual store)
+  *    then skips over the corpse and commits above it.
   *  - Concurrent writers from the same parent: the exclusive create
   *    arbitrates — exactly one wins the slot; the loser's staged
   *    files are deleted and it gets [[ConcurrentWriteException]]
   *    (clean loss; retry from the new current version).
-  *  - Atomicity of the exclusive create: java.nio `CREATE_NEW` on
-  *    local roots (the fast-path), HDFS atomic `create(overwrite =
-  *    false)`, S3A conditional puts on recent Hadoop (the same
+  *  - Atomicity of the exclusive create: temp-file + `link(2)` on
+  *    local roots, temp-file + atomic non-overwriting rename on
+  *    HDFS, S3A conditional puts on recent Hadoop (the same
   *    contract Delta requires of its LogStore).
   *
   * Stores written by the pre-log protocol are adopted transparently:
@@ -383,11 +388,26 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     * parent — this merge is stale, loser cleanup is the caller's.
     * Occupied TORN slot = a crashed commit that never counted — skip
     * over it (readers resolve highest well-formed, so committing above
-    * a corpse is safe and unblocks the sequence). */
+    * a corpse is safe and unblocks the sequence).
+    *
+    * Declaring a torn slot a corpse is only safe when visibility is
+    * atomic with content (IndexFs.createExclusive's contract on local,
+    * HDFS and conditional-put object stores — a crash leaves either a
+    * complete entry or nothing). On the check-then-act residual
+    * (object stores without conditional put) an in-flight writer COULD
+    * briefly expose a partial entry, so a torn slot gets a bounded
+    * grace window of re-reads before being skipped: if it completes,
+    * this merge correctly loses; only a slot still torn after the
+    * window is treated as a corpse. */
   /** Test seam: runs immediately before the commit's exclusive create
     * so specs can interleave a competing writer deterministically into
     * the race window. No-op in production. */
   private[cdc] var onBeforeCommit: () => Unit = () => ()
+
+  /** Torn-slot grace: re-reads × sleep before a torn slot is declared
+    * a corpse. Test seam so the corpse-skip specs stay fast. */
+  private[cdc] var tornSlotGraceMs: Long = 100L
+  private[cdc] var tornSlotGraceReads: Int = 5
 
   private def commitVersion(t: String, firstSeq: Long,
       version: String): Unit = {
@@ -397,8 +417,16 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       val p = new Path(logDir(t), f"$seq%020d.commit")
       if (IndexFs.createExclusive(spark, p.toString, s"$version\n$End\n"))
         return
-      if (IndexFs.readText(spark, p.toString)
-          .flatMap(parseTerminated).isDefined)
+      var reads = 0
+      var taken = IndexFs.readText(spark, p.toString)
+        .flatMap(parseTerminated).isDefined
+      while (!taken && reads < tornSlotGraceReads) {
+        Thread.sleep(tornSlotGraceMs)
+        reads += 1
+        taken = IndexFs.readText(spark, p.toString)
+          .flatMap(parseTerminated).isDefined
+      }
+      if (taken)
         throw new ConcurrentWriteException(
           s"commit slot $seq of '$t' was taken by a concurrent writer; " +
             s"this merge (parent of '$version') is stale — re-read the " +
@@ -522,10 +550,23 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     * Written rename-free (overwrite put) with the `#END` terminator; a
     * torn marker reads as ABSENT, which every marker protocol treats
     * as its safe direction (`_REFLECTS` absent → re-initialize;
-    * `_REFRESH_INTENT` absent → no recovery claim to honor). */
+    * `_REFRESH_INTENT` absent → no recovery claim to honor).
+    *
+    * LEGACY markers (pre-log protocol) were written atomically via
+    * tmp + ATOMIC_MOVE with the bare value and NO trailing newline —
+    * they can never be torn, and requiring the terminator would read
+    * every pre-upgrade `_REFLECTS` as absent (silent full rebuild of
+    * every incremental view on upgrade). Newline-free content is
+    * therefore accepted as a complete legacy value. Residual: a torn
+    * CURRENT-format write cut before its first newline also reads
+    * newline-free — for `_REFLECTS` a truncated version name simply
+    * fails the retained-version lookup and falls back to the rebuild
+    * it would have gotten anyway; `_REFRESH_INTENT` recovery
+    * additionally validates field shape before honoring a claim. */
   def readMarker(target: String, name: String): Option[String] =
     IndexFs.readText(spark, new Path(dir(target), name).toString)
-      .flatMap(parseTerminated)
+      .flatMap(c => parseTerminated(c).orElse(
+        if (!c.contains("\n") && c.nonEmpty) Some(c) else None))
 
   def writeMarker(target: String, name: String, value: String): Unit =
     IndexFs.writeText(spark, new Path(dir(target), name).toString,
@@ -996,12 +1037,36 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
 
   /** Drop all but the newest `keep` versions (never the current one),
     * then delete bucket data directories no retained manifest
-    * references. Returns the deleted version names. */
-  def vacuum(target: String, keep: Int = 2): Seq[String] = {
+    * references. Returns the deleted version names.
+    *
+    * RETENTION HORIZON (`minAgeMs`): nothing younger than this is ever
+    * deleted — the Delta vacuum pattern. A merge stages its data dirs,
+    * change feed and stats sidecar BEFORE its commit makes them
+    * referenced, so a vacuum racing an in-flight merge would otherwise
+    * collect exactly that staged state and leave the merge's committed
+    * manifest pointing at missing paths. The horizon makes that
+    * impossible as long as it exceeds the longest merge staging
+    * duration (write start → commit); the 24 h default is conservative
+    * for any realistic batch.
+    *
+    * API CONSTRAINT — single-writer vacuum: vacuum itself must not run
+    * concurrently with ANOTHER vacuum of the same table, and
+    * `minAgeMs = 0` additionally requires that no merge is in flight
+    * (the pre-horizon stance, kept for tests and quiesced maintenance
+    * windows). Concurrent MERGES are safe under a sufficient horizon:
+    * their staged state is younger than it by construction. */
+  val DefaultVacuumHorizonMs: Long = 24L * 3600 * 1000
+
+  def vacuum(target: String, keep: Int = 2,
+      minAgeMs: Long = DefaultVacuumHorizonMs): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - math.max(minAgeMs, 0L)
+    def oldEnough(p: Path): Boolean =
+      IndexFs.modifiedAt(spark, p.toString).forall(_ <= cutoff)
     val vs = versions(target)
     val cur = currentVersion(target)
     val doomed = vs.dropRight(math.max(keep, 1))
       .filterNot(v => cur.contains(v))
+      .filter(v => oldEnough(new Path(dir(target), v)))
     doomed.foreach { v =>
       IndexFs.delete(spark, new Path(dir(target), v).toString)
       // the version's recorded change feed goes with it — spans that
@@ -1015,12 +1080,12 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     // reaches (correct for serving, invisible forever). Doomed
     // versions' dirs were removed above; anything left that names no
     // retained manifest and isn't the current version is such an
-    // orphan. Single-writer stance (the store's, documented on
-    // applyChanges): vacuum never runs concurrently with a merge, so
-    // an in-flight merge's pre-commit change dir can't be swept.
+    // orphan. The retention horizon keeps an in-flight merge's
+    // pre-commit change dir (younger than the horizon) out of reach.
     val retained = versions(target).toSet
     IndexFs.childDirs(spark, new Path(dir(target), "changes").toString)
       .filterNot(n => retained.contains(n) || cur.contains(n))
+      .filter(n => oldEnough(changesDir(target, n)))
       .foreach(n => IndexFs.deleteRecursive(
         spark, changesDir(target, n).toString))
     // stats sidecars follow the same orphan rule (crash between the
@@ -1030,6 +1095,7 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     IndexFs.listNames(spark, statsDir(target).toString)
       .filter(_.endsWith(".stats"))
       .filterNot(n => retainedBases.contains(n.stripSuffix(".stats")))
+      .filter(n => oldEnough(new Path(statsDir(target), n)))
       .foreach(n => IndexFs.delete(
         spark, new Path(statsDir(target), n).toString))
     // GC: log entries that commit a version no longer retained (the
@@ -1037,19 +1103,20 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     // commit — resolution only ever needs the newest well-formed entry
     currentCommit(target).foreach { case (curSeq, _) =>
       logEntries(target).foreach { case (seq, name) =>
-        val p = new Path(logDir(target), name).toString
-        val v = IndexFs.readText(spark, p).flatMap(parseTerminated)
+        val p = new Path(logDir(target), name)
+        val v = IndexFs.readText(spark, p.toString).flatMap(parseTerminated)
           .map(_.trim)
         val prune = v match {
           case Some(ver) => !retained.contains(ver) && !cur.contains(ver)
           case None => seq < curSeq // torn corpse beneath a real commit
         }
-        if (prune) IndexFs.delete(spark, p)
+        if (prune && oldEnough(p)) IndexFs.delete(spark, p.toString)
       }
     }
     // GC: bucket dirs referenced by no surviving manifest. Bucket dirs
     // are `_b=N` under the rename-free layout, `bN` under the legacy
-    // one — both shapes are swept.
+    // one — both shapes are swept. The horizon protects an in-flight
+    // merge's freshly STAGED (not yet referenced) bucket dirs.
     val live = versions(target)
       .flatMap(v => manifest(target, v).values).map(norm).toSet
     val bucketName = "(_b=|b)\\d+"
@@ -1059,13 +1126,15 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       IndexFs.listNames(spark, batchDir.toString)
         .filter(_.matches(bucketName))
         .filterNot(b => live.contains(norm(new Path(batchDir, b).toString)))
+        .filter(b => oldEnough(new Path(batchDir, b)))
         .foreach(b => IndexFs.deleteRecursive(
           spark, new Path(batchDir, b).toString))
       // a batch dir whose buckets are all gone holds only write
       // markers (_SUCCESS) — drop it whole, or soaks accumulate one
-      // empty dir per micro-batch forever
+      // empty dir per micro-batch forever (age-gated like its buckets:
+      // a brand-new batch dir belongs to a merge that is still staging)
       if (!IndexFs.listNames(spark, batchDir.toString)
-          .exists(_.matches(bucketName)))
+          .exists(_.matches(bucketName)) && oldEnough(batchDir))
         IndexFs.deleteRecursive(spark, batchDir.toString)
     }
     doomed

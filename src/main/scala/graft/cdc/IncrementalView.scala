@@ -68,7 +68,11 @@ object IncrementalView {
     * SQL predicate (applied identically to the snapshot and to every
     * feed image, so a row updated across the boundary enters/leaves
     * the view as an insert/delete). Changing a view's definition
-    * requires re-`initialize` (the stored schema is the definition). */
+    * requires re-`initialize` (the stored schema is the definition).
+    *
+    * `vars` columns are quantized to 5 decimal places for the exact
+    * second moment and must fit ±10^13 — a wider value RAISES at
+    * refresh time (never a silent NULL-drop); see [[sq]]. */
   final case class ViewDef(groupBy: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil, bufK: Int = 8,
       distincts: Seq[String] = Nil, where: Option[String] = None,
@@ -118,11 +122,28 @@ object IncrementalView {
     * precision-capping (which would silently round). VAR/STDDEV are
     * therefore maintainable under deletes as plain signed sums
     * (n, Σx, Σx²), with the textbook cancellation confined to the
-    * derive-at-read edge. Values must fit ±10^13 at 5 dp — wider
-    * inputs belong in a wider custom buffer, not silent rounding. */
+    * derive-at-read edge.
+    *
+    * THE NARROWING IS GUARDED, NOT SILENT: a value outside ±10^13 (the
+    * DECIMAL(18,5) range) would cast to NULL under non-ANSI semantics
+    * and quietly drop out of Σx², corrupting var_/stddev_ with no
+    * error — so the cast raises through `raise_error` instead. A value
+    * with MORE than 5 decimal places does quantize (documented on
+    * [[ViewDef.vars]]): variance is a second-moment statistic and 5 dp
+    * of input precision bounds the Σx² error far below the double
+    * conversion at the read edge; callers needing wider scale belong
+    * in a custom buffer, not a silent wider cast that would overflow
+    * the 38-digit product budget. */
   private def sq(c: String): String = {
     val d = s"CAST(`$c` AS DECIMAL(18,5))"
-    s"($d * $d)"
+    val guarded = s"""CASE
+      | WHEN `$c` IS NULL THEN CAST(NULL AS DECIMAL(18,5))
+      | WHEN $d IS NULL THEN CAST(raise_error(CONCAT(
+      |   'IncrementalView vars column `$c` value ', CAST(`$c` AS STRING),
+      |   ' exceeds the DECIMAL(18,5) moment range (±10^13 at 5 dp)'))
+      |   AS DECIMAL(18,5))
+      | ELSE $d END""".stripMargin
+    s"($guarded * $guarded)"
   }
 
   /** One-shot (re)computation of the view from a base snapshot — the
@@ -290,11 +311,22 @@ object IncrementalView {
     * snapshot, the only state that still exists). */
   def refreshToCurrent(store: ParquetTableStore, base: String,
       basePks: Seq[String], view: String, vdef: ViewDef): Unit = {
-    // recover a refresh interrupted between merge and marker
+    // recover a refresh interrupted between merge and marker. A
+    // legacy (pre-terminator) intent read can in principle surface a
+    // TRUNCATED current-format write (cut before its first newline),
+    // so the claim is only honored when its shape validates: exactly
+    // three fields with a well-formed viewBefore (empty = the view
+    // had no version yet, else a manifest name). A malformed intent
+    // means the crash happened DURING the intent write — before the
+    // merge — so discarding it is the correct direction.
     store.readMarker(view, IntentMarker).foreach { intent =>
-      val Array(_, to, viewBefore) = intent.split("\t", 3)
-      if (store.version(view).getOrElse("") != viewBefore)
-        store.writeMarker(view, ReflectsMarker, to) // merge committed
+      intent.split("\t", 3) match {
+        case Array(_, to, viewBefore)
+            if viewBefore.isEmpty || viewBefore.endsWith(".manifest") =>
+          if (store.version(view).getOrElse("") != viewBefore)
+            store.writeMarker(view, ReflectsMarker, to) // merge committed
+        case _ => // torn mid-write: merge never ran — no claim to honor
+      }
       store.removeMarker(view, IntentMarker)
     }
     store.readMarker(view, ReflectsMarker) match {

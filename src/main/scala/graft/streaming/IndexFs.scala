@@ -83,6 +83,14 @@ private[graft] object IndexFs {
   def mkdirs(spark: SparkSession, path: String): Unit =
     fs(spark, path).mkdirs(new Path(path))
 
+  /** Modification time of `path` (file or directory), None when
+    * absent — the age probe behind vacuum's retention horizon. */
+  def modifiedAt(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) None else Some(f.getFileStatus(p).getModificationTime)
+  }
+
   /** Paths matching a Hadoop glob pattern (e.g. a `_p_day=&#42;` level
     * under each bucket root); empty when nothing matches — the
     * pre-check that lets path-pruned reads hand `spark.read` only
@@ -104,13 +112,34 @@ private[graft] object IndexFs {
   /** EXCLUSIVE create-with-content: true iff THIS call created the
     * file — the rename-free commit primitive (a version-log entry's
     * successful exclusive create IS the commit; see
-    * `cdc.ParquetTableStore`). Local filesystems take the java.nio
-    * `CREATE_NEW` fast-path (atomic create on POSIX); everything else
-    * rides Hadoop `create(path, overwrite = false)` — atomic on HDFS,
-    * conditional-put-backed on object stores whose connector supports
-    * it (recent Hadoop S3A), check-then-act otherwise (the same
-    * residual Delta accepts on plain S3 without a coordinating
-    * LogStore). */
+    * `cdc.ParquetTableStore`).
+    *
+    * VISIBILITY IS ATOMIC WITH CONTENT on every path that can make it
+    * so: a reader never observes the file existing with partial (or
+    * zero) bytes. This matters for commit-log arbitration — if a slot
+    * could be seen mid-write, a concurrent writer from the same parent
+    * would misread an in-flight commit as a torn corpse, skip over it,
+    * and commit above it, silently shadowing the slower writer's merge
+    * (a lost update both callers report as success).
+    *
+    *  - Local filesystems: content lands in a hidden temp file first,
+    *    then publishes via `Files.createLink(dest, temp)` — link(2)
+    *    is atomic and fails with EEXIST when the slot is taken, so
+    *    arbitration survives and the dest only ever appears fully
+    *    written. (Fallback for linkless filesystems: the java.nio
+    *    `CREATE_NEW` direct write — the pre-fix residual.)
+    *  - HDFS-like filesystems (atomic, non-overwriting rename):
+    *    temp file + `rename(temp, dest)` — rename returns false when
+    *    dest exists, and a crashed writer leaves only an invisible
+    *    temp, never a torn slot.
+    *  - Object stores: `create(path, overwrite = false)` — a
+    *    conditional PUT is all-or-nothing at the object level (the
+    *    object appears with its full body or not at all), so content
+    *    atomicity is already the store's contract; check-then-act
+    *    otherwise (the same residual Delta accepts on plain S3
+    *    without a coordinating LogStore — and the commit loop's
+    *    bounded torn-slot grace covers that window).
+    */
   def createExclusive(spark: SparkSession, path: String,
       text: String): Boolean = {
     val f = fs(spark, path)
@@ -121,14 +150,40 @@ private[graft] object IndexFs {
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
         val local = java.nio.file.Paths.get(p.toUri.getPath)
         java.nio.file.Files.createDirectories(local.getParent)
+        val tmp = local.resolveSibling(
+          s".${local.getFileName}.${java.util.UUID.randomUUID()}.tmp")
         try {
-          java.nio.file.Files.write(local, bytes,
+          java.nio.file.Files.write(tmp, bytes,
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
+          try {
+            java.nio.file.Files.createLink(local, tmp)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              // no hard links (exotic mounts): direct CREATE_NEW —
+              // exclusive, but visibility precedes content (residual)
+              try {
+                java.nio.file.Files.write(local, bytes,
+                  java.nio.file.StandardOpenOption.CREATE_NEW,
+                  java.nio.file.StandardOpenOption.WRITE)
+                true
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => false
+              }
+          }
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      case _ if hasAtomicRename(f) =>
+        val tmp = new Path(p.getParent,
+          s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+        val out = f.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        val won =
+          try f.rename(tmp, p)
+          catch { case _: java.io.IOException if f.exists(p) => false }
+        if (!won) f.delete(tmp, false)
+        won
       case _ =>
         try {
           val out = f.create(p, false)
@@ -140,4 +195,16 @@ private[graft] object IndexFs {
         }
     }
   }
+
+  /** Whether this filesystem's rename is atomic AND refuses an
+    * existing destination — the pair the temp+rename publish path
+    * stands on. True for HDFS (and viewfs over it); object-store
+    * connectors emulate rename as copy+delete and must keep the
+    * conditional-put path instead. Decided by scheme, not class, so
+    * no compile-time dependency on hadoop-hdfs. */
+  private def hasAtomicRename(f: org.apache.hadoop.fs.FileSystem): Boolean =
+    f.getScheme match {
+      case "hdfs" | "viewfs" | "webhdfs" => true
+      case _ => false
+    }
 }

@@ -84,7 +84,7 @@ class CdcStreamSpec extends AnyFunSuite {
 
     // 3 versions written; vacuum(keep=2) deletes the oldest only
     assert(sink.versions("customers").size == 3)
-    val deleted = sink.vacuum("customers", keep = 2)
+    val deleted = sink.vacuum("customers", keep = 2, minAgeMs = 0L)
     assert(deleted.size == 1 && sink.versions("customers").size == 2)
     assert(sink.read("customers").get
       .select("first_name").as[String].collect().toSeq == Seq("A3"))

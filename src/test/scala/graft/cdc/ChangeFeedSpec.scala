@@ -173,7 +173,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       .resolve("v9999999999999-000000.manifest")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("_PARENT"), v2.getBytes)
-    assert(sink.vacuum("customers", keep = 2).isEmpty) // nothing doomed
+    assert(sink.vacuum("customers", keep = 2, minAgeMs = 0L).isEmpty) // nothing doomed
     assert(!java.nio.file.Files.exists(orphan), "orphan change dir kept")
     // retained versions' change dirs survive and still serve the feed
     val feed = sink.changesBetween("customers", Seq("id"), v1, v2)

@@ -151,7 +151,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     store.applyChanges("base", Seq("id"), rows((3, "na", 3.0)), keys(2))
     store.applyChanges("base", Seq("id"), rows((4, "eu", 4.0)), keys())
     store.applyChanges("base", Seq("id"), rows((5, "eu", 5.0)), keys())
-    store.vacuum("base", keep = 2)
+    store.vacuum("base", keep = 2, minAgeMs = 0L)
     // the marker's version is gone (manifest AND change dir) — the
     // refresh must rebuild from the snapshot rather than crash, and
     // 'doomed' must not survive as a ghost row
@@ -174,7 +174,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     store.applyChanges("base", Seq("id"), rows(), keys(1, 2))
     // vacuum the marker's version away so refreshToCurrent must take
     // the re-initialize path (the one that used to throw)
-    store.vacuum("base", keep = 1)
+    store.vacuum("base", keep = 1, minAgeMs = 0L)
     IncrementalView.refreshToCurrent(store, "base", Seq("id"), "view", vdef)
     assert(store.read("view").forall(_.isEmpty), "view kept ghost groups")
     assert(store.readMarker("view", IncrementalView.ReflectsMarker) ==

@@ -77,7 +77,7 @@ class ObjectStoreProtocolSpec extends AnyFunSuite {
     assert(committed.contains(f"${3L}%020d.commit"), committed)
     // vacuum prunes the corpse (it sits beneath a real commit) while
     // keeping the live entries
-    store.vacuum("t", keep = 2)
+    store.vacuum("t", keep = 2, minAgeMs = 0L)
     val after = logDir.toFile.listFiles().map(_.getName)
       .filter(_.endsWith(".commit")).sorted.toSeq
     assert(after == Seq(f"${1L}%020d.commit", f"${3L}%020d.commit"), after)
@@ -130,6 +130,85 @@ class ObjectStoreProtocolSpec extends AnyFunSuite {
       .collect().toSet == Set((2, "insert"), (3, "insert")))
   }
 
+  test("an in-flight commit completing within the torn-slot grace window " +
+      "wins — the competing writer loses instead of shadowing it") {
+    val (root, local) = freshRoot()
+    val store = new ParquetTableStore(spark, root, nBuckets = 4)
+    store.applyChanges("t", Seq("id"), rows((1, "a")), noKeys)
+    val logDir = local.resolve("t").resolve("_log")
+    // simulate a residual-store writer whose slot is visible before its
+    // content lands (the check-then-act residual): slot 2 appears torn
+    // right before this writer's exclusive create, then completes
+    // 200 ms later — inside the grace window, after the first torn read
+    val m = store.version("t").get // any existing manifest serves
+    var slow: Thread = null
+    store.onBeforeCommit = () => {
+      store.onBeforeCommit = () => ()
+      Files.write(logDir.resolve(f"${2L}%020d.commit"),
+        "half".getBytes) // torn: no #END
+      slow = new Thread(() => {
+        Thread.sleep(200)
+        Files.write(logDir.resolve(f"${2L}%020d.commit"),
+          s"$m\n#END\n".getBytes)
+      })
+      slow.start()
+    }
+    val e = intercept[ConcurrentWriteException] {
+      store.applyChanges("t", Seq("id"), rows((2, "b")), noKeys)
+    }
+    slow.join()
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the slow writer's commit was never shadowed: no slot 3 exists
+    val log = logDir.toFile.listFiles().map(_.getName)
+      .filter(_.endsWith(".commit")).sorted.toSeq
+    assert(log == Seq(f"${1L}%020d.commit", f"${2L}%020d.commit"), log)
+  }
+
+  test("local commit publish is atomic with content: no temp residue, " +
+      "arbitration preserved") {
+    val dir = Files.createTempDirectory("graft-excl")
+    val p = "file:" + dir.resolve("_log").resolve("x.commit")
+    assert(graft.streaming.IndexFs.createExclusive(spark, p, "v1\n#END\n"))
+    assert(!graft.streaming.IndexFs.createExclusive(spark, p, "v2\n#END\n"))
+    val content = new String(Files.readAllBytes(
+      dir.resolve("_log").resolve("x.commit")))
+    assert(content == "v1\n#END\n", content)
+    // the hard-link publish leaves no temp files behind, win or lose
+    val names = dir.resolve("_log").toFile.listFiles().map(_.getName).toSeq
+    assert(names == Seq("x.commit"), names)
+  }
+
+  test("vacuum's retention horizon protects an in-flight merge's freshly " +
+      "staged state; an aged orphan is still collected") {
+    val (root, local) = freshRoot()
+    val store = new ParquetTableStore(spark, root, nBuckets = 4)
+    store.applyChanges("t", Seq("id"), rows((1, "a")), noKeys)
+    // stage what a concurrent merge would have on disk pre-commit: an
+    // unreferenced batch/bucket dir and an orphan change dir
+    val staged = local.resolve("t").resolve("data")
+      .resolve("b9999999999999-000000").resolve("_b=0")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-00000.parquet"), "stub".getBytes)
+    val orphanChanges = local.resolve("t").resolve("changes")
+      .resolve("v9999999999999-000000.manifest")
+    Files.createDirectories(orphanChanges)
+    // default horizon: nothing fresh is touched
+    store.vacuum("t", keep = 1)
+    assert(Files.exists(staged) && Files.exists(orphanChanges),
+      "vacuum collected state younger than the retention horizon")
+    // horizon elapsed (age the files instead of waiting): collected
+    import java.nio.file.attribute.FileTime
+    def age(p: java.nio.file.Path): Unit =
+      Files.setLastModifiedTime(p, FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    age(staged); age(staged.getParent); age(orphanChanges)
+    store.vacuum("t", keep = 1)
+    assert(!Files.exists(staged) && !Files.exists(orphanChanges),
+      "aged unreferenced state should be collected")
+    // the committed table is untouched throughout
+    assert(names(store) == Map(1 -> "a"))
+  }
+
   test("legacy _LATEST stores adopt transparently; the first new commit " +
       "starts the log") {
     val (root, local) = freshRoot()
@@ -161,9 +240,18 @@ class ObjectStoreProtocolSpec extends AnyFunSuite {
     store.applyChanges("t", Seq("id"), rows((1, "a")), noKeys)
     store.writeMarker("t", "_REFLECTS", "v123.manifest")
     assert(store.readMarker("t", "_REFLECTS").contains("v123.manifest"))
-    // torn write: the value landed but the terminator didn't
-    Files.write(local.resolve("t").resolve("_TORN"), "v456.mani".getBytes)
+    // torn write: the value and its newline landed, the terminator
+    // didn't — absent (the current format always carries a newline,
+    // so a newline-bearing unterminated file can only be torn)
+    Files.write(local.resolve("t").resolve("_TORN"), "v456.mani\n#E".getBytes)
     assert(store.readMarker("t", "_TORN").isEmpty)
+    Files.write(local.resolve("t").resolve("_TORN2"), "v456.manifest\n".getBytes)
+    assert(store.readMarker("t", "_TORN2").isEmpty)
+    // LEGACY marker (pre-log protocol): bare value, atomic-move write,
+    // no newline and no terminator — reads as its complete value, so
+    // an upgraded store's incremental views don't silently rebuild
+    Files.write(local.resolve("t").resolve("_LEGACY"), "v456.manifest".getBytes)
+    assert(store.readMarker("t", "_LEGACY").contains("v456.manifest"))
     // values containing tabs (the _REFRESH_INTENT shape) round-trip
     store.writeMarker("t", "_INTENT", "a\tb\tc")
     assert(store.readMarker("t", "_INTENT").contains("a\tb\tc"))

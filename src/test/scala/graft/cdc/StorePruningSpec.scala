@@ -276,7 +276,7 @@ class StorePruningSpec extends AnyFunSuite {
     Files.write(statsDir.toPath.resolve("v0-orphan.stats"),
       "0\tYQ==\tstr\tYQ==\tYQ==\t-\n#END\n".getBytes)
     assert(statsDir.listFiles().count(_.getName.endsWith(".stats")) == 4)
-    store.vacuum("t", keep = 1)
+    store.vacuum("t", keep = 1, minAgeMs = 0L)
     val left = statsDir.listFiles().map(_.getName).filter(_.endsWith(".stats"))
     assert(left.length == 1 &&
       store.version("t").get.stripSuffix(".manifest") + ".stats" == left.head)

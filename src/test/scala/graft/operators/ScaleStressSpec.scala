@@ -147,7 +147,7 @@ class ScaleStressSpec extends AnyFunSuite {
       val dels = Seq(((b * 7) % 50)).toDF("id").coalesce(1)
       val t0 = System.nanoTime()
       sink.applyChanges("soak", Seq("id"), ups, dels)
-      if (b % 25 == 24) sink.vacuum("soak", keep = 2)
+      if (b % 25 == 24) sink.vacuum("soak", keep = 2, minAgeMs = 0L)
       times(b) = (System.nanoTime() - t0) / 1000000
     }
     def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
