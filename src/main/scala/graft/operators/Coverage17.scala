@@ -105,15 +105,20 @@ object Coverage17 {
         |  WHERE regexp_matches(w0, '^[a-z]{2,}$') GROUP BY w0),
         |v0 AS (SELECT regexp_replace(w0, '(.)', '(\1)', 'g') AS w, freq
         |       FROM words)""".stripMargin
+    // v_r LEFT-joins its (0-or-1-row) best-pair so a round with NO
+    // mergeable pair left (b_r empty — a tiny corpus exhausting merges
+    // before BpeN) is a NO-OP round carrying v_{r-1} forward, exactly
+    // like the Spark loop's `if (top.nonEmpty)` guard; a cross join
+    // would collapse v_r (and every later round) to zero rows.
     val rounds = (1 to BpeN).map { r =>
       s"""b$r AS (
          |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM ${pairsOf(s"v${r - 1}")}
          |  GROUP BY p ORDER BY cnt DESC, p LIMIT 1),
          |v$r AS (
-         |  SELECT replace(v.w,
+         |  SELECT CASE WHEN b.p IS NULL THEN v.w ELSE replace(v.w,
          |      '(' || split_part(b.p, '|', 1) || ')(' || split_part(b.p, '|', 2) || ')',
-         |      '(' || replace(b.p, '|', '') || ')') AS w, v.freq
-         |  FROM v${r - 1} v, b$r b)""".stripMargin
+         |      '(' || replace(b.p, '|', '') || ')') END AS w, v.freq
+         |  FROM v${r - 1} v LEFT JOIN b$r b ON TRUE)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }
@@ -682,6 +687,51 @@ object Coverage17 {
       vocab.select(col("freq"), explode(symsCol).as("token"))
         .groupBy("token").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(25)
+    },
+
+    // ---- corpus-scale tokenizer apply: tokenize the DOCUMENTS ------------
+    // q_bpe_apply serves token frequencies from the trained VOCAB
+    // table; this row tokenizes the documents themselves under the
+    // trained merges — per-doc word/token counts, what a packing or
+    // budget stage actually consumes. The scale-correct plan: the
+    // trained vocab IS the word→tokenization map (stripping the parens
+    // recovers the original word; the wrapped form carries its token
+    // segmentation), it is Heaps-law vocab-sized regardless of corpus
+    // size, so it BROADCASTS and the corpus is touched exactly once —
+    // one explode + broadcast-hash-join + hash agg, never a per-doc
+    // merge loop. Every filtered word joins by construction (the map
+    // was trained on this corpus), so the join is total — inner, not
+    // left — and n_words/n_tokens count exactly the trainable words.
+    QDef("q_bpe_tokenize",
+      s"""WITH $trainCte,
+         |map AS (
+         |  SELECT replace(replace(w, '(', ''), ')', '') AS word,
+         |    CAST(len(string_split(substr(w, 2, length(w) - 2), ')(')) AS BIGINT)
+         |      AS n_toks
+         |  FROM v$BpeN),
+         |wrds AS (
+         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(m.n_toks) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, word FROM wrds
+         |      WHERE regexp_matches(word, '^[a-z]{2,}$$')) f
+         |JOIN map m USING (word)
+         |GROUP BY doc_id ORDER BY doc_id
+         |""".stripMargin) { (s, dir) =>
+      val (_, vocab) = trainBpe(s, dir)
+      val map = vocab.select(
+        regexp_replace(col("w"), "[()]", "").as("word"),
+        size(symsCol).cast("long").as("n_toks"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]{2,}$"))
+        .join(broadcast(map), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("n_toks")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
     },
 
     // ---- composite quality verdict (the filter's WHY) --------------------

@@ -86,4 +86,30 @@ class Coverage17Spec extends AnyFunSuite {
       s"\ngot      ${gotState.toSeq.sortBy(_._1.mkString)}" +
         s"\nexpected ${refVocab.toSeq.sortBy(_._1.mkString)}")
   }
+
+  test("q_bpe_tokenize round-trips against q_bpe_apply's frequencies: " +
+      "doc-level token totals equal the vocab-level totals") {
+    val byName = Coverage17.defs.map(d => d.name -> d.fn).toMap
+    val docs = byName("q_bpe_tokenize")(spark, sfDir)
+      .selectExpr("CAST(sum(n_words) AS BIGINT)",
+        "CAST(sum(n_tokens) AS BIGINT)")
+      .as[(Long, Long)].head()
+    // the vocab side: Σ freq (word occurrences) and Σ freq·|tokens|
+    val (_, vocab) = Coverage17.trainBpe(spark, sfDir)
+    val fromVocab = vocab
+      .selectExpr(
+        "CAST(sum(freq) AS BIGINT)",
+        "CAST(sum(freq * size(split(substring(w, 2, length(w) - 2), " +
+          "'\\\\)\\\\('))) AS BIGINT)")
+      .as[(Long, Long)].head()
+    assert(docs == fromVocab,
+      s"doc-level $docs != vocab-level $fromVocab — the broadcast " +
+        "word→tokenization join dropped or double-counted words")
+    // and the per-doc view is total over the filtered words: every
+    // trainable word of every doc is tokenized (inner join lost none)
+    val filteredWords = graft.table(spark, sfDir, "documents")
+      .selectExpr("explode(split(lower(trim(text)), ' ')) AS w")
+      .filter($"w".rlike("^[a-z]{2,}$")).count()
+    assert(docs._1 == filteredWords)
+  }
 }

@@ -156,7 +156,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle); the cost is the band self-join + distinct. Never an
     // all-pairs join: candidates are the band-bucket equi-join.
     "q_dedup_images" -> Budget(maxExchanges = 4),
-    "q_dedup_audio" -> Budget(maxExchanges = 4)
+    "q_dedup_audio" -> Budget(maxExchanges = 4),
+    // r11: corpus tokenize — word explode + BROADCAST join against the
+    // vocab-sized word→tokenization map (no shuffle on the corpus
+    // side) + per-doc hash agg + sort (3 observed + 1 slack). The map
+    // derivation off the trained checkpoint adds its own tiny agg.
+    "q_bpe_tokenize" -> Budget(maxExchanges = 4)
   )
 
   private def finalizedPlan(name: String): String = {
