@@ -65,6 +65,21 @@ object Bench {
     // contamination. Permuting per run decorrelates noise from query
     // identity, so median-of-3 actually defends.
     val memoServed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Fixed-cost canaries, timed once per run (round-10 verdict #3): a
+    // uniform host-level shift (CPU contention, thermal window, kernel
+    // change) moves EVERY query by a similar factor and is otherwise
+    // indistinguishable from a real fixed-overhead regression without
+    // cross-round forensics. Two no-op-sized probes whose cost is
+    // constant by construction — pure scheduling (range(1).count) and
+    // one tiny fixed parquet scan (region: 5 rows at every SF) — are
+    // recorded per run. Cross-round reading (SCALING.md): if the
+    // canaries shifted by the same factor as the query totals, the
+    // shift is environmental; canaries flat + queries up = code drift.
+    val canaryNoop = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaryScan = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timeSec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
     // completed-run timings, kept OUTSIDE the try so a crash mid-bench
     // still prints a parseable summary over everything finished so far;
     // 4th field = this SAMPLE served from a memo populated earlier in the
@@ -82,6 +97,8 @@ object Bench {
         // blocks, shuffle state) HERE, between runs, instead of letting
         // a collection pause land on whichever query runs first
         System.gc()
+        canaryNoop += timeSec(spark.range(1).count())
+        canaryScan += timeSec(table(spark, sfDir, "region").count())
         val order = selected.sortBy { case (n, _) => md5hex(s"$runIdx:$n") }
         timings += order.map { case (name, fn) =>
           graft.operators.DedupOps.drainMemoHits()
@@ -221,8 +238,15 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
     val completedRuns = timings.size
+    val canaryJson = {
+      val noop = canaryNoop.mkString("[", ",", "]")
+      val scan = canaryScan.mkString("[", ",", "]")
+      val noopMed = if (canaryNoop.nonEmpty) medianOf(canaryNoop.toSeq) else 0.0
+      val scanMed = if (canaryScan.nonEmpty) medianOf(canaryScan.toSeq) else 0.0
+      s"""{"noop_sec":$noop,"scan_sec":$scan,"noop_median":$noopMed,"scan_median":$scanMed}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"cold_extra":$coldExtraJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"canary":$canaryJson,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"cold_extra":$coldExtraJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout capture upstream truncates long output and keeps the TAIL:
     // end with a short self-contained summary line (total + slowest 5)
@@ -232,7 +256,7 @@ object Bench {
       line.getBytes("UTF-8"))
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total":$total,"total_min":$totalMin,"unit":"sec","runs":$completedRuns,"slowest5":$slowest,"memo_served":$memoJson,"retried":$retriedJson,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"total_min":$totalMin,"unit":"sec","runs":$completedRuns,"canary":$canaryJson,"slowest5":$slowest,"memo_served":$memoJson,"retried":$retriedJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
