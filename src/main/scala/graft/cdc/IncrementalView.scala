@@ -169,7 +169,7 @@ object IncrementalView {
     * the delete side because hits on a length-L ≤ K buffer sort
     * before misses, and ≥ L hits drain the buffer into the rebuild
     * path regardless of what the un-kept deletes were. */
-  private def delta(feed: DataFrame, vdef: ViewDef): DataFrame = {
+  private[cdc] def delta(feed: DataFrame, vdef: ViewDef): DataFrame = {
     graft.functions.BottomKDec.register(feed.sparkSession)
     val sgn = when(
       col("_change_type").isin("insert", "update_postimage"), 1L)
@@ -371,7 +371,20 @@ object IncrementalView {
       view: String, vdef: ViewDef,
       fromVersion: String, toVersion: String): Long = {
     val feed = store.changesBetween(base, basePks, fromVersion, toVersion)
-    val d = delta(feed, vdef).cache()
+    mergeDelta(store, view, vdef, delta(feed, vdef),
+      () => store.readVersion(base, toVersion))
+  }
+
+  /** Merge a signed per-group delta (the shape [[delta]] produces)
+    * into the view — the leg every maintenance path shares (single-
+    * table refresh above; [[IncrementalJoinView]] feeds it the
+    * delta-join's signed feed). `rebuildSnapshot` supplies the base
+    * state groups recompute from when a min/max buffer drains; join
+    * views pass their joined snapshot. Returns touched group count. */
+  private[cdc] def mergeDelta(store: ParquetTableStore, view: String,
+      vdef: ViewDef, rawDelta: DataFrame,
+      rebuildSnapshot: () => DataFrame): Long = {
+    val d = rawDelta.cache()
     try {
       val nDelta = d.count() // one action both gates and reports
       if (nDelta == 0L) return 0L
@@ -413,7 +426,7 @@ object IncrementalView {
           val upserts =
             if (rebuildKeys.isEmpty) live
             else {
-              val baseAt = store.readVersion(base, toVersion)
+              val baseAt = rebuildSnapshot()
               val rebuilt = compute(
                 baseAt.join(rebuildKeys, vdef.groupBy, "left_semi"), vdef)
               live.filter(!drained).unionByName(rebuilt)

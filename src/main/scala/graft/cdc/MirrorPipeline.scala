@@ -36,7 +36,8 @@ object MirrorPipeline {
       dlqDir: Option[String] = None,
       partitioning: Map[String, Seq[String]] = Map.empty,
       nBuckets: Int = 64,
-      statsColumns: Map[String, Seq[String]] = Map.empty): StreamingQuery =
+      statsColumns: Map[String, Seq[String]] = Map.empty,
+      joinViews: Seq[IncrementalJoinView.JoinViewDef] = Nil): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0))
@@ -51,6 +52,13 @@ object MirrorPipeline {
           if (store.version(v.base).nonEmpty)
             IncrementalView.refreshToCurrent(
               store, v.base, v.basePks, v.view, v.vdef)
+        }
+        joinViews.foreach { j =>
+          // advance once either base exists; refreshToCurrent handles
+          // the half-present pair (empty-side sentinel → empty view)
+          if (store.version(j.left).nonEmpty ||
+              store.version(j.right).nonEmpty)
+            IncrementalJoinView.refreshToCurrent(store, j)
         }
       }
       .start()

@@ -1,0 +1,335 @@
+package graft.cdc
+
+import graft.TestSpark
+import graft.cdc.IncrementalView.ViewDef
+import graft.cdc.IncrementalJoinView.JoinViewDef
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** `IncrementalJoinView` — delta-join maintenance of views that JOIN
+  * two mirrored tables (ΔJ = ΔA⋈B@to ∪ A@from⋈ΔB). The invariant:
+  * after any chain of refreshes the view equals a recompute of the
+  * CURRENT joined snapshot bit-for-bit, under churn on BOTH sides —
+  * including join-key churn (an order moving between customers, a
+  * customer dying under live orders) and dangling keys (orders whose
+  * customer does not exist contribute nothing, exactly like the
+  * inner-join recompute). */
+class JoinViewIvmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // left "ord"(oid, ck, amount) ⋈ right "cust"(custkey, region) ON
+  // ck = custkey — DIFFERENT key names, so the right-rename contract
+  // is always exercised; rightKeys == rightPks makes leg 1 a point
+  // lookup, leftKeys != leftPks makes leg 2 the scan-with-broadcast
+  private val jdef = JoinViewDef(
+    left = "ord", leftPks = Seq("oid"),
+    right = "cust", rightPks = Seq("custkey"),
+    leftKeys = Seq("ck"), rightKeys = Seq("custkey"),
+    view = "rev", vdef = ViewDef(Seq("region"), Seq("amount")))
+
+  private def freshStore() = new ParquetTableStore(spark,
+    "file:" + Files.createTempDirectory("graft-jivm"), nBuckets = 8)
+
+  private def orders(t: (Int, Int, Double)*): DataFrame =
+    t.toDF("oid", "ck", "amount")
+  private def custs(t: (Int, String)*): DataFrame =
+    t.toDF("custkey", "region")
+  private def oKeys(ids: Int*): DataFrame = ids.toDF("oid")
+  private def cKeys(ids: Int*): DataFrame = ids.toDF("custkey")
+
+  private def assertViewExact(store: ParquetTableStore): Unit = {
+    val joined = store.read("ord").get.join(
+      store.read("cust").get.withColumnRenamed("custkey", "ck"), "ck")
+    val expected = IncrementalView.compute(joined, jdef.vdef)
+    val got = store.read("rev").get.select("region", "n", "sum_amount")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"join view drifted:\ngot ${got.collect().toSeq}\n" +
+        s"expected ${expected.collect().toSeq}")
+  }
+
+  test("churn on either side and on both advances the view to a " +
+      "recompute of the joined snapshot") {
+    val store = freshStore()
+    store.applyChanges("ord", Seq("oid"),
+      orders((1, 10, 5.0), (2, 10, 2.5), (3, 20, 4.0), (9, 99, 7.0)),
+      oKeys()) // order 9 dangles: customer 99 never exists
+    store.applyChanges("cust", Seq("custkey"),
+      custs((10, "na"), (20, "eu")), cKeys())
+    IncrementalJoinView.initialize(store, jdef)
+    assertViewExact(store)
+
+    // LEFT-only churn: new order, amount update, delete
+    store.applyChanges("ord", Seq("oid"),
+      orders((4, 20, 1.0), (1, 10, 6.0)), oKeys(2))
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+
+    // RIGHT-only churn: region move (group relocation of ALL its
+    // orders' mass) + new customer
+    store.applyChanges("cust", Seq("custkey"),
+      custs((10, "ap"), (30, "na")), cKeys())
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+    val ap = store.read("rev").get.filter(col("region") === "ap")
+      .select("n", "sum_amount").as[(Long, BigDecimal)].head()
+    assert(ap == ((1L, BigDecimal("6.0000000000"))), ap)
+
+    // BOTH sides in one span, including JOIN-KEY churn both ways: an
+    // order moves between customers; a customer dies under live orders
+    store.applyChanges("ord", Seq("oid"),
+      orders((3, 10, 4.0), (5, 30, 9.0)), oKeys())
+    store.applyChanges("cust", Seq("custkey"), custs(), cKeys(20))
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+    // eu vanished with customer 20 (order 4's mass has no join partner)
+    assert(store.read("rev").get.filter(col("region") === "eu").isEmpty)
+
+    // a dangling key coming ALIVE: customer 99 appears, order 9 joins in
+    store.applyChanges("cust", Seq("custkey"), custs((99, "eu")), cKeys())
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+    val eu = store.read("rev").get.filter(col("region") === "eu")
+      .select("n", "sum_amount").as[(Long, BigDecimal)].head()
+    assert(eu == ((1L, BigDecimal("7.0000000000"))), eu)
+
+    // no-change refresh is a no-op
+    val before = store.version("rev")
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assert(store.version("rev") == before)
+  }
+
+  test("25 rounds of seeded churn on BOTH sides (inserts/updates/" +
+      "deletes, join-key churn, dangling keys) stay recompute-exact") {
+    val store = freshStore()
+    val rnd = new scala.util.Random(20260817L)
+    val regions = Array("na", "eu", "ap")
+    var liveOrders = Map.empty[Int, (Int, Double)] // oid -> (ck, amount)
+    var liveCusts = Map.empty[Int, String]         // custkey -> region
+    var nextOid = 1
+    // customer keys from a SMALL palette (1..9) so orders often share
+    // customers, deletes orphan real mass, and re-inserts resurrect it
+    def someCk() = rnd.nextInt(9) + 1
+    def insOrders(k: Int): Seq[(Int, Int, Double)] = (1 to k).map { _ =>
+      val oid = nextOid; nextOid += 1
+      val r = (oid, someCk(), (rnd.nextInt(400) + 1) / 4.0)
+      liveOrders += oid -> ((r._2, r._3)); r
+    }
+    store.applyChanges("ord", Seq("oid"), orders(insOrders(12): _*), oKeys())
+    val cs0 = (1 to 5).map(ck => (ck, regions(rnd.nextInt(3))))
+    cs0.foreach { case (ck, r) => liveCusts += ck -> r }
+    store.applyChanges("cust", Seq("custkey"), custs(cs0: _*), cKeys())
+    IncrementalJoinView.initialize(store, jdef)
+    assertViewExact(store)
+
+    (1 to 25).foreach { round =>
+      // LEFT churn (skipped some rounds so one-leg refreshes happen)
+      if (round % 5 != 3) {
+        val dels = rnd.shuffle(liveOrders.keys.toSeq.sorted.take(20))
+          .take(rnd.nextInt(3))
+        dels.foreach(liveOrders -= _)
+        // join-key churn: an update MOVES an order between customers
+        val upd = (liveOrders.keySet -- dels).toSeq.sorted.headOption
+          .toSeq.filter(_ => rnd.nextBoolean()).map { oid =>
+            val m = (oid, someCk(), (rnd.nextInt(400) + 1) / 4.0)
+            liveOrders += oid -> ((m._2, m._3)); m
+          }
+        store.applyChanges("ord", Seq("oid"),
+          orders(insOrders(rnd.nextInt(4)) ++ upd: _*), oKeys(dels: _*))
+      }
+      // RIGHT churn (its own skip phase)
+      if (round % 4 != 2) {
+        val cDel = liveCusts.keys.toSeq.sorted.headOption.toSeq
+          .filter(_ => rnd.nextInt(3) == 0)
+        cDel.foreach(liveCusts -= _)
+        // region move, or a customer (re)appearing — resurrecting any
+        // dangling orders pointing at its key
+        val cUp = Seq(someCk()).filterNot(cDel.contains)
+          .filter(_ => rnd.nextBoolean())
+          .map { ck =>
+            val r = (ck, regions(rnd.nextInt(3)))
+            liveCusts += ck -> r._2; r
+          }
+        if (cDel.nonEmpty || cUp.nonEmpty)
+          store.applyChanges("cust", Seq("custkey"),
+            custs(cUp: _*), cKeys(cDel: _*))
+      }
+      IncrementalJoinView.refreshToCurrent(store, jdef)
+      assertViewExact(store)
+    }
+  }
+
+  test("crash between view merge and marker: the intent protocol " +
+      "applies the interrupted refresh exactly once") {
+    val store = freshStore()
+    store.applyChanges("ord", Seq("oid"),
+      orders((1, 10, 1.0), (2, 20, 2.0)), oKeys())
+    store.applyChanges("cust", Seq("custkey"),
+      custs((10, "na"), (20, "eu")), cKeys())
+    val (vL1, vR1) = IncrementalJoinView.initialize(store, jdef)
+
+    store.applyChanges("ord", Seq("oid"), orders((3, 10, 3.0)), oKeys())
+    val vL2 = store.version("ord").get
+
+    // CASE A — crash AFTER the merge committed, BEFORE _REFLECTS
+    val viewBefore = store.version("rev").getOrElse("")
+    store.writeMarker("rev", IncrementalView.IntentMarker,
+      s"$vL1,$vR1\t$vL2,$vR1\t$viewBefore")
+    IncrementalJoinView.refresh(store, jdef, vL1, vL2, vR1, vR1)
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+    assert(store.readMarker("rev", IncrementalView.ReflectsMarker)
+      .contains(s"$vL2,$vR1"))
+    assert(store.readMarker("rev", IncrementalView.IntentMarker).isEmpty)
+
+    // CASE B — crash BEFORE the merge committed: stale intent whose
+    // viewBefore equals the current view version is discarded and the
+    // refresh runs normally
+    store.applyChanges("cust", Seq("custkey"), custs((10, "ap")), cKeys())
+    val vR2 = store.version("cust").get
+    store.writeMarker("rev", IncrementalView.IntentMarker,
+      s"$vL2,$vR1\t$vL2,$vR2\t${store.version("rev").getOrElse("")}")
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+    assert(store.readMarker("rev", IncrementalView.ReflectsMarker)
+      .contains(s"$vL2,$vR2"))
+  }
+
+  test("a vacuumed reflected version rebuilds; half-present and empty " +
+      "bases initialize to an empty view instead of failing") {
+    val store = freshStore()
+    // only the LEFT exists: initialize → empty view, sentinel pair
+    store.applyChanges("ord", Seq("oid"), orders((1, 10, 1.0)), oKeys())
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assert(store.read("rev").isEmpty ||
+      store.read("rev").get.isEmpty)
+    // the right appears → the next refresh re-initializes off the
+    // empty-sentinel and the view materializes
+    store.applyChanges("cust", Seq("custkey"), custs((10, "na")), cKeys())
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+    assert(store.read("rev").get.count() == 1)
+
+    // churn a few versions, vacuum the reflected LEFT version away →
+    // rebuild path (no feed span can serve it)
+    store.applyChanges("ord", Seq("oid"), orders((2, 10, 2.0)), oKeys())
+    store.applyChanges("ord", Seq("oid"), orders((3, 10, 3.0)), oKeys())
+    store.applyChanges("ord", Seq("oid"), orders((4, 10, 4.0)), oKeys(1))
+    store.vacuum("ord", keep = 1, minAgeMs = 0L)
+    IncrementalJoinView.refreshToCurrent(store, jdef)
+    assertViewExact(store)
+  }
+
+  // ---------------- riding MirrorPipeline streaming ----------------
+
+  private def esc(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def writeBatch(dir: Path, n: Int,
+      rows: Seq[(String, String, String, Int, Long)]): Unit = {
+    val lines = rows.map { case (topic, key, value, part, off) =>
+      val v = if (value == null) "null" else esc(value)
+      s"""{"topic": ${esc(topic)}, "key": ${esc(key)}, "value": $v,""" +
+        s""""partition": $part, "offset": $off}"""
+    }
+    Files.write(dir.resolve(s"batch_$n.json"), lines.mkString("\n").getBytes)
+  }
+
+  /** Debezium order envelope (reference orders schema: id/order_date/
+    * purchaser/quantity/product; join key purchaser → customers.id). */
+  private def order(op: String, id: Long, purchaser: Int, quantity: Int,
+      before: Option[(Long, Int, Int)] = None): String = {
+    def row(i: Long, p: Int, q: Int) =
+      s"""{"id": $i, "order_date": "2026-02-01", "purchaser": $p,""" +
+        s""" "quantity": $q, "product": "p$i"}"""
+    val after = if (op == "d") "null" else row(id, purchaser, quantity)
+    val beforeJson = before match {
+      case Some((bi, bp, bq)) => row(bi, bp, bq)
+      case None => if (op == "u" || op == "d") row(id, purchaser, quantity)
+        else "null"
+    }
+    s"""{"before": $beforeJson, "after": $after, "source": {"db": "app",""" +
+      s""" "table": "orders", "ts_ms": 1769558400000}, "op": "$op",""" +
+      s""" "ts_ms": 1769558400001}"""
+  }
+
+  private def rawOrder(value: String, offset: Long)
+      : (String, String, String, Int, Long) =
+    ("mysql.app.orders", """{"id": 1}""", value, 0, offset)
+
+  // the reference's natural downstream shape: orders ⋈ customers ON
+  // purchaser = id, quantity rolled up by the customer's last name
+  private val refJdef = JoinViewDef(
+    left = "orders", leftPks = Seq("id"),
+    right = "customers", rightPks = Seq("id"),
+    leftKeys = Seq("purchaser"), rightKeys = Seq("id"),
+    view = "qty_by_last", vdef = ViewDef(Seq("last_name"), Seq("quantity")))
+
+  private def assertRefExact(store: ParquetTableStore): Unit = {
+    val joined = store.read("orders").get.join(
+      store.read("customers").get.withColumnRenamed("id", "purchaser"),
+      "purchaser")
+    val expected = IncrementalView.compute(joined, refJdef.vdef)
+    val got = store.read("qty_by_last").get
+      .select("last_name", "n", "sum_quantity")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      s"join view != mirror recompute: ${got.collect().toSeq} vs " +
+        s"${expected.collect().toSeq}")
+  }
+
+  test("orders ⋈ customers rollup rides MirrorPipeline per micro-batch " +
+      "and survives a replay restart") {
+    val in = Files.createTempDirectory("jmirror-in")
+    val ckpt = Files.createTempDirectory("jmirror-ckpt")
+    val storeRoot = "file:" + Files.createTempDirectory("jmirror-store")
+    val catalog = CdcCatalog.fromPropertiesString(
+      "pk.customers=id\npk.orders=id\n")
+    val store = new ParquetTableStore(spark, storeRoot)
+
+    writeBatch(in, 0, Seq(
+      Fixtures.raw(Fixtures.customer("r", 1, "Sally", "Thomas", "s@x"), 0),
+      Fixtures.raw(Fixtures.customer("r", 2, "George", "Walker", "g@x"), 1),
+      rawOrder(order("r", 100, 1, 3), 2),
+      rawOrder(order("r", 101, 1, 5), 3),
+      rawOrder(order("r", 102, 2, 7), 4)))
+    val q = MirrorPipeline.start(
+      CdcPipeline.fileSource(spark, in.toString), catalog,
+      Envelope.defaultRegistry, storeRoot, Nil, ckpt.toString,
+      joinViews = Seq(refJdef))
+    try {
+      q.processAllAvailable()
+      assertRefExact(store)
+      assert(store.read("qty_by_last").get
+        .select("last_name", "n").as[(String, Long)].collect().toMap ==
+        Map("Thomas" -> 2L, "Walker" -> 1L))
+
+      // batch 2: an order MOVES between customers (join-key churn), a
+      // customer is renamed (its whole rollup mass relocates), one
+      // order dies
+      writeBatch(in, 1, Seq(
+        rawOrder(order("u", 101, 2, 5, before = Some((101, 1, 5))), 5),
+        Fixtures.raw(Fixtures.customer("u", 2, "George", "Bush", "g@x"), 6),
+        rawOrder(order("d", 102, 2, 7, before = Some((102, 2, 7))), 7)))
+      q.processAllAvailable()
+      assertRefExact(store)
+      assert(store.read("qty_by_last").get
+        .selectExpr("last_name", "CAST(sum_quantity AS BIGINT)")
+        .as[(String, Long)].collect().toMap ==
+        Map("Thomas" -> 3L, "Bush" -> 5L))
+    } finally q.stop()
+
+    // restart WITHOUT the checkpoint: both files replay — identical
+    // merges net zero feeds and the join view stays exactly consistent
+    val ckpt2 = Files.createTempDirectory("jmirror-ckpt2")
+    val q2 = MirrorPipeline.start(
+      CdcPipeline.fileSource(spark, in.toString), catalog,
+      Envelope.defaultRegistry, storeRoot, Nil, ckpt2.toString,
+      joinViews = Seq(refJdef))
+    try {
+      q2.processAllAvailable()
+      assertRefExact(store)
+    } finally q2.stop()
+  }
+}
