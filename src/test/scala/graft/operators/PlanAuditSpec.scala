@@ -157,6 +157,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // all-pairs join: candidates are the band-bucket equi-join.
     "q_dedup_images" -> Budget(maxExchanges = 4),
     "q_dedup_audio" -> Budget(maxExchanges = 4),
+    // r11: video fingerprint dedup — decode rides mapPartitions like
+    // its image/audio siblings; the cost is the shared band self-join
+    "q_dedup_video" -> Budget(maxExchanges = 4),
     // r11: corpus tokenize — word explode + BROADCAST join against the
     // vocab-sized word→tokenization map (no shuffle on the corpus
     // side) + per-doc hash agg + sort (3 observed + 1 slack). The map
