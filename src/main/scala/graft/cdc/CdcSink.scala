@@ -655,7 +655,7 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     }
     val resid = (lo.map(col(column) >= lit(_)) ++
       hi.map(col(column) <= lit(_))).reduce(_ && _)
-    statFiltered(target, m, keep, resid)
+    statFiltered(target, m, keep, column, resid)
   }
 
   /** `column = value` reading only buckets whose zone maps (min/max +
@@ -684,21 +684,30 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       }
       case None => m.keySet
     }
-    statFiltered(target, m, keep, col(column) === lit(value))
+    statFiltered(target, m, keep, column, col(column) === lit(value))
   }
 
   private def statFiltered(target: String, m: Map[Int, String],
-      keep: Set[Int],
+      keep: Set[Int], column: String,
       resid: org.apache.spark.sql.Column): Option[(DataFrame, PruneReport)] = {
     val report = PruneReport(m.size, keep.size)
+    // Schema evolution: a version written before `column` existed has
+    // it in NO file of the kept buckets — the predicate must see an
+    // all-NULL column (range/eq never match NULL: zero rows, honestly
+    // unpruned), not an unresolved-column failure. Only the unborn
+    // case is patched; a column present in ANY kept file comes from
+    // the mergeSchema read as usual.
+    def withCol(df: DataFrame): DataFrame =
+      if (df.columns.contains(column)) df
+      else df.withColumn(column, lit(null))
     if (keep.isEmpty)
       // provably empty; limit(0) keeps the schema and costs zero IO
       // (OptimizeLimitZero collapses it to an empty relation)
       readPaths(target, m.values.toSeq.sorted.take(1))
-        .map(df => (df.filter(resid).limit(0), report))
+        .map(df => (withCol(df).filter(resid).limit(0), report))
     else
       readPaths(target, keep.toSeq.sorted.flatMap(m.get))
-        .map(df => (df.filter(resid), report))
+        .map(df => (withCol(df).filter(resid), report))
   }
 
   /** Point lookups: rows of `target` matching the (small, driver-side

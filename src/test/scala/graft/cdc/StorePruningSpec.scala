@@ -285,6 +285,61 @@ class StorePruningSpec extends AnyFunSuite {
       store.read("t").get.filter($"tenant" === "t7").count())
   }
 
+  test("schema evolution through the pruned read path: a column added " +
+      "mid-history never prunes out legacy buckets (absent stats = keep)") {
+    val store = freshStore(stats = Map("t" -> Seq("tenant", "w")))
+    // history BEFORE the column exists: 600 ids spread over all 64
+    // buckets, no `w` anywhere (so no bucket has `w` stats entries)
+    store.applyChanges("t", Seq("id"),
+      rows(0 until 600).drop("tst", "score"), noKeys)
+    // the column appears: ONE merge touching few buckets carries `w`;
+    // untouched buckets keep their carried-forward (w-less) entries
+    val withW = Seq((1000L, "t7", 1000L, "needle"), (1001L, "t8", 1001L, "hay"))
+      .toDF("id", "tenant", "ts", "w")
+    store.applyChanges("t", Seq("id"), withW, noKeys)
+
+    // the touched-bucket set is tiny; everything else is legacy
+    val legacyBuckets = NB - 2 // at most 2 buckets hold ids 1000/1001
+
+    // point lookup on the NEW column: correct rows, and the report
+    // proves the honest no-prune — every legacy (stats-less) bucket is
+    // kept, only w-tracked buckets could be bloom-pruned
+    val (eq, eqRep) = store.readEqPruned("t", "w", "needle").get
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(1000L))
+    assert(eqRep.bucketsKept >= legacyBuckets,
+      s"legacy buckets were wrongly pruned: $eqRep")
+
+    // range read on the new column: correct (legacy rows read as NULL
+    // and BETWEEN never matches NULL), legacy buckets still kept
+    val (rg, rgRep) = store.readRangePruned("t", "w",
+      Some("hay"), Some("needle")).get
+    assert(rg.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1000L, 1001L))
+    assert(rgRep.bucketsKept >= legacyBuckets, rgRep)
+
+    // a whole-range miss on the new column still cannot prune the
+    // stats-less legacy buckets (absent stats = keep is honest, not
+    // clever) — correctness over cleverness, zero wrong prunes
+    val (miss, missRep) = store.readRangePruned("t", "w",
+      Some("zzz"), None).get
+    assert(miss.isEmpty)
+    assert(missRep.bucketsKept >= legacyBuckets, missRep)
+
+    // and the old column's pruning is undisturbed by the evolution
+    val (t7, t7Rep) = store.readEqPruned("t", "tenant", "t7").get
+    assert(t7.count() ==
+      store.read("t").get.filter($"tenant" === "t7").count())
+    assert(t7Rep.bucketsKept <= 25, t7Rep)
+
+    // version-pinned twin: the PRE-evolution version has no `w` at all;
+    // its pruned read must keep every bucket and return zero matches
+    // (never a crash, never a wrong prune)
+    val v1 = store.versions("t").head
+    val (old, oldRep) = store.readEqPrunedAt("t", v1, "w", "needle").get
+    assert(oldRep.bucketsKept == oldRep.bucketsTotal, oldRep)
+    assert(old.isEmpty)
+  }
+
   /** Local path behind the most recent `freshStore` root. */
   private def storeRoot(store: ParquetTableStore): java.io.File =
     lastRoot.toFile
