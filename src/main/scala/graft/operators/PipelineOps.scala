@@ -178,14 +178,18 @@ object PipelineOps {
         .agg(count(lit(1)).as("shared_ngrams"))
     },
 
-    // Sequence packing: greedy token-budget binning of documents into
-    // training sequences. Docs are sharded (doc_id % 32 — hundreds of
-    // independent shards at scale, so the running sum parallelizes) and
-    // packed in id order within each shard: seq_no = floor(prior
-    // tokens / budget). The streaming-greedy shape every packing
-    // pipeline uses — a doc can straddle a boundary, which real packers
-    // handle by splitting at the consumer.
-    QDef("q_pack_sequences",
+    // Sequence packing, per-doc ASSIGNMENT view: greedy token-budget
+    // binning of documents into training sequences. Docs are sharded
+    // (doc_id % 32 — hundreds of independent shards at scale, so the
+    // running sum parallelizes) and packed in id order within each
+    // shard: seq_no = floor(prior tokens / budget). The
+    // streaming-greedy shape every packing pipeline uses — a doc can
+    // straddle a boundary, which real packers handle by splitting at
+    // the consumer. (The per-(source, pack) LEDGER view is
+    // q_pack_sequences in Coverage17; this row — previously shadowed
+    // by that name collision — is the doc-grain dual the streaming
+    // twin IncrementalPack reproduces.)
+    QDef("q_pack_assignments",
       """WITH d AS (
         |  SELECT doc_id, doc_id % 32 AS shard,
         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens

@@ -152,6 +152,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // r10: packing ledger — PrefixSum two-phase cumsum (bounded-domain
     // offset window, no key-sized window task) + one hash agg + sort
     "q_pack_sequences" -> Budget(maxExchanges = 7),
+    // r11: the per-doc assignment dual (previously shadowed by the
+    // ledger's name) — one per-shard window (32 bounded shards) + scan
+    "q_pack_assignments" -> Budget(maxExchanges = 2),
     // r10: fingerprint dedups — decode rides mapPartitions (no
     // shuffle); the cost is the band self-join + distinct. Never an
     // all-pairs join: candidates are the band-bucket equi-join.
