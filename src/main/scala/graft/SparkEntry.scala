@@ -12,7 +12,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private def modules: Seq[QDef] =
+  private[graft] def modules: Seq[QDef] =
     Relational.defs ++ Windows.defs ++ Scalars.defs ++
       TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++ Temporal.defs ++
       Multimodal.defs ++ UdfSurface.defs ++ Advanced.defs ++ PointInTime.defs ++ PipelineOps.defs ++

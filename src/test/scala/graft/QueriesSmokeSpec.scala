@@ -23,6 +23,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query names are unique across modules (a duplicate silently " +
+      "shadows the earlier QDef in the map — the q_pack_sequences lesson)") {
+    val dupes = SparkEntry.modules.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate QDef names: ${dupes.mkString(", ")}")
+  }
+
   test("every query has either oracle SQL or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only checks are reserved for sketch/probabilistic/bit-level
