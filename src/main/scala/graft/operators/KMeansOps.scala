@@ -41,16 +41,27 @@ object KMeansOps {
     * `corpus` must carry (vec_id, embedding); seeds are the
     * deterministic `vec_id % modulus == 0` sample. */
   def lloyd(corpus: DataFrame, modulus: Int, iters: Int): (DataFrame, DataFrame) = {
+    val seeds = corpus.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    lloydFrom(corpus, seeds.toSeq, iters)
+  }
+
+  /** Lloyd steps from CALLER-SUPPLIED initial centroids — the retrain
+    * path: an index whose corpus has drifted re-trains from its
+    * CURRENT centroids (warm start) instead of re-seeding, so bucket
+    * identities persist across the retrain and the step count needed
+    * to track the drift stays small. */
+  def lloydFrom(corpus: DataFrame, initial: Seq[(Long, Seq[Double])],
+      iters: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     VectorOps.ensure(spark)
     TopKBy.register(spark)
     VecSum.register(spark)
 
     val vecs = corpus.select(col("vec_id"), col("embedding"))
-    var centroids = vecs.filter(col("vec_id") % modulus === 0)
-      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var centroids: Array[(Long, Seq[Double])] = initial.toArray
 
     def centroidDf = {
       val rows = centroids.toSeq

@@ -111,4 +111,57 @@ object IncrementalIvf {
     * batch-built index — the layout contract is shared). */
   def index(spark: SparkSession, dir: String): IvfIndex =
     new IvfIndex(spark, dir)
+
+  /** Per-batch assignment-quality stats — the DRIFT METRIC: centroids
+    * are fixed between retrains, so under distribution drift recall
+    * decays SILENTLY (new vectors land in far-away buckets and probes
+    * miss them). One row per ingested batch: vector count and mean
+    * assign distance (1 − cosine to the assigned centroid, the
+    * KMeansOps.inertia measure). Reading it: `batch=0` is the
+    * build-time baseline; a later batch whose `drift` sits well above
+    * it is the retrain signal. Cost: one broadcast join + hash agg
+    * over the index — a maintenance-cadence query, not a per-ingest
+    * tax (assignments store no score column; recomputing the cosine
+    * here keeps the stored layout byte-identical to the batch build). */
+  def driftStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.ensure(spark)
+    val idx = new IvfIndex(spark, dir)
+    // assigned() applies tombstones but prunes the batch column —
+    // read the raw layout for per-batch attribution (deletes only
+    // lower a batch's n; a tombstoned vector's past drift already
+    // served its signal)
+    spark.read.parquet(s"$dir/assigned")
+      .join(broadcast(idx.centroids),
+        col("centroid_id") === col("cid"))
+      .groupBy(col("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n"),
+        avg(lit(1.0) - round(graft.functions.VectorOps.cosine(
+          col("embedding"), col("cv")), 6)).as("drift"))
+      .orderBy("batch")
+  }
+
+  /** RETRAIN + consolidate: one maintenance pass that closes the
+    * drift loop. Runs `iters` Lloyd steps (KMeansOps.lloydFrom) over
+    * the accumulated tombstone-applied corpus, WARM-STARTED from the
+    * index's current centroids, then lands the re-assigned corpus as
+    * a consolidated `batch=0` under `intoDir` — same offline-swap
+    * contract as [[consolidate]] (readers move to `intoDir` when it
+    * completes; the stream resumes against it). Warm start means the
+    * centroid set tracks the drifted density in few steps and bucket
+    * ids persist; a bootstrap-seeded retrain is `IvfIndex.buildTrained`
+    * into a fresh dir (equivalent result, more steps). */
+  def retrainConsolidate(spark: SparkSession, dir: String, intoDir: String,
+      iters: Int): Unit = {
+    val idx = new IvfIndex(spark, dir)
+    val current = idx.centroids
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val corpus = idx.assigned.select(col("vec_id"), col("embedding"))
+    val (centroids, assigned) =
+      graft.operators.KMeansOps.lloydFrom(corpus, current, iters)
+    centroids.write.mode("overwrite").parquet(s"$intoDir/centroids")
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$intoDir/assigned/batch=0")
+  }
 }

@@ -140,4 +140,82 @@ class IncrementalIvfSpec extends AnyFunSuite {
     assert(after.map(_._1) == got.map(_._1) ++ extra.map(_._1).toSet,
       "restart lost or duplicated vectors")
   }
+
+  test("drift metric flags a shifted batch; warm-start retrain+consolidate " +
+      "equals a fresh trained build and does not degrade assignment quality") {
+    val dir = Files.createTempDirectory("inc-ivf-drift").toString
+
+    // planted geometry (the testdata embeddings are near-random, where
+    // EVERYTHING is equally far and drift is a weak signal by nature):
+    // 6 tight clusters around one-hot centers. Seeds `% 97 == 0` land
+    // one per center (97 ≡ 1 mod 6), so the bootstrap assignment is
+    // near-perfect — baseline drift ≈ 0.
+    val Dim = 8
+    def jit(i: Long, d: Int): Float = (((i * 31 + d * 17) % 13) - 6) / 100.0f
+    def planted(i: Long, center: Int, sign: Float): (Long, Array[Float]) =
+      (i, Array.tabulate(Dim)(d =>
+        (if (d == center) sign else 0.0f) + jit(i, d)))
+    val base = (0L until 500L).map(i => planted(i, (i % 6).toInt, 1.0f))
+    val baseDf = base.toDF("vec_id", "embedding")
+    IncrementalIvf.bootstrap(baseDf, dir, 97)
+
+    // the SHIFT: a batch clustered around NEGATED centers — nearly
+    // antipodal to every existing centroid. id' = id·97 + 1000001 ≡ 28
+    // (mod 97): no shifted id is a seed, which makes the fresh-build
+    // comparison below exact (buildTrained over the accumulated corpus
+    // seeds from exactly the bootstrap's centroid set).
+    val shifted = (0L until 200L)
+      .map(i => planted(i * 97 + 1000001L, (i % 6).toInt, -1.0f))
+      .toDF("vec_id", "embedding")
+    IncrementalIvf.processBatch(shifted, dir, 1L)
+
+    // the drift metric separates the shifted batch from the baseline
+    val stats = IncrementalIvf.driftStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stats.keySet == Set(0L, 1L), stats)
+    val (baseN, baseDrift) = stats(0L)
+    val (shiftN, shiftDrift) = stats(1L)
+    assert(baseN == 500L && shiftN == 200L)
+    assert(baseDrift < 0.1, s"baseline should be near-perfect: $baseDrift")
+    assert(shiftDrift > baseDrift + 0.5,
+      s"shifted batch not flagged: baseline=$baseDrift shifted=$shiftDrift")
+
+    // warm-start retrain + consolidate == fresh trained build over the
+    // same accumulated corpus (same initial centroids, same steps)
+    val dir2 = Files.createTempDirectory("inc-ivf-retrained").toString
+    IncrementalIvf.retrainConsolidate(spark, dir, dir2, iters = 2)
+    val freshDir = Files.createTempDirectory("inc-ivf-fresh").toString
+    val union = baseDf.unionByName(shifted)
+    graft.operators.IvfIndex.buildTrained(union, freshDir, 97, iters = 2)
+
+    val queries = union.filter(col("vec_id") % 101 === 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaRetrained = asSet(
+      IncrementalIvf.index(spark, dir2).search(queries, k = 5, nprobe = 2))
+    val viaFresh = asSet(
+      IncrementalIvf.index(spark, freshDir).search(queries, k = 5, nprobe = 2))
+    assert(viaRetrained == viaFresh && viaRetrained.nonEmpty,
+      s"diff=${((viaRetrained -- viaFresh) ++ (viaFresh -- viaRetrained)).take(5)}")
+
+    // retraining moved centroids toward the drifted density: overall
+    // assignment quality (mean assign distance) must not degrade
+    val pre = graft.operators.KMeansOps.inertia(
+      IncrementalIvf.index(spark, dir).assigned
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").cast("long").as("centroid_id")),
+      IncrementalIvf.index(spark, dir).centroids)
+    val post = graft.operators.KMeansOps.inertia(
+      IncrementalIvf.index(spark, dir2).assigned
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").cast("long").as("centroid_id")),
+      IncrementalIvf.index(spark, dir2).centroids)
+    assert(post <= pre + 1e-6, s"retrain degraded inertia: $pre -> $post")
+
+    // the retrained index's drift stats read the consolidated batch=0
+    // as the NEW baseline — the loop is closed
+    val retrainedStats = IncrementalIvf.driftStats(spark, dir2).collect()
+    assert(retrainedStats.length == 1 && retrainedStats.head.getLong(0) == 0L)
+  }
 }
