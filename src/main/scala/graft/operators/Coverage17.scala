@@ -123,14 +123,14 @@ object Coverage17 {
     (head +: rounds).mkString(",\n")
   }
 
-  /** Oracle CTE chain shared by q_corpus_prep_redacted / _packed —
-    * enrich → redact → alpha-quality quartile → exact dedup →
-    * md5-ordered per-source token cumsum (`c`). ONE definition so the
-    * two flagship forms cannot drift. Assembled by concatenation, not
-    * interpolation into a stripMargin template (the round-10 `||`
-    * margin-eating gotcha). */
-  private lazy val prepCtes: String =
-    s"WITH enriched AS ($enrichSql),\n" +
+  /** Oracle CTE body (no WITH) shared by q_corpus_prep_redacted /
+    * _packed / _tokenized — enrich → redact → alpha-quality quartile →
+    * exact dedup → md5-ordered per-source token cumsum (`c`). ONE
+    * definition so the flagship forms cannot drift. Assembled by
+    * concatenation, not interpolation into a stripMargin template (the
+    * round-10 `||` margin-eating gotcha). */
+  private lazy val prepBody: String =
+    s"enriched AS ($enrichSql),\n" +
     s"red AS (SELECT doc_id, source, text FROM ($redactSql) rr),\n" +
     """m AS (SELECT doc_id, source, text,
       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
@@ -150,9 +150,13 @@ object Coverage17 {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |      FROM d)""".stripMargin
 
-  /** Spark side of [[prepCtes]] up to the budgeted survivors, `cum`
-    * carried (the per-source contiguous position of each doc). */
-  private def budgetedPrep(s: SparkSession, dir: String): DataFrame = {
+  private lazy val prepCtes: String = "WITH " + prepBody
+
+  /** Spark side of the prep chain through quality + exact dedup — the
+    * deduped survivors WITH their (redacted) text, the splice point
+    * every downstream accounting stage (whitespace budget, BPE
+    * tokenize) hangs off. */
+  private def dedupedPrep(s: SparkSession, dir: String): DataFrame = {
     val m = redacted(s, dir).select(
       col("doc_id"), col("source"), col("text"),
       (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
@@ -162,7 +166,13 @@ object Coverage17 {
       .select("doc_id", "source", "text")
     val keep = q.groupBy(md5(lower(trim(col("text"))).cast("binary")))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val d = q.join(keep, Seq("doc_id"), "left_semi").select(
+    q.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** [[dedupedPrep]] through the whitespace-token budget, `cum`
+    * carried (the per-source contiguous position of each doc). */
+  private def budgetedPrep(s: SparkSession, dir: String): DataFrame = {
+    val d = dedupedPrep(s, dir).select(
       col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
     graft.plans.PrefixSum.perKey(d, "source",
@@ -356,6 +366,84 @@ object Coverage17 {
         .groupBy("source", "pack_id")
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
           sum(col("toks")).cast("bigint").as("toks_sum"),
+          sum(col("straddle")).cast("bigint").as("n_straddle"))
+        .orderBy("source", "pack_id")
+    },
+
+    // ---- corpus prep TOKENIZED: the tokenizer spliced into the flagship --
+    // The splice PLANS.md's attribution table pre-registered: the
+    // budget/pack accounting now runs on TRAINED-BPE token counts of
+    // the redacted survivors instead of whitespace tokens — what a
+    // real trainer's packing actually bills. The tokenize stage is the
+    // q_bpe_tokenize shape hung off the dedup survivors: word explode
+    // → BROADCAST join against the Heaps-bounded word→tokenization map
+    // → ONE per-(doc, source) hash agg (+1 exchange, the stated
+    // delta; the corpus side never shuffles and no join-back is needed
+    // because the agg carries source through). Docs with zero
+    // trainable words after redaction drop (nothing to bill — the
+    // inner-join semantics both engines share); budget 900 BPE tokens
+    // per source, packs of 128.
+    QDef("q_corpus_prep_tokenized",
+      s"WITH $trainCte,\n" + prepBody + """,
+        |bmap AS (
+        |  SELECT replace(replace(w, '(', ''), ')', '') AS word,
+        |    CAST(len(string_split(substr(w, 2, length(w) - 2), ')(')) AS BIGINT)
+        |      AS n_toks
+        |  FROM v""".stripMargin + BpeN + """),
+        |sw AS (
+        |  SELECT q.doc_id, q.source,
+        |    unnest(string_split(lower(trim(q.text)), ' ')) AS word
+        |  FROM q JOIN k USING (doc_id)),
+        |btok AS (
+        |  SELECT doc_id, source, CAST(sum(bm.n_toks) AS BIGINT) AS btoks
+        |  FROM (SELECT doc_id, source, word FROM sw
+        |        WHERE regexp_matches(word, '^[a-z]{2,}$')) f
+        |  JOIN bmap bm USING (word)
+        |  GROUP BY doc_id, source),
+        |btc AS (
+        |  SELECT doc_id, source, btoks,
+        |    CAST(sum(btoks) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM btok),
+        |btb AS (SELECT source, btoks, cum FROM btc WHERE cum - btoks < 900),
+        |btp AS (
+        |  SELECT source, (cum - btoks) // 128 AS pack_id, btoks,
+        |    CASE WHEN (cum - 1) // 128 > (cum - btoks) // 128
+        |         THEN 1 ELSE 0 END AS straddle
+        |  FROM btb)
+        |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(btoks) AS BIGINT) AS toks_sum,
+        |  CAST(sum(straddle) AS BIGINT) AS n_straddle
+        |FROM btp GROUP BY source, pack_id
+        |ORDER BY source, pack_id
+        |""".stripMargin) { (s, dir) =>
+      val cap = 128L
+      val (_, vocab) = trainBpe(s, dir)
+      val bmap = vocab.select(
+        regexp_replace(col("w"), "[()]", "").as("word"),
+        size(symsCol).cast("long").as("n_toks"))
+      val btok = dedupedPrep(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(trim(col("text"))), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]{2,}$"))
+        .join(broadcast(bmap), "word")
+        .groupBy("doc_id", "source")
+        .agg(sum(col("n_toks")).cast("long").as("btoks"))
+      graft.plans.PrefixSum.perKey(btok, "source",
+          md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+          col("btoks"), "cum")
+        .filter(col("cum") - col("btoks") < 900)
+        .select(col("source"),
+          expr(s"(cum - btoks) div $cap").as("pack_id"),
+          col("btoks"),
+          when(expr(s"(cum - 1) div $cap") > expr(s"(cum - btoks) div $cap"),
+            1L).otherwise(0L).as("straddle"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("btoks")).cast("bigint").as("toks_sum"),
           sum(col("straddle")).cast("bigint").as("n_straddle"))
         .orderBy("source", "pack_id")
     },

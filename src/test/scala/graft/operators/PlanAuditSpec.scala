@@ -163,6 +163,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // r11: video fingerprint dedup — decode rides mapPartitions like
     // its image/audio siblings; the cost is the shared band self-join
     "q_dedup_video" -> Budget(maxExchanges = 4),
+    // r11: the tokenize splice into the flagship (the PLANS.md
+    // attribution table's stated +1): redacted-prep front (quality 1 +
+    // dedup 2) + the per-doc BPE token agg (+1, map joins broadcast) +
+    // PrefixSum budget 2 + pack agg 1 + output sort 1 = 8 observed
+    // (+2 slack)
+    "q_corpus_prep_tokenized" -> Budget(maxExchanges = 10),
     // r11: corpus tokenize — word explode + BROADCAST join against the
     // vocab-sized word→tokenization map (no shuffle on the corpus
     // side) + per-doc hash agg + sort (3 observed + 1 slack). The map
