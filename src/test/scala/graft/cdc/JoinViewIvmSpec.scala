@@ -161,6 +161,122 @@ class JoinViewIvmSpec extends AnyFunSuite {
     }
   }
 
+  test("min/max buffers ride join views: extremum deletes and join-key " +
+      "moves splice; a drained buffer rebuilds from the JOINED snapshot") {
+    val mmDef = jdef.copy(view = "revmm",
+      vdef = ViewDef(Seq("region"), Seq("amount"),
+        mins = Seq("amount"), maxs = Seq("amount"), bufK = 2))
+    def assertMm(store: ParquetTableStore): Unit = {
+      val joined = store.read("ord").get.join(
+        store.read("cust").get.withColumnRenamed("custkey", "ck"), "ck")
+      val exp = IncrementalView.compute(joined, mmDef.vdef)
+        .selectExpr("region", "n", "sum_amount",
+          "element_at(minb_amount, 1)", "element_at(maxb_amount, 1)")
+      val got = IncrementalJoinView.read(store, mmDef).get
+        .selectExpr("region", "n", "sum_amount", "min_amount", "max_amount")
+      assert(got.except(exp).isEmpty && exp.except(got).isEmpty,
+        s"mm join view drifted: ${got.collect().toSeq} vs " +
+          s"${exp.collect().toSeq}")
+    }
+    val store = freshStore()
+    store.applyChanges("ord", Seq("oid"),
+      orders((1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0), (4, 20, 9.0)),
+      oKeys())
+    store.applyChanges("cust", Seq("custkey"),
+      custs((10, "na"), (20, "eu")), cKeys())
+    IncrementalJoinView.refreshToCurrent(store, mmDef)
+    assertMm(store)
+    // delete na's minimum order → buffer splice
+    store.applyChanges("ord", Seq("oid"), orders(), oKeys(1))
+    IncrementalJoinView.refreshToCurrent(store, mmDef)
+    assertMm(store)
+    // drain na's K=2 min buffer in one span (delete 2 and 3's old
+    // values via a move + delete) → per-group rebuild from the JOINED
+    // snapshot at the target version pair
+    store.applyChanges("ord", Seq("oid"),
+      orders((5, 10, 7.0), (6, 10, 8.0)), oKeys(2, 3))
+    IncrementalJoinView.refreshToCurrent(store, mmDef)
+    assertMm(store)
+    // a join-key CHURN on the right side moves a whole group's mass:
+    // min/max must follow through the recompute
+    store.applyChanges("cust", Seq("custkey"), custs((10, "eu")), cKeys())
+    IncrementalJoinView.refreshToCurrent(store, mmDef)
+    assertMm(store)
+    assert(IncrementalJoinView.read(store, mmDef).get
+      .filter(col("region") === "na").isEmpty)
+  }
+
+  test("join views CASCADE: a second join view over a maintained view's " +
+      "own recorded change feed gives a three-table rollup, kept " +
+      "recompute-exact under churn on all three tables") {
+    val store = freshStore()
+    // level 1: rev = ord ⋈ cust GROUP BY region (the spec's jdef);
+    // level 2: rev2 = rev ⋈ regions GROUP BY continent — legal because
+    // applyChanges records a change feed for EVERY table, including
+    // the view table itself, so the maintained view is a first-class
+    // delta source for the next view (the distinct-cascade move,
+    // now across a JOIN)
+    val jdef2 = IncrementalJoinView.JoinViewDef(
+      left = "rev", leftPks = Seq("region"),
+      right = "regions", rightPks = Seq("region"),
+      leftKeys = Seq("region"), rightKeys = Seq("region"),
+      view = "rev2",
+      vdef = ViewDef(Seq("continent"), Seq("sum_amount")))
+    def regions(t: (String, String)*): DataFrame =
+      t.toDF("region", "continent")
+    def rKeys(rs: String*): DataFrame = rs.toDF("region")
+
+    def assertCascadeExact(): Unit = {
+      // ground truth straight from the THREE base tables
+      val exp = store.read("ord").get
+        .join(store.read("cust").get.withColumnRenamed("custkey", "ck"), "ck")
+        .join(store.read("regions").get, "region")
+        .groupBy("continent")
+        .agg(count(lit(1)).as("orders"),
+          sum(col("amount").cast("decimal(38,10)")).as("amt"))
+      // rev2.n counts live REGION rows; its sum_sum_amount carries the
+      // order mass — compare the mass and the region count separately
+      val got = store.read("rev2").get
+        .select(col("continent"), col("sum_sum_amount"))
+      val expMass = exp.select(col("continent"), col("amt"))
+      assert(got.except(expMass).isEmpty && expMass.except(got).isEmpty,
+        s"cascade drifted: ${got.collect().toSeq} vs " +
+          s"${expMass.collect().toSeq}")
+    }
+
+    store.applyChanges("ord", Seq("oid"),
+      orders((1, 10, 5.0), (2, 20, 2.0), (3, 30, 4.0)), oKeys())
+    store.applyChanges("cust", Seq("custkey"),
+      custs((10, "na"), (20, "eu"), (30, "ap")), cKeys())
+    store.applyChanges("regions", Seq("region"),
+      regions(("na", "americas"), ("eu", "emea"), ("ap", "apac")), rKeys())
+    val rnd = new scala.util.Random(20260818L)
+    val regionNames = Array("na", "eu", "ap")
+    val continents = Array("americas", "emea", "apac")
+    var nextOid = 10
+    (1 to 10).foreach { round =>
+      // churn all three levels
+      store.applyChanges("ord", Seq("oid"),
+        orders((nextOid, Seq(10, 20, 30)(rnd.nextInt(3)),
+          (rnd.nextInt(40) + 1) / 4.0)),
+        oKeys(Seq(nextOid - 10).filter(o => o > 0 && rnd.nextBoolean()): _*))
+      nextOid += 1
+      if (round % 3 == 0) // customer moves region → rev groups move
+        store.applyChanges("cust", Seq("custkey"),
+          custs((Seq(10, 20, 30)(rnd.nextInt(3)),
+            regionNames(rnd.nextInt(3)))), cKeys())
+      if (round % 4 == 0) // region moves continent → rev2 groups move
+        store.applyChanges("regions", Seq("region"),
+          regions((regionNames(rnd.nextInt(3)),
+            continents(rnd.nextInt(3)))), rKeys())
+      // advance level 1 first, then level 2 off rev's own feed
+      IncrementalJoinView.refreshToCurrent(store, jdef)
+      IncrementalJoinView.refreshToCurrent(store, jdef2)
+      assertViewExact(store)
+      assertCascadeExact()
+    }
+  }
+
   test("crash between view merge and marker: the intent protocol " +
       "applies the interrupted refresh exactly once") {
     val store = freshStore()

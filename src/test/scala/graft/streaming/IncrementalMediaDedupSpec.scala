@@ -107,4 +107,37 @@ class IncrementalMediaDedupSpec extends AnyFunSuite {
     } yield (a._1, b._1, d.toLong)).toSet
     assert(got == ref, s"got $got\nexpected $ref")
   }
+
+  test("video fingerprints ride the same index: stream over 3 batches == " +
+      "batch q_dedup_video (speed-up and brightness dups recalled " +
+      "cross-batch)") {
+    // the index is fingerprint-generic — the video leg reuses it with
+    // the temporal dHash of really-decoded AVI frames, completing the
+    // streaming side of the image/audio/video modality matrix
+    val V = Multimodal.VideoDupSynth
+    val videoCorpus = graft.table(spark, sfDir, "documents")
+      .select("doc_id").as[Long]
+      .collect().filter(_ % 3 == 2).sorted.toSeq
+      .map(id => id -> V.fingerprint(V.decodeBrightness(V.avi(id), id)))
+    val batchRef = SparkEntry.queries("q_dedup_video")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batchRef.nonEmpty)
+    val indexDir = Files.createTempDirectory("mediadedup-vid-idx").toString
+    val dupDir = Files.createTempDirectory("mediadedup-vid-out").toString
+    val ckpt = Files.createTempDirectory("mediadedup-vid-ckpt").toString
+    val ms = MemoryStream[(Long, Long)](spark)
+    val q = IncrementalMediaDedup.start(
+      ms.toDF().toDF("media_id", "h"), indexDir, dupDir, ckpt)
+    try {
+      (0 until 3).foreach { m =>
+        // split on the variant index so every group of four scatters
+        ms.addData(videoCorpus.filter(t => (t._1 / 3) % 3 == m))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(dupDir).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == batchRef,
+      s"extra=${(got -- batchRef).take(5)} missing=${(batchRef -- got).take(5)}")
+  }
 }
