@@ -93,9 +93,12 @@ object Coverage18 {
         .filter(col("doc_id") % 3 === 2).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
+            // SAMPLE-THEN-DECODE: only the 65 sampled frames touch the
+            // BMP reader (decode cost ∝ samples, not clip length);
+            // bit-identical to the decode-everything path by
+            // construction, pinned in VideoDedupSpec
             val avi = Multimodal.VideoDupSynth.avi(id)
-            val br = Multimodal.VideoDupSynth.decodeBrightness(avi, id)
-            (id, Multimodal.VideoDupSynth.fingerprint(br))
+            (id, Multimodal.VideoDupSynth.fingerprintSampled(avi, id))
           }
         }.toDF("doc_id", "h")
       bandedPairs(sig)

@@ -82,6 +82,16 @@ class VideoDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sample-then-decode equals decode-everything: fingerprintSampled " +
+      "is bit-identical to fingerprint(decodeBrightness) on every doc") {
+    videoIds.foreach { id =>
+      val avi = S.avi(id)
+      val full = S.fingerprint(S.decodeBrightness(avi, id))
+      val sampled = S.fingerprintSampled(avi, id)
+      assert(sampled == full, s"id=$id sampled=$sampled full=$full")
+    }
+  }
+
   test("the fingerprints come from genuinely different byte streams " +
       "(invariance is perceptual, not checksum)") {
     val g = videoIds.groupBy(_ / 12).filter(_._2.size == 4).head._2
