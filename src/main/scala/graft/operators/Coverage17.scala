@@ -96,7 +96,7 @@ object Coverage17 {
        |  FROM (SELECT freq, string_split(substr(w, 2, length(w) - 2), ')(') AS syms
        |        FROM $v))""".stripMargin
 
-  private val trainCte: String = {
+  private[operators] val trainCte: String = {
     val head =
       """words AS (
         |  SELECT w0, count(*) AS freq FROM (
@@ -532,24 +532,10 @@ object Coverage17 {
             (id, out.toSeq)
           }
         }.toDF("doc_id", "px")
-      val sig = px.select(col("doc_id"),
-        call_function("dhash64", col("px")).as("h"))
-      val banded = sig.select(col("doc_id"), col("h"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            expr(s"shiftright(h, ${b * 16}) & 65535").as("bucket"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("h"), col("bb.band"), col("bb.bucket"))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("b.doc_id") > col("a.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.h").bitwiseXOR(col("b.h")))
-            .cast("bigint").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      // the shared 4×16 banding → equi-join → hamming verify
+      // (Coverage18.bandedPairs — ONE definition for image/audio/video)
+      Coverage18.bandedPairs(px.select(col("doc_id"),
+        call_function("dhash64", col("px")).as("h")))
     },
 
     // ---- audio near-dup dedup: energy-envelope dHash + banding ----------
@@ -615,22 +601,7 @@ object Coverage17 {
             (id, Multimodal.AudioDupSynth.fingerprint(en))
           }
         }.toDF("doc_id", "h")
-      val banded = sig.select(col("doc_id"), col("h"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            expr(s"shiftright(h, ${b * 16}) & 65535").as("bucket"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("h"), col("bb.band"), col("bb.bucket"))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("b.doc_id") > col("a.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.h").bitwiseXOR(col("b.h")))
-            .cast("bigint").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      Coverage18.bandedPairs(sig)
     },
 
     // ---- TPC-H Q12: shipping modes and order priority -------------------

@@ -102,6 +102,141 @@ object Coverage18 {
           }
         }.toDF("doc_id", "h")
       bandedPairs(sig)
+    },
+
+    // ---- byte-fallback tokenization accounting ---------------------------
+    // What a production tokenizer bills for the words the trained
+    // vocab does NOT cover: numbers, punctuation-bearing tokens and
+    // any word outside the merge table fall back to BYTE tokens (one
+    // per character — the GPT-2 byte-level floor). Same plan shape as
+    // q_bpe_tokenize with the inner join turned LEFT: the broadcast
+    // map answers trainable words, coalesce(length) answers the rest,
+    // and the per-doc split (BPE vs byte mass) is the vocab-coverage
+    // cost signal a tokenizer rollout reads. One explode + broadcast
+    // join + per-doc hash agg — corpus touched once.
+    QDef("q_bpe_tokenize_bytes", {
+      import Coverage17.{trainCte, BpeN}
+      s"""WITH $trainCte,
+         |bmap AS (
+         |  SELECT replace(replace(w, '(', ''), ')', '') AS word,
+         |    CAST(len(string_split(substr(w, 2, length(w) - 2), ')(')) AS BIGINT)
+         |      AS n_toks
+         |  FROM v$BpeN),
+         |ww AS (
+         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN m.n_toks IS NOT NULL THEN m.n_toks
+         |                ELSE 0 END) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(CASE WHEN m.n_toks IS NULL THEN length(word)
+         |                ELSE 0 END) AS BIGINT) AS n_byte_tokens,
+         |  CAST(sum(coalesce(m.n_toks, length(word))) AS BIGINT) AS n_tokens
+         |FROM ww LEFT JOIN bmap m USING (word)
+         |GROUP BY doc_id ORDER BY doc_id
+         |""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val (_, vocab) = Coverage17.trainBpe(s, dir)
+      val bmap = vocab.select(
+        regexp_replace(col("w"), "[()]", "").as("word"),
+        expr("size(split(substring(w, 2, length(w) - 2), '\\\\)\\\\('))")
+          .cast("long").as("n_toks"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " ")).as("word"))
+        .join(broadcast(bmap), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(coalesce(col("n_toks"), lit(0L))).cast("long")
+            .as("n_bpe_tokens"),
+          sum(when(col("n_toks").isNull, length(col("word")).cast("long"))
+            .otherwise(0L)).cast("long").as("n_byte_tokens"),
+          sum(coalesce(col("n_toks"), length(col("word")).cast("long")))
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- per-source distribution drift: Kolmogorov–Smirnov ---------------
+    // The curation drift alarm in distribution form: for each source,
+    // the KS distance between ITS doc-length distribution and the
+    // corpus's — sup over the (bounded, ≤ distinct-lengths) evaluation
+    // grid of |F_src − F_corpus|. A source whose scraper broke or whose
+    // content shifted shows up as a D spike long before means move.
+    // Plan shape: one (source, len) histogram agg, cumulative sums
+    // over the BOUNDED length grid (the engine's bounded-domain-window
+    // posture — the window is over distinct lengths × sources, never
+    // docs), one broadcast of the ≤grid-sized corpus CDF, one max agg
+    // per source. Scale-free in the corpus: everything after the
+    // histogram is grid-sized.
+    QDef("q_ks_drift",
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c
+        |      FROM d GROUP BY source, len),
+        |grid AS (SELECT DISTINCT len FROM h),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h
+        |       GROUP BY source),
+        |ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |fsrc AS (
+        |  SELECT s.source, g.len,
+        |    CAST(coalesce(sum(h.c) OVER (PARTITION BY s.source
+        |      ORDER BY g.len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS BIGINT) AS cum
+        |  FROM (SELECT source FROM ns) s
+        |  CROSS JOIN grid g
+        |  LEFT JOIN h ON h.source = s.source AND h.len = g.len),
+        |fall AS (
+        |  SELECT len,
+        |    CAST(sum(sum(c)) OVER (ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM h GROUP BY len)
+        |SELECT f.source,
+        |  round(max(abs(CAST(f.cum AS DOUBLE) / ns.n
+        |    - CAST(a.cum AS DOUBLE) / ntot.n)), 6) + 0.0 AS ks
+        |FROM fsrc f
+        |JOIN ns ON ns.source = f.source
+        |JOIN fall a ON a.len = f.len
+        |CROSS JOIN ntot
+        |GROUP BY f.source, ns.n, ntot.n
+        |ORDER BY f.source
+        |""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // ONE corpus-sized exchange (the histogram agg); every support
+      // table below derives from bounded h, so their exchanges carry
+      // grid-sized rows
+      val d = table(s, dir, "documents").select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("len"))
+      val h = d.groupBy("source", "len")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val grid = h.select("len").distinct()
+      val ns = h.groupBy("source").agg(sum(col("c")).cast("long").as("n"))
+      val nTot = h.agg(sum(col("c")).cast("long").as("ntot"))
+      val srcs = ns.select("source")
+      // per-source CDF over the bounded grid (window over ≤ |grid|
+      // rows per source — never doc-sized)
+      val wCum = Window.partitionBy("source").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fsrc = srcs.crossJoin(grid)
+        .join(h, Seq("source", "len"), "left")
+        .select(col("source"), col("len"),
+          coalesce(sum(col("c")).over(wCum), lit(0L)).cast("long").as("cum"))
+      val wAll = Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fall = h.groupBy("len").agg(sum(col("c")).as("lc"))
+        .select(col("len"),
+          sum(col("lc")).over(wAll).cast("long").as("cum_all"))
+      fsrc.join(broadcast(ns), "source")
+        .join(broadcast(fall), "len")
+        .crossJoin(broadcast(nTot))
+        .groupBy("source")
+        .agg((round(max(abs(col("cum").cast("double") / col("n")
+          - col("cum_all").cast("double") / col("ntot"))), 6) + lit(0.0))
+          .as("ks"))
+        .orderBy("source")
     }
   )
 }

@@ -173,7 +173,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // vocab-sized word→tokenization map (no shuffle on the corpus
     // side) + per-doc hash agg + sort (3 observed + 1 slack). The map
     // derivation off the trained checkpoint adds its own tiny agg.
-    "q_bpe_tokenize" -> Budget(maxExchanges = 4)
+    "q_bpe_tokenize" -> Budget(maxExchanges = 4),
+    // r11: byte-fallback accounting — the q_bpe_tokenize shape with a
+    // LEFT broadcast join (same corpus-never-shuffles property)
+    "q_bpe_tokenize_bytes" -> Budget(maxExchanges = 4),
+    // r11: per-source KS drift — ONE corpus-sized exchange (the
+    // (source, len) histogram agg); the other ~9 exchanges all carry
+    // GRID-sized rows (<= distinct lengths x sources): support-table
+    // aggs off h, bounded-domain CDF windows, broadcast corpus CDF,
+    // max agg + sort. Exchange COUNT is high, exchange MASS is tiny
+    "q_ks_drift" -> Budget(maxExchanges = 13)
   )
 
   private def finalizedPlan(name: String): String = {
