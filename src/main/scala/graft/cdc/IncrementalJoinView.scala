@@ -103,10 +103,16 @@ object IncrementalJoinView {
     Some(normalizeSnap(snap).join(broadcast(feed), leftKeys))
   }
 
-  /** Columns the maintenance machinery needs from the joined shape. */
-  private def feedColumns(vdef: ViewDef): Seq[String] =
-    (vdef.groupBy ++ vdef.sums ++ vdef.vars ++ vdef.mins ++ vdef.maxs)
-      .distinct :+ "_change_type"
+  /** Columns the maintenance machinery needs from the joined shape —
+    * the prune that keeps the union legs narrow. A `where` predicate
+    * may reference columns OUTSIDE the aggregate set, and its SQL text
+    * is not parsed here: with a filter present the legs keep the full
+    * joined shape instead (correctness over the narrow union; the
+    * delta is micro-batch-sized either way). */
+  private def feedColumns(vdef: ViewDef): Option[Seq[String]] =
+    if (vdef.where.nonEmpty) None
+    else Some((vdef.groupBy ++ vdef.sums ++ vdef.vars ++ vdef.mins ++
+      vdef.maxs).distinct :+ "_change_type")
 
   /** One-shot (re)computation from pinned snapshots — initializer,
     * vacuum-recovery rebuild, and the spec's equality anchor. Returns
@@ -217,8 +223,10 @@ object IncrementalJoinView {
             j.leftKeys, j.leftKeys, identity)
         }
       val legs = (legL.toSeq ++ legR.toSeq)
-        .map(_.select(cols.map(col): _*))
+        .map(df => cols.fold(df)(cs => df.select(cs.map(col): _*)))
       if (legs.isEmpty) return 0L
+      // without the prune the two legs' column ORDERS differ (snapshot
+      // side first vs feed side first) — unionByName aligns them
       val feed = legs.reduce(_.unionByName(_))
       IncrementalView.mergeDelta(store, j.view, j.vdef,
         IncrementalView.delta(feed, j.vdef),

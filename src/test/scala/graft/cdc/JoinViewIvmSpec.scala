@@ -206,6 +206,39 @@ class JoinViewIvmSpec extends AnyFunSuite {
       .filter(col("region") === "na").isEmpty)
   }
 
+  test("a where predicate referencing columns OUTSIDE the aggregate set " +
+      "maintains correctly (the legs keep the full joined shape)") {
+    val wDef = jdef.copy(view = "revw",
+      vdef = ViewDef(Seq("region"), Seq("amount"),
+        where = Some("oid % 2 = 0"))) // oid is in neither groupBy nor sums
+    def assertW(store: ParquetTableStore): Unit = {
+      val joined = store.read("ord").get.join(
+        store.read("cust").get.withColumnRenamed("custkey", "ck"), "ck")
+      val exp = IncrementalView.compute(joined, wDef.vdef)
+      val got = store.read("revw").get.select("region", "n", "sum_amount")
+      assert(got.except(exp).isEmpty && exp.except(got).isEmpty,
+        s"filtered join view drifted: ${got.collect().toSeq} vs " +
+          s"${exp.collect().toSeq}")
+    }
+    val store = freshStore()
+    store.applyChanges("ord", Seq("oid"),
+      orders((1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0), (4, 20, 4.0)),
+      oKeys())
+    store.applyChanges("cust", Seq("custkey"),
+      custs((10, "na"), (20, "eu")), cKeys())
+    IncrementalJoinView.refreshToCurrent(store, wDef)
+    assertW(store)
+    // churn across the predicate boundary: delete an in-filter order,
+    // update an out-of-filter one, move a customer
+    store.applyChanges("ord", Seq("oid"),
+      orders((3, 10, 5.0), (6, 20, 6.0)), oKeys(2))
+    store.applyChanges("cust", Seq("custkey"), custs((20, "ap")), cKeys())
+    IncrementalJoinView.refreshToCurrent(store, wDef)
+    assertW(store)
+    // only even oids count: na has none left (2 deleted), ap has 4, 6
+    assert(store.read("revw").get.filter(col("region") === "na").isEmpty)
+  }
+
   test("join views CASCADE: a second join view over a maintained view's " +
       "own recorded change feed gives a three-table rollup, kept " +
       "recompute-exact under churn on all three tables") {
