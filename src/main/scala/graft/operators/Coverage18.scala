@@ -36,6 +36,58 @@ object Coverage18 {
       .filter(col("hamming") <= 3)
   }
 
+  /** The video fingerprint/band/hamming oracle CTE body, shared by
+    * q_dedup_video and q_dedup_video_survivors (one definition so the
+    * pair set cannot drift between the report and its consumer). */
+  private val videoPairCtes: String =
+    """ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+      |br AS (
+      |  SELECT doc_id, i,
+      |    (((((doc_id // 12) * 5171 + (i * 2) * 97) % 8887)
+      |      * (((doc_id // 12) * 5171 + (i * 2) * 97) % 8887)) % 151) + 40
+      |    + CASE WHEN (doc_id // 3) % 4 = 2 THEN 25
+      |           WHEN (doc_id // 3) % 4 = 3 AND i = 32 THEN 60
+      |           ELSE 0 END AS b
+      |  FROM ids CROSS JOIN (SELECT unnest(range(0, 65)) AS i)),
+      |bits AS (
+      |  SELECT a.doc_id, a.i AS idx,
+      |         CASE WHEN b.b > a.b THEN 1 ELSE 0 END AS bit
+      |  FROM br a JOIN br b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  WHERE a.i < 64),
+      |bands AS (
+      |  SELECT doc_id, idx // 16 AS band,
+      |         CAST(sum(bit << (idx % 16)) AS BIGINT) AS bucket
+      |  FROM bits GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band
+      |    AND a.bucket = b.bucket AND b.doc_id > a.doc_id),
+      |ham AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM cand c
+      |  JOIN bits x ON x.doc_id = c.d1
+      |  JOIN bits y ON y.doc_id = c.d2 AND y.idx = x.idx
+      |  GROUP BY c.d1, c.d2)""".stripMargin
+
+  /** The Spark-side video fingerprint table (doc_id, h, n_frames) —
+    * sample-then-decode through the real AVI walk, frame count from
+    * the real `avih` header. */
+  private def videoSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val avi = Multimodal.VideoDupSynth.avi(id)
+          val m = Multimodal.MediaRecord(id, "video", avi)
+          (id, Multimodal.VideoDupSynth.fingerprintSampled(avi, id),
+            Multimodal.AviDecoder.meta(m).n_frames.toLong)
+        }
+      }.toDF("doc_id", "h", "n_frames")
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- video near-dup dedup: temporal dHash + banding -----------------
@@ -56,52 +108,61 @@ object Coverage18 {
     // integer form (sampled base frame is always 2i); a chunk-walk,
     // frame-decode or sampling bug breaks every row.
     QDef("q_dedup_video",
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-        |br AS (
-        |  SELECT doc_id, i,
-        |    (((((doc_id // 12) * 5171 + (i * 2) * 97) % 8887)
-        |      * (((doc_id // 12) * 5171 + (i * 2) * 97) % 8887)) % 151) + 40
-        |    + CASE WHEN (doc_id // 3) % 4 = 2 THEN 25
-        |           WHEN (doc_id // 3) % 4 = 3 AND i = 32 THEN 60
-        |           ELSE 0 END AS b
-        |  FROM ids CROSS JOIN (SELECT unnest(range(0, 65)) AS i)),
-        |bits AS (
-        |  SELECT a.doc_id, a.i AS idx,
-        |         CASE WHEN b.b > a.b THEN 1 ELSE 0 END AS bit
-        |  FROM br a JOIN br b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        |  WHERE a.i < 64),
-        |bands AS (
-        |  SELECT doc_id, idx // 16 AS band,
-        |         CAST(sum(bit << (idx % 16)) AS BIGINT) AS bucket
-        |  FROM bits GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b ON a.band = b.band
-        |    AND a.bucket = b.bucket AND b.doc_id > a.doc_id),
-        |ham AS (
-        |  SELECT c.d1, c.d2,
-        |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS hamming
-        |  FROM cand c
-        |  JOIN bits x ON x.doc_id = c.d1
-        |  JOIN bits y ON y.doc_id = c.d2 AND y.idx = x.idx
-        |  GROUP BY c.d1, c.d2)
-        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
-        |""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val sig = table(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") % 3 === 2).as[Long]
-        .mapPartitions { ids =>
-          ids.map { id =>
-            // SAMPLE-THEN-DECODE: only the 65 sampled frames touch the
-            // BMP reader (decode cost ∝ samples, not clip length);
-            // bit-identical to the decode-everything path by
-            // construction, pinned in VideoDedupSpec
-            val avi = Multimodal.VideoDupSynth.avi(id)
-            (id, Multimodal.VideoDupSynth.fingerprintSampled(avi, id))
-          }
-        }.toDF("doc_id", "h")
-      bandedPairs(sig)
+      s"""WITH $videoPairCtes
+         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
+         |""".stripMargin) { (s, dir) =>
+      // SAMPLE-THEN-DECODE: only the 65 sampled frames touch the BMP
+      // reader (decode cost ∝ samples, not clip length); bit-identical
+      // to the decode-everything path, pinned in VideoDedupSpec
+      bandedPairs(videoSigs(s, dir).select("doc_id", "h"))
+    },
+
+    // ---- video dedup survivors: keep the full-rate copy ------------------
+    // The APPLY half of the video family: connected components over
+    // the verified pair set (the shared pointer-doubling CC), survivor
+    // per cluster = MOST FRAMES, lowest id on ties — so a 2× speed-up
+    // copy (65 frames) never survives its 129-frame original: the
+    // curation rule "keep the full-rate master" stated as an argmax.
+    // Frame counts come from the REAL avih header, not the synth
+    // formula. Oracle: the same pair CTEs + a reachability recursion +
+    // one window rank (the q_dedup_survivors pattern).
+    QDef("q_dedup_video_survivors",
+      s"""WITH RECURSIVE $videoPairCtes,
+         |dup AS (SELECT d1, d2 FROM ham WHERE hamming <= 3),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM dup
+         |          UNION SELECT d2, d1 FROM dup),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+         |cc AS (SELECT id AS doc_id, min(r) AS canonical FROM reach
+         |       GROUP BY id),
+         |nf AS (SELECT doc_id,
+         |         CAST(CASE WHEN (doc_id // 3) % 4 = 1 THEN 65 ELSE 129 END
+         |           AS BIGINT) AS n_frames
+         |       FROM ids),
+         |j AS (SELECT cc.doc_id, cc.canonical, nf.n_frames
+         |      FROM cc JOIN nf USING (doc_id)),
+         |rk AS (SELECT canonical, doc_id, n_frames,
+         |         row_number() OVER (PARTITION BY canonical
+         |           ORDER BY n_frames DESC, doc_id) AS rk,
+         |         CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+         |           AS n_docs
+         |       FROM j)
+         |SELECT canonical, doc_id AS keep_id, n_frames, n_docs
+         |FROM rk WHERE rk = 1
+         |""".stripMargin) { (s, dir) =>
+      graft.functions.TopKBy.register(s)
+      val sigs = videoSigs(s, dir).cache()
+      val pairs = bandedPairs(sigs.select("doc_id", "h"))
+      val cc = DedupOps.connectedComponents(pairs.select("d1", "d2"))
+      cc.join(sigs.select("doc_id", "n_frames"), "doc_id")
+        .groupBy("canonical")
+        .agg(expr("argmax_by(struct(doc_id, n_frames), " +
+          "CAST(n_frames AS DOUBLE), doc_id)").as("best"),
+          count(lit(1)).as("n_docs"))
+        .select(col("canonical"), col("best.doc_id").as("keep_id"),
+          col("best.n_frames").as("n_frames"), col("n_docs"))
     },
 
     // ---- byte-fallback tokenization accounting ---------------------------

@@ -92,6 +92,21 @@ class VideoDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("survivors keep the full-rate master: a 65-frame speed-up copy " +
+      "never outlives its 129-frame original") {
+    val rows = SparkEntry.queries("q_dedup_video_survivors")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (canonical, keepId, nFrames, nDocs) =>
+      assert(nDocs >= 2, s"cluster $canonical has $nDocs members")
+      // every cluster contains at least one full-rate member (three of
+      // each planted group of four), so the argmax must pick 129 frames
+      assert(nFrames == 129L,
+        s"cluster $canonical kept the reduced-rate copy $keepId")
+      assert((keepId / 3) % 4 != 1, s"speed-up copy $keepId survived")
+    }
+  }
+
   test("the fingerprints come from genuinely different byte streams " +
       "(invariance is perceptual, not checksum)") {
     val g = videoIds.groupBy(_ / 12).filter(_._2.size == 4).head._2
