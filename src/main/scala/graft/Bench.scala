@@ -77,6 +77,14 @@ object Bench {
     // shift is environmental; canaries flat + queries up = code drift.
     val canaryNoop = scala.collection.mutable.ArrayBuffer.empty[Double]
     val canaryScan = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // INLINE canaries: the per-run probes above run once at each run's
+    // START and therefore miss contention that arrives mid-run (two
+    // same-code captures two hours apart showed a uniform 1.12× ratio
+    // with flat start-of-run canaries). One no-op probe every 50
+    // queries tracks the host THROUGH the run — a contention window
+    // shows as a bulge in this series, at ~0.1 s × ~6 probes per run
+    // of added cost.
+    val canaryInline = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timeSec(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -100,7 +108,9 @@ object Bench {
         canaryNoop += timeSec(spark.range(1).count())
         canaryScan += timeSec(table(spark, sfDir, "region").count())
         val order = selected.sortBy { case (n, _) => md5hex(s"$runIdx:$n") }
-        timings += order.map { case (name, fn) =>
+        timings += order.zipWithIndex.map { case ((name, fn), qi) =>
+          if (qi % 50 == 0)
+            canaryInline += timeSec(spark.range(1).count())
           graft.operators.DedupOps.drainMemoHits()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -243,7 +253,13 @@ object Bench {
       val scan = canaryScan.mkString("[", ",", "]")
       val noopMed = if (canaryNoop.nonEmpty) medianOf(canaryNoop.toSeq) else 0.0
       val scanMed = if (canaryScan.nonEmpty) medianOf(canaryScan.toSeq) else 0.0
-      s"""{"noop_sec":$noop,"scan_sec":$scan,"noop_median":$noopMed,"scan_median":$scanMed}"""
+      val inline = canaryInline.map(v => f"$v%.4f").mkString("[", ",", "]")
+      val inlineMed =
+        if (canaryInline.nonEmpty) medianOf(canaryInline.toSeq) else 0.0
+      val inlineMax = if (canaryInline.nonEmpty) canaryInline.max else 0.0
+      s"""{"noop_sec":$noop,"scan_sec":$scan,"noop_median":$noopMed,""" +
+        s""""scan_median":$scanMed,"inline_sec":$inline,""" +
+        s""""inline_median":$inlineMed,"inline_max":$inlineMax}"""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"canary":$canaryJson,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"cold_extra":$coldExtraJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
