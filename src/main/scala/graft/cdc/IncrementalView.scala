@@ -83,6 +83,7 @@ object IncrementalView {
       s"variance needs the first moment too — add ${vars.filterNot(sums.contains).mkString(", ")} to sums")
     def sumCol(c: String): String = s"sum_$c"
     def sum2Col(c: String): String = s"sum2_$c"
+    def nnCol(c: String): String = s"nn_$c"
     def minbCol(c: String): String = s"minb_$c"
     def maxbCol(c: String): String = s"maxb_$c"
     def ndCol(c: String): String = s"nd_$c"
@@ -105,14 +106,14 @@ object IncrementalView {
   private[cdc] def ndView(view: String, c: String): String =
     s"${view}__nd_$c"
 
-  private def auxDef(vdef: ViewDef, c: String): ViewDef = {
+  private[cdc] def auxDef(vdef: ViewDef, c: String): ViewDef = {
     val notNull = s"`$c` IS NOT NULL" // COUNT(DISTINCT) ignores nulls
     ViewDef(vdef.groupBy :+ c, Nil,
       where = Some(vdef.where.map(w => s"($w) AND $notNull")
         .getOrElse(notNull)))
   }
 
-  private def ndDef(vdef: ViewDef): ViewDef = ViewDef(vdef.groupBy, Nil)
+  private[cdc] def ndDef(vdef: ViewDef): ViewDef = ViewDef(vdef.groupBy, Nil)
 
   private def dec(c: String): String = s"CAST(`$c` AS DECIMAL(38,10))"
 
@@ -147,16 +148,29 @@ object IncrementalView {
   }
 
   /** One-shot (re)computation of the view from a base snapshot — the
-    * initializer, the rebuild path, and the spec's equality anchor. */
+    * initializer, the rebuild path, and the spec's equality anchor.
+    *
+    * STORED MOMENT CONVENTION: sums (and second moments) are stored
+    * ZERO-BASED (`coalesce(sum, 0)`) with a per-column NON-NULL count
+    * `nn_<c>` alongside. Signed-delta arithmetic needs this: SQL's
+    * `SUM` returns NULL over an all-null set, but `stored + Δ` can
+    * only stay exact when both operands are numbers (a pure-null
+    * micro-batch delta would otherwise NULL the whole accumulator,
+    * and a group whose last non-null value dies would show 0 where
+    * SQL says NULL). `nn` is itself a signed count, so the SQL
+    * surface is derived exactly at the READ edge: sum is NULL iff
+    * nn = 0, AVG/VAR divide by nn (null-skipping), never by n. */
   def compute(base: DataFrame, vdef: ViewDef): DataFrame = {
     graft.functions.BottomKDec.register(base.sparkSession)
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,10)")
     vdef.where.map(w => base.filter(expr(w))).getOrElse(base)
       .groupBy(vdef.groupBy.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        (vdef.sums.map(c =>
-          sum(col(c).cast("decimal(38,10)")).as(vdef.sumCol(c))) ++
-         vdef.vars.map(c =>
-          sum(expr(sq(c))).cast("decimal(38,10)").as(vdef.sum2Col(c))) ++
+        (vdef.sums.map(c => coalesce(
+          sum(col(c).cast("decimal(38,10)")), zero).as(vdef.sumCol(c))) ++
+         vdef.sums.map(c => count(col(c)).as(vdef.nnCol(c))) ++
+         vdef.vars.map(c => coalesce(
+          sum(expr(sq(c))).cast("decimal(38,10)"), zero).as(vdef.sum2Col(c))) ++
          vdef.mins.map(c => expr(
            s"bottomk_dec(${dec(c)}, ${vdef.bufK}, false)").as(vdef.minbCol(c))) ++
          vdef.maxs.map(c => expr(
@@ -179,10 +193,16 @@ object IncrementalView {
       .withColumn("_sgn", sgn)
       .groupBy(vdef.groupBy.map(col): _*)
       .agg(sum(col("_sgn")).as("_dn"),
-        (vdef.sums.map(c => sum(col("_sgn") *
-          col(c).cast("decimal(38,10)")).as(s"_d_$c")) ++
-         vdef.vars.map(c => sum(col("_sgn") * expr(sq(c)))
-           .cast("decimal(38,10)").as(s"_d2_$c")) ++
+        (vdef.sums.map(c => coalesce(sum(col("_sgn") *
+          col(c).cast("decimal(38,10)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,10)"))
+          .as(s"_d_$c")) ++
+         vdef.sums.map(c => sum(when(col(c).isNotNull, col("_sgn"))
+           .otherwise(0L)).as(s"_dnn_$c")) ++
+         vdef.vars.map(c => coalesce(sum(col("_sgn") * expr(sq(c)))
+           .cast("decimal(38,10)"),
+           lit(java.math.BigDecimal.ZERO).cast("decimal(38,10)"))
+           .as(s"_d2_$c")) ++
          vdef.mins.flatMap(c => Seq(
            expr(s"bottomk_dec(CASE WHEN _sgn = 1 THEN ${dec(c)} END, $k, false)")
              .as(s"_i_min_$c"),
@@ -334,7 +354,11 @@ object IncrementalView {
       case Some(from) =>
         val to = store.version(base).getOrElse("")
         if (to != from) {
-          if (from.isEmpty || !store.versions(base).contains(from))
+          if (from.isEmpty || !store.versions(base).contains(from) ||
+              // marker present but the view never materialized a
+              // version: it was initialized over an empty/schema-less
+              // base — nothing to merge a delta into, re-initialize
+              store.version(view).isEmpty)
             // `from` vacuumed (or the base materialized its first
             // version since the empty-sentinel init): neither recorded
             // span nor snapshot diff can serve it — rebuild from the
@@ -388,9 +412,27 @@ object IncrementalView {
     try {
       val nDelta = d.count() // one action both gates and reports
       if (nDelta == 0L) return 0L
-      val cur = store.read(view).getOrElse(
-        throw new IllegalStateException(
-          s"view '$view' not initialized — call initialize first"))
+      val cur = store.read(view).getOrElse {
+        if (store.version(view).isEmpty)
+          throw new IllegalStateException(
+            s"view '$view' not initialized — call initialize first")
+        // committed but EMPTY manifest — every group deleted in some
+        // earlier refresh (or an initialize over an empty base). That
+        // is a valid empty view, not an uninitialized one; the store
+        // reads it as None (no buckets, no schema), so synthesize the
+        // maintained shape from the delta's group columns
+        val base = d.select(vdef.groupBy.map(col): _*).limit(0)
+          .withColumn("n", lit(0L))
+        val s1 = vdef.sums.foldLeft(base)((df, c) => df
+          .withColumn(vdef.sumCol(c), lit(null).cast("decimal(38,10)"))
+          .withColumn(vdef.nnCol(c), lit(null).cast("long")))
+        val s2 = vdef.vars.foldLeft(s1)((df, c) => df
+          .withColumn(vdef.sum2Col(c), lit(null).cast("decimal(38,10)")))
+        val s3 = vdef.mins.foldLeft(s2)((df, c) => df
+          .withColumn(vdef.minbCol(c), lit(null).cast("array<decimal(38,10)>")))
+        vdef.maxs.foldLeft(s3)((df, c) => df
+          .withColumn(vdef.maxbCol(c), lit(null).cast("array<decimal(38,10)>")))
+      }
       // keyed outer join view×delta: groups only in the delta are new,
       // groups only in the view pass through untouched only because
       // applyChanges merges — so restrict to TOUCHED groups and let the
@@ -403,6 +445,9 @@ object IncrementalView {
           vdef.sums.map(c =>
             (coalesce(col(vdef.sumCol(c)), zero) + col(s"_d_$c"))
               .cast("decimal(38,10)").as(vdef.sumCol(c))) ++
+          vdef.sums.map(c =>
+            (coalesce(col(vdef.nnCol(c)), lit(0L)) + col(s"_dnn_$c"))
+              .as(vdef.nnCol(c))) ++
           vdef.vars.map(c =>
             (coalesce(col(vdef.sum2Col(c)), zero) + col(s"_d2_$c"))
               .cast("decimal(38,10)").as(vdef.sum2Col(c))) ++
@@ -438,27 +483,41 @@ object IncrementalView {
     } finally d.unpersist()
   }
 
-  /** The view with derived consumer columns: avg = exact sum / n
-    * (double only at the edge), min_/max_ scalars = head of each
-    * extreme buffer (exact decimals; the buffers stay visible for
-    * callers that audit prefix health), and nd_<c> = exact
+  /** The view with derived consumer columns and SQL null semantics
+    * restored at the edge: sum_<c> reads NULL when the group holds no
+    * non-null value (the stored accumulator is zero-based — see
+    * [[compute]]), avg = exact sum / nn (AVG skips nulls; double only
+    * at the edge), min_/max_ scalars = head of each extreme buffer
+    * (exact decimals; the buffers stay visible for callers that audit
+    * prefix health), var/stddev over the NON-NULL count (VAR_SAMP
+    * semantics: null below nn = 2), and nd_<c> = exact
     * COUNT(DISTINCT c) joined in from the cascade's count view (0 for
     * groups whose every value is null). */
   def read(store: ParquetTableStore, view: String,
       vdef: ViewDef): Option[DataFrame] =
     store.read(view).map { v =>
-      val withAvg = vdef.sums.foldLeft(v) { (df, c) =>
+      val withSum = vdef.sums.foldLeft(v) { (df, c) =>
+        // legacy rows (pre-nn) carry NULL nn: treat as "unknown, keep
+        // the stored sum" rather than forcing NULL
+        df.withColumn(vdef.sumCol(c),
+          when(col(vdef.nnCol(c)) === 0,
+            lit(null).cast("decimal(38,10)"))
+            .otherwise(col(vdef.sumCol(c))))
+      }
+      val withAvg = vdef.sums.foldLeft(withSum) { (df, c) =>
         df.withColumn(s"avg_$c",
-          (col(vdef.sumCol(c)) / col("n")).cast("double"))
+          (col(vdef.sumCol(c)) /
+            coalesce(col(vdef.nnCol(c)), col("n"))).cast("double"))
       }
       // sample variance / stddev derived from the exact moments at the
-      // read edge (double only here; null below n = 2, like VAR_SAMP)
+      // read edge (double only here; null below nn = 2, like VAR_SAMP)
       val withVar = vdef.vars.foldLeft(withAvg) { (df, c) =>
-        val n = col("n").cast("double")
-        val s1 = col(vdef.sumCol(c)).cast("double")
+        val nn = coalesce(col(vdef.nnCol(c)), col("n"))
+        val nnd = nn.cast("double")
+        val s1 = coalesce(col(vdef.sumCol(c)), lit(0)).cast("double")
         val s2 = col(vdef.sum2Col(c)).cast("double")
         df.withColumn(s"var_$c",
-            when(col("n") >= 2, greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))))
+            when(nn >= 2, greatest((s2 - s1 * s1 / nnd) / (nnd - 1), lit(0.0))))
           .withColumn(s"stddev_$c", sqrt(col(s"var_$c")))
       }
       val withMin = vdef.mins.foldLeft(withVar) { (df, c) =>

@@ -134,6 +134,7 @@ object IvmStress {
 
       // equality: the refreshed view == a recompute, bit-for-bit
       val recomputed = IncrementalView.compute(refStore.read("base").get, vdef)
+        .select("grp", "n", "sum_amount")
       val refreshed = refStore.read("view").get
         .select("grp", "n", "sum_amount")
       val drift = refreshed.except(recomputed).count() +

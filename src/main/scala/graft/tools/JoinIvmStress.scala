@@ -142,6 +142,7 @@ object JoinIvmStress {
       val joined = eqStore.read("ord").get.join(
         eqStore.read("cust").get.withColumnRenamed("custkey", "ck"), "ck")
       val expected = IncrementalView.compute(joined, jdef.vdef)
+        .select("region", "n", "sum_amount")
       val got = eqStore.read("rev").get.select("region", "n", "sum_amount")
       val drift = got.except(expected).count() + expected.except(got).count()
       assert(drift == 0, s"join-view refresh drifted: $drift rows")

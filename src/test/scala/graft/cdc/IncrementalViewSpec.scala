@@ -31,6 +31,7 @@ class IncrementalViewSpec extends AnyFunSuite {
 
   private def assertViewExact(store: ParquetTableStore): Unit = {
     val expected = IncrementalView.compute(store.read("base").get, vdef)
+      .select("region", "n", "sum_amount")
     val got = store.read("view").get.select("region", "n", "sum_amount")
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
       s"view drifted:\ngot ${got.collect().toSeq}\n" +
@@ -101,6 +102,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(counts == Map("Thomas" -> 1L, "Walker" -> 1L), counts)
     // and it equals a recompute of the mirror
     val expected = IncrementalView.compute(store.read("customers").get, byLast)
+      .select("last_name", "n")
     val got = store.read("by_last").get.select("last_name", "n")
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }

@@ -45,6 +45,7 @@ class MirrorPipelineSpec extends AnyFunSuite {
 
   private def assertConsistent(store: ParquetTableStore): Unit = {
     val expected = IncrementalView.compute(store.read("customers").get, vdef)
+      .select("last_name", "n")
     val got = store.read("by_last").get.select("last_name", "n")
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
       s"view != mirror recompute: ${got.collect().toSeq} vs " +
