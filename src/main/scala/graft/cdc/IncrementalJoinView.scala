@@ -3,6 +3,7 @@ package graft.cdc
 import graft.cdc.IncrementalView.ViewDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
 
 /** Incremental maintenance of views that JOIN TWO mirrored tables —
   * the classic delta-join algebra folded into the signed-delta group
@@ -10,7 +11,7 @@ import org.apache.spark.sql.functions._
   * feeds exactly this downstream shape (orders ⋈ customers revenue
   * rollups over the Postgres sink tables).
   *
-  * ALGEBRA. For J = A ⋈ B (inner equi-join) with A advancing
+  * ALGEBRA (inner). For J = A ⋈ B (equi-join) with A advancing
   * fromA→toA and B advancing fromB→toB:
   *
   *   ΔJ = ΔA ⋈ B@toB  ∪  A@fromA ⋈ ΔB
@@ -23,6 +24,33 @@ import org.apache.spark.sql.functions._
   * `IncrementalView.delta` / `mergeDelta` unchanged — no new
   * atomicity machinery, the round-10 distinct-cascade move.
   *
+  * ALGEBRA (left outer). J = A ⟕ B decomposes as A ⋈ B + NE(A, B)
+  * where NE null-extends the A rows whose key is absent from B. NE is
+  * linear in A under signed multisets, so
+  *
+  *   ΔNE = NE(ΔA, B@toB)  ∪  NE(A@fromA, B@toB) − NE(A@fromA, B@fromB)
+  *
+  * Leg 3 is ΔA anti-joined against B@toB's keys, null-extended with
+  * ΔA's own signs. Leg 4 is the MATCH-COUNT TRANSITION leg: for each
+  * join key touched by ΔB, m₁ = B@toB's row count at that key and
+  * m₀ = m₁ − Σ(ΔB signs); keys crossing zero (m₀>0 xor m₁>0) emit
+  * the null-extended A@fromA rows at that key with sign +1 when
+  * matches vanished (the null-extended class is born) and −1 when
+  * the first match appeared (it retracts). Keys whose zero-status is
+  * unchanged contribute nothing — the count never has to be STORED,
+  * it is recomputed per refresh from the (micro-batch-sized) touched
+  * key set, a point lookup when the join keys are B's merge PKs.
+  *
+  * COUNT(DISTINCT) rides join views as the same TWO-LEVEL CASCADE the
+  * single-table views use (IncrementalView.scala:91): the per-column
+  * occurrence view grouped by (groupBy, c) is ITSELF an incremental
+  * join view (count-only, same bases/keys/joinType, where-augmented
+  * with `c IS NOT NULL`), and a single-table count view over THAT
+  * view's own recorded change feed is the distinct count, exactly.
+  * Every leg keeps its own marker/intent crash protocol — exactly
+  * once per leg, O(delta + touched groups) per leg, zero new
+  * atomicity machinery.
+  *
   * SCALE. The deltas are micro-batch-sized and ride BROADCAST into
   * both legs; the snapshot sides never shuffle. When a leg's join
   * keys are the snapshot table's merge PKs (orders ⋈ customers on
@@ -31,57 +59,173 @@ import org.apache.spark.sql.functions._
   * regardless of table size. Otherwise the leg is one pruned-column
   * scan of that snapshot with a broadcast delta — per REFRESH, never
   * per row (the classic IVM cost model with and without an index).
-  * Refresh cost: O(Δ · join fan-out + touched view groups).
+  * The outer-join legs add one key-sized count probe and one pruned
+  * A@fromA lookup, both bounded by the delta's key set. Refresh
+  * cost: O(Δ · join fan-out + touched view groups).
   *
   * SUPPORTED AGGREGATES: n, sums, vars, mins/maxs (the K-extreme
   * buffers rebuild from the JOINED snapshot at the target versions
-  * when drained). COUNT(DISTINCT) cascades are not wired for join
-  * views (`distincts` must be empty).
+  * when drained), and distincts (the cascade above). Under
+  * `left_outer`, aggregates over right-side columns see NULL on the
+  * null-extended rows — exactly the SQL left-join semantics (`sum`
+  * skips them, `n` counts them, COUNT(DISTINCT) ignores them).
   *
-  * CONTRACT: inner equi-join `leftKeys(i) = rightKeys(i)` (identical
-  * types pairwise). The RIGHT side's key columns are renamed to the
-  * LEFT names before the join (USING semantics — one key column set
-  * in the joined shape, under the left names), which also makes the
-  * reference's natural shape collision-free: orders.purchaser ⋈
-  * customers.id renames customers.id away, so orders.id stays
-  * unambiguous. Apart from the renamed keys, column names must be
-  * disjoint across the two tables. `vdef` names columns of that
-  * joined shape. The view reflects a VERSION PAIR, recorded in its
-  * `_REFLECTS` marker as `vLeft,vRight`; the `_REFRESH_INTENT` crash
-  * protocol is the single-table one with pair-valued from/to fields.
-  * Exactly-once under at-least-once replay for the same reasons (a
-  * replayed merge nets a zero feed; the intent disambiguates through
-  * the view's own version history).
+  * CONTRACT: equi-join `leftKeys(i) = rightKeys(i)` (identical types
+  * pairwise), joinType `inner` (default) or `left_outer`. The RIGHT
+  * side's key columns are renamed to the LEFT names before the join
+  * (USING semantics — one key column set in the joined shape, under
+  * the left names), which also makes the reference's natural shape
+  * collision-free: orders.purchaser ⋈ customers.id renames
+  * customers.id away, so orders.id stays unambiguous. Apart from the
+  * renamed keys, column names must be disjoint across the two tables
+  * — VALIDATED whenever both schemas are readable, so a collision
+  * fails at the JoinViewDef boundary instead of as an
+  * ambiguous-column analysis error mid-refresh. `vdef` names columns
+  * of that joined shape. The view reflects a VERSION PAIR, recorded
+  * in its `_REFLECTS` marker as `vLeft,vRight`; the
+  * `_REFRESH_INTENT` crash protocol is the single-table one with
+  * pair-valued from/to fields. Exactly-once under at-least-once
+  * replay for the same reasons (a replayed merge nets a zero feed;
+  * the intent disambiguates through the view's own version history).
+  * A view (inner or outer) materializes once BOTH bases have a
+  * committed version — a left-outer view's null extension needs the
+  * right schema, so an absent right side keeps the view empty, and
+  * the first refresh after it appears re-initializes.
   */
 object IncrementalJoinView {
 
   /** Join-view definition. `vdef.groupBy`/`sums`/... name columns of
-    * the JOINED row shape (right-side keys appear under left names). */
+    * the JOINED row shape (right-side keys appear under left names;
+    * `rightRename` aliases right NON-KEY columns first — the escape
+    * hatch when a right column collides with a left name or with the
+    * key rename target, e.g. customers ⟕ orders where orders.id must
+    * step aside for purchaser→id). */
   final case class JoinViewDef(left: String, leftPks: Seq[String],
       right: String, rightPks: Seq[String],
       leftKeys: Seq[String], rightKeys: Seq[String],
-      view: String, vdef: ViewDef) {
+      view: String, vdef: ViewDef, joinType: String = "inner",
+      rightRename: Map[String, String] = Map.empty) {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "a join view needs pairwise equi-join keys")
-    require(vdef.distincts.isEmpty,
-      "COUNT(DISTINCT) cascades are not supported on join views")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"unsupported join view joinType '$joinType' (inner | left_outer)")
+    require(rightKeys.forall(k => !rightRename.contains(k)),
+      "rightRename aliases non-key columns; join keys rename to the " +
+        "left names automatically")
+    private[cdc] def outer: Boolean = joinType == "left_outer"
   }
 
-  /** The right side with its key columns renamed to the left names —
-    * the normalization every join in this object goes through. */
-  private def normRight(j: JoinViewDef, df: DataFrame): DataFrame =
-    j.rightKeys.zip(j.leftKeys).foldLeft(df) { case (d, (r, l)) =>
+  /** The occurrence view of the distinct cascade: the SAME join, one
+    * count-only view per distinct column grouped by (groupBy, c) —
+    * wholly inside the join-view machinery, so it inherits joinType,
+    * key normalization, and the crash protocol unchanged. */
+  private def auxJoin(j: JoinViewDef, c: String): JoinViewDef =
+    j.copy(view = IncrementalView.valsView(j.view, c),
+      vdef = IncrementalView.auxDef(j.vdef, c))
+
+  /** The right side with its non-key aliases applied and its key
+    * columns renamed to the left names — the normalization every join
+    * in this object goes through. */
+  private def normRight(j: JoinViewDef, df: DataFrame): DataFrame = {
+    val aliased = j.rightRename.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    j.rightKeys.zip(j.leftKeys).foldLeft(aliased) { case (d, (r, l)) =>
       if (r == l) d else d.withColumnRenamed(r, l)
     }
+  }
+
+  /** Non-key column collision check (the contract's disjointness
+    * clause), run whenever both schemas are readable so a collision
+    * is a JoinViewDef-naming error at initialize/refresh entry, not
+    * an ambiguous-column analysis failure mid-refresh. */
+  private def validateDisjoint(store: ParquetTableStore,
+      j: JoinViewDef): Unit =
+    for (l <- store.read(j.left); r <- store.read(j.right)) {
+      val normed = normRight(j, r).columns
+      val dup = normed.groupBy(identity).collect {
+        case (c, hits) if hits.length > 1 => c
+      }
+      require(dup.isEmpty,
+        s"JoinViewDef('${j.view}'): key rename collides with an " +
+          s"existing '${j.right}' column: ${dup.toSeq.sorted.mkString(", ")}" +
+          " — alias it aside via rightRename")
+      val rightNonKey = normed.toSet -- j.leftKeys
+      val clash = l.columns.toSet.intersect(rightNonKey)
+      require(clash.isEmpty,
+        s"JoinViewDef('${j.view}'): non-key columns must be disjoint " +
+          s"across '${j.left}' and '${j.right}' — colliding: " +
+          clash.toSeq.sorted.mkString(", ") +
+          " (rename in the source, or join on them)")
+      if (j.outer) {
+        // a right-side group column takes NULL on null-extended rows,
+        // and the store's PK merge (like every CDC upsert) is
+        // null-unsafe — so group keys must be provably non-null: a
+        // LEFT column, or a right column whose nulls the view's own
+        // `where` excludes (the distinct cascade's aux views carry
+        // exactly that guard). The guard check is syntactic — the
+        // honest bound without an analyzer pass.
+        val leftCols = l.columns.toSet ++ j.leftKeys
+        val guarded = j.vdef.where.getOrElse("")
+        val bad = j.vdef.groupBy.filterNot(c => leftCols.contains(c) ||
+          guarded.contains(s"`$c` IS NOT NULL") ||
+          guarded.contains(s"$c IS NOT NULL"))
+        require(bad.isEmpty,
+          s"JoinViewDef('${j.view}'): left_outer group keys must be " +
+            s"left-side columns (or where-guarded `col IS NOT NULL`) — " +
+            s"right-side, nullable: ${bad.mkString(", ")}")
+      }
+    }
+
+  /** Marker recording the NORMALIZED right-side schema (DDL) the last
+    * time it was observable — the type source for null extension when
+    * the right table's current manifest is empty (an all-rows-deleted
+    * base commits a version with no buckets and hence no schema). */
+  private[cdc] val RightSchemaMarker = "_RIGHT_SCHEMA"
+
+  private def recordRightSchema(store: ParquetTableStore,
+      j: JoinViewDef): Unit =
+    store.read(j.right).filter(_.columns.nonEmpty).foreach { r =>
+      store.writeMarker(j.view, RightSchemaMarker,
+        normRight(j, r).schema.toDDL)
+    }
+
+  /** Right-side NON-KEY fields of the joined shape, for typing null
+    * extensions: from the pinned snapshot when it has a schema, else
+    * from the sidecar. None = the right shape has never been observed
+    * (the view stays empty until it is — documented contract). */
+  private def rightFields(store: ParquetTableStore, j: JoinViewDef,
+      atRight: String): Option[Seq[org.apache.spark.sql.types.StructField]] = {
+    val snap =
+      if (atRight.isEmpty) store.spark.emptyDataFrame
+      else store.readVersion(j.right, atRight)
+    val fields =
+      if (snap.columns.nonEmpty) Some(normRight(j, snap).schema.fields.toSeq)
+      else store.readMarker(j.view, RightSchemaMarker).map(ddl =>
+        org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toSeq)
+    fields.map(_.filterNot(f => j.leftKeys.contains(f.name)))
+  }
 
   /** The joined snapshot at a pinned version pair — the initializer's
     * input and the drained-buffer rebuild base. Empty (schema-less)
-    * when either side has no committed version. */
+    * when either side has no committed version. A LEFT-OUTER view
+    * whose right side is a committed-but-EMPTY manifest null-extends
+    * every left row through the schema sidecar; without a sidecar
+    * (the right shape never existed) it stays empty — null extension
+    * has nothing to type the right columns with. */
   private def snapshotJoin(store: ParquetTableStore, j: JoinViewDef,
-      atLeft: String, atRight: String): DataFrame =
-    if (atLeft.isEmpty || atRight.isEmpty) store.spark.emptyDataFrame
-    else store.readVersion(j.left, atLeft)
-      .join(normRight(j, store.readVersion(j.right, atRight)), j.leftKeys)
+      atLeft: String, atRight: String): DataFrame = {
+    if (atLeft.isEmpty || atRight.isEmpty) return store.spark.emptyDataFrame
+    val l = store.readVersion(j.left, atLeft)
+    if (l.columns.isEmpty) return store.spark.emptyDataFrame
+    val r = store.readVersion(j.right, atRight)
+    if (r.columns.nonEmpty) l.join(normRight(j, r), j.leftKeys, j.joinType)
+    else if (!j.outer) store.spark.emptyDataFrame
+    else rightFields(store, j, atRight) match {
+      case Some(fs) => nullExtendFields(l, fs)
+      case None => store.spark.emptyDataFrame
+    }
+  }
 
   /** One delta-join leg: the (cached, micro-batch-sized) signed feed
     * of one side joined against the OTHER side's pinned snapshot.
@@ -93,31 +237,70 @@ object IncrementalJoinView {
       leftKeys: Seq[String], otherKeys: Seq[String],
       normalizeSnap: DataFrame => DataFrame): Option[DataFrame] = {
     if (otherAt.isEmpty) return None
-    val snap =
-      if (otherKeys == otherPks)
-        store.readKeysPrunedAt(otherTable, otherAt, otherPks,
-          feed.select(leftKeys.map(col): _*).distinct()
-            .toDF(otherKeys: _*)).map(_._1)
-          .getOrElse(return None)
-      else store.readVersion(otherTable, otherAt)
+    val snap = prunedSnap(store, feed, otherTable, otherPks, otherAt,
+      leftKeys, otherKeys).getOrElse(return None)
     Some(normalizeSnap(snap).join(broadcast(feed), leftKeys))
   }
 
+  /** The other side's snapshot restricted (when its PKs ARE the join
+    * keys — a bucket point lookup) or not (a scan; the caller
+    * broadcasts the feed) to the feed's key set. */
+  private def prunedSnap(store: ParquetTableStore, feed: DataFrame,
+      otherTable: String, otherPks: Seq[String], otherAt: String,
+      leftKeys: Seq[String], otherKeys: Seq[String]): Option[DataFrame] =
+    if (otherKeys == otherPks)
+      store.readKeysPrunedAt(otherTable, otherAt, otherPks,
+        feed.select(leftKeys.map(col): _*).distinct()
+          .toDF(otherKeys: _*)).map(_._1)
+    // None for a schema-less (all-rows-deleted) manifest — callers
+    // treat None as "that snapshot holds no rows"
+    else Some(store.readVersion(otherTable, otherAt))
+      .filter(_.columns.nonEmpty)
+
+  /** Null-extend a left-shaped frame to the joined shape: every
+    * right-side non-key column appears as a TYPED null (fields from
+    * [[rightFields]]), so the leg unions cleanly with the inner legs
+    * and downstream casts see the real type, never NullType. */
+  private def nullExtendFields(leftShaped: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+    fields.foldLeft(leftShaped) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+
   /** Columns the maintenance machinery needs from the joined shape —
     * the prune that keeps the union legs narrow. A `where` predicate
-    * may reference columns OUTSIDE the aggregate set, and its SQL text
-    * is not parsed here: with a filter present the legs keep the full
-    * joined shape instead (correctness over the narrow union; the
-    * delta is micro-batch-sized either way). */
-  private def feedColumns(vdef: ViewDef): Option[Seq[String]] =
-    if (vdef.where.nonEmpty) None
-    else Some((vdef.groupBy ++ vdef.sums ++ vdef.vars ++ vdef.mins ++
-      vdef.maxs).distinct :+ "_change_type")
+    * may reference columns OUTSIDE the aggregate set: its references
+    * are RESOLVED by parsing the predicate text (single-part
+    * attribute names against the joined shape), so a filtered view's
+    * legs stay pruned to groupBy ∪ aggregates ∪ predicate columns.
+    * Only a predicate whose references cannot be statically named
+    * (multi-part qualifiers, `*`, unparseable text) falls back to
+    * the full joined shape — correctness over the narrow union. */
+  private[cdc] def feedColumns(spark: SparkSession,
+      vdef: ViewDef): Option[Seq[String]] = {
+    val aggCols = (vdef.groupBy ++ vdef.sums ++ vdef.vars ++
+      vdef.mins ++ vdef.maxs).distinct
+    val whereCols: Option[Seq[String]] = vdef.where match {
+      case None => Some(Nil)
+      case Some(w) =>
+        try {
+          val e = spark.sessionState.sqlParser.parseExpression(w)
+          val stars = e.collect { case s: UnresolvedStar => s }
+          val attrs = e.collect { case a: UnresolvedAttribute => a }
+          if (stars.nonEmpty || attrs.exists(_.nameParts.size != 1)) None
+          else Some(attrs.map(_.nameParts.head))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    whereCols.map(ws => (aggCols ++ ws).distinct :+ "_change_type")
+  }
 
   /** One-shot (re)computation from pinned snapshots — initializer,
     * vacuum-recovery rebuild, and the spec's equality anchor. Returns
-    * the reflected version pair. */
+    * the reflected version pair. Also (re)initializes the distinct
+    * cascade's legs. */
   def initialize(store: ParquetTableStore, j: JoinViewDef): (String, String) = {
+    validateDisjoint(store, j)
+    if (j.outer) recordRightSchema(store, j)
     val atL = store.version(j.left).getOrElse("")
     val atR = store.version(j.right).getOrElse("")
     val snapshot = snapshotJoin(store, j, atL, atR)
@@ -129,6 +312,7 @@ object IncrementalJoinView {
           v.filter(lit(false)), v.select(j.vdef.groupBy.map(col): _*))
       }
       store.writeMarker(j.view, IncrementalView.ReflectsMarker, s"$atL,$atR")
+      initializeDistincts(store, j)
       return (atL, atR)
     }
     val fresh = IncrementalView.compute(snapshot, j.vdef)
@@ -141,8 +325,20 @@ object IncrementalJoinView {
     }
     store.applyChanges(j.view, j.vdef.groupBy, fresh, stale)
     store.writeMarker(j.view, IncrementalView.ReflectsMarker, s"$atL,$atR")
+    initializeDistincts(store, j)
     (atL, atR)
   }
+
+  /** Seed the COUNT(DISTINCT) cascade: one occurrence JOIN view per
+    * column (same bases, same crash protocol), one single-table count
+    * view over each occurrence view's own recorded change feed. */
+  private def initializeDistincts(store: ParquetTableStore,
+      j: JoinViewDef): Unit =
+    j.vdef.distincts.foreach { c =>
+      initialize(store, auxJoin(j, c))
+      IncrementalView.initialize(store, IncrementalView.valsView(j.view, c),
+        IncrementalView.ndView(j.view, c), IncrementalView.ndDef(j.vdef))
+    }
 
   /** Advance the view to BOTH bases' current versions from wherever
     * the `_REFLECTS` pair says it stands — initializing on first call,
@@ -150,8 +346,14 @@ object IncrementalJoinView {
     * recovering an interrupted refresh through the intent marker
     * (same disambiguation as the single-table protocol: if the view's
     * version moved past the intent's `viewBefore`, the merge
-    * committed and the marker fast-forwards). */
+    * committed and the marker fast-forwards). The distinct cascade
+    * then advances leg by leg, each exactly-once under its own
+    * protocol. */
   def refreshToCurrent(store: ParquetTableStore, j: JoinViewDef): Unit = {
+    validateDisjoint(store, j)
+    // keep the null-extension type sidecar current while the right
+    // shape is observable (it must survive the right table emptying)
+    if (j.outer) recordRightSchema(store, j)
     store.readMarker(j.view, IncrementalView.IntentMarker).foreach { intent =>
       intent.split("\t", 3) match {
         case Array(_, to, viewBefore)
@@ -176,7 +378,15 @@ object IncrementalJoinView {
         if (toL != fromL || toR != fromR) {
           def gone(t: String, v: String, to: String): Boolean =
             v != to && (v.isEmpty || !store.versions(t).contains(v))
-          if (gone(j.left, fromL, toL) || gone(j.right, fromR, toR))
+          // an outer view advancing with a side still ABSENT has no
+          // feed algebra (no right schema to null-extend with) — the
+          // initializer owns that state
+          if (gone(j.left, fromL, toL) || gone(j.right, fromR, toR) ||
+              (j.outer && (toL.isEmpty || toR.isEmpty)) ||
+              // marker present but the view never materialized a
+              // version: it was initialized over an empty/schema-less
+              // pair — the feed algebra has no view to merge into
+              store.version(j.view).isEmpty)
             // a reflected version was vacuumed (or was the empty
             // sentinel): no feed span serves it — rebuild from current
             initialize(store, j)
@@ -190,42 +400,70 @@ object IncrementalJoinView {
           }
         }
     }
+    j.vdef.distincts.foreach { c =>
+      refreshToCurrent(store, auxJoin(j, c))
+      IncrementalView.refreshToCurrent(store,
+        IncrementalView.valsView(j.view, c), j.vdef.groupBy :+ c,
+        IncrementalView.ndView(j.view, c), IncrementalView.ndDef(j.vdef))
+    }
   }
 
   /** Advance the view from version pair (fromL, fromR) to (toL, toR)
-    * reading ONLY the two change feeds and the two pinned snapshots
-    * the algebra needs. Returns touched view groups. */
+    * reading ONLY the two change feeds and the pinned snapshots the
+    * algebra needs. Returns touched view groups. */
   def refresh(store: ParquetTableStore, j: JoinViewDef,
       fromL: String, toL: String, fromR: String, toR: String): Long = {
-    val cols = feedColumns(j.vdef)
+    val cols = feedColumns(store.spark, j.vdef)
     // the feeds are cached: each feeds both the key-prune collect and
     // its leg's join (and the merge's two passes over the delta);
     // released after the merge action completes
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      // leg 1: ΔL ⋈ R@toR
-      val legL =
-        if (fromL == toL) None
+      // leg 1: ΔL ⋈ R@toR — plus, under left_outer, leg 3:
+      // NE(ΔL, R@toR), the ΔL rows with no R@toR join partner,
+      // null-extended with their own signs
+      val (legL, legNE1) =
+        if (fromL == toL) (None, None)
         else {
           val feedL = store.changesBetween(j.left, j.leftPks, fromL, toL).cache()
           cached += feedL
-          leg(store, feedL, j.right, j.rightPks, toR,
+          val inner = leg(store, feedL, j.right, j.rightPks, toR,
             j.leftKeys, j.rightKeys, normRight(j, _))
+          val ne =
+            if (!j.outer || toR.isEmpty) None
+            else rightFields(store, j, toR).map { fs =>
+              val unmatched = prunedSnap(store, feedL, j.right,
+                j.rightPks, toR, j.leftKeys, j.rightKeys) match {
+                case Some(snap) if snap.columns.nonEmpty =>
+                  feedL.join(normRight(j, snap)
+                    .select(j.leftKeys.map(col): _*).distinct(),
+                    j.leftKeys, "left_anti")
+                // B@toR holds no rows at all: every ΔL row is unmatched
+                case _ => feedL
+              }
+              nullExtendFields(unmatched, fs)
+            }
+          (inner, ne)
         }
-      // leg 2: L@fromL ⋈ ΔR (the right feed arrives key-normalized)
-      val legR =
-        if (fromR == toR) None
+      // leg 2: L@fromL ⋈ ΔR (the right feed arrives key-normalized) —
+      // plus, under left_outer, leg 4: the match-count TRANSITION leg
+      val (legR, legNE2) =
+        if (fromR == toR) (None, None)
         else {
           val feedR = normRight(j,
             store.changesBetween(j.right, j.rightPks, fromR, toR)).cache()
           cached += feedR
-          leg(store, feedR, j.left, j.leftPks, fromL,
+          val inner = leg(store, feedR, j.left, j.leftPks, fromL,
             j.leftKeys, j.leftKeys, identity)
+          val ne =
+            if (!j.outer || fromL.isEmpty || toR.isEmpty) None
+            else transitionLeg(store, j, feedR, fromL, toR)
+          (inner, ne)
         }
-      val legs = (legL.toSeq ++ legR.toSeq)
+      val legs = (legL.toSeq ++ legR.toSeq ++ legNE1.toSeq ++ legNE2.toSeq)
         .map(df => cols.fold(df)(cs => df.select(cs.map(col): _*)))
       if (legs.isEmpty) return 0L
-      // without the prune the two legs' column ORDERS differ (snapshot
+      // without the prune the legs' column ORDERS differ (snapshot
       // side first vs feed side first) — unionByName aligns them
       val feed = legs.reduce(_.unionByName(_))
       IncrementalView.mergeDelta(store, j.view, j.vdef,
@@ -234,8 +472,52 @@ object IncrementalJoinView {
     } finally cached.foreach(_.unpersist())
   }
 
-  /** The view with derived consumer columns (avg/var/min/max scalars)
-    * — the single-table read, minus the distinct cascade. */
+  /** Left-outer leg 4: join keys whose match count crossed zero
+    * across ΔR emit/retract the null-extended A@fromL rows at that
+    * key. m₁ is counted from R@toR restricted to ΔR's key set (a
+    * point lookup when the join keys are R's PKs); m₀ = m₁ − ΣΔsigns
+    * — never stored, always derivable from the span itself. */
+  private def transitionLeg(store: ParquetTableStore, j: JoinViewDef,
+      feedR: DataFrame, fromL: String, toR: String): Option[DataFrame] = {
+    val keys = j.leftKeys
+    val fields = rightFields(store, j, toR).getOrElse(return None)
+    val sgn = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val dm = feedR.groupBy(keys.map(col): _*)
+      .agg(sum(sgn).as("_dm"))
+    val m1 = prunedSnap(store, feedR, j.right, j.rightPks, toR,
+      keys, j.rightKeys) match {
+      case Some(snap) if snap.columns.nonEmpty =>
+        normRight(j, snap).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("_m1"))
+      // B@toR holds no rows: every touched key counts zero matches
+      case _ => dm.select(keys.map(col): _*).limit(0)
+        .withColumn("_m1", lit(0L))
+    }
+    val trans = dm.join(m1, keys, "left")
+      .withColumn("_m1", coalesce(col("_m1"), lit(0L)))
+      .withColumn("_m0", col("_m1") - col("_dm"))
+      .filter((col("_m0") > 0) =!= (col("_m1") > 0))
+      // matches vanished (m₁=0): the null-extended class is BORN (+);
+      // first match appeared: it RETRACTS (−)
+      .withColumn("_change_type",
+        when(col("_m1") === 0, lit("insert")).otherwise(lit("delete")))
+      .select((keys.map(col) :+ col("_change_type")): _*)
+    val snapL =
+      if (keys == j.leftPks)
+        store.readKeysPrunedAt(j.left, fromL, j.leftPks,
+          trans.select(keys.map(col): _*).distinct()).map(_._1)
+          .getOrElse(return None)
+      else store.readVersion(j.left, fromL)
+    // schema-less A@fromL = no left rows existed: nothing to extend
+    if (snapL.columns.isEmpty) return None
+    Some(nullExtendFields(snapL.join(broadcast(trans), keys), fields))
+  }
+
+  /** The view with derived consumer columns (avg/var/min/max scalars
+    * and the cascade's nd_<c> distinct counts) — the single-table
+    * read applied to the join view's tables. */
   def read(store: ParquetTableStore, j: JoinViewDef): Option[DataFrame] =
     IncrementalView.read(store, j.view, j.vdef)
 }
