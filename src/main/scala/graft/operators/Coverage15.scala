@@ -107,6 +107,31 @@ object SubstringDedup {
     val docs = tokenize(raw)
     spanReport(docs, dupIntervals(docs))
   }
+
+  /** MAXIMAL duplicated intervals with their TRUE lengths — the
+    * Lee-et-al. "duplicate substrings ≥ L tokens" contract
+    * (suffix-array semantics under the standard every-K-window
+    * relaxation): a substring is duplicated iff EVERY length-K window
+    * of it is a duplicated gram, so maximal duplicated substrings are
+    * maximal runs of CONSECUTIVE duplicated gram starts, token length
+    * = run + K − 1. This differs from [[spanReport]]'s islands, which
+    * merge merely-OVERLAPPING grams and so measure covered tokens,
+    * not substring length: starts {p, p+3} are one 11-token island
+    * but two 8-token maximal substrings (position p+1's window is NOT
+    * duplicated, so no 9-token substring through it repeats).
+    * Emits (doc_id, span_start, span_len); windows partition by
+    * doc_id over DUP rows only — ≤ doc length, never corpus-sized. */
+  def maximalRuns(dups: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    dups
+      // consecutive starts share (s − row_number): the classic
+      // gaps-and-islands key for stride-1 runs
+      .withColumn("grp", col("s") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("s")).cast("long").as("span_start"),
+        (count(lit(1)) + (K - 1)).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
 }
 
 object Coverage15 {
@@ -183,6 +208,29 @@ object Coverage15 {
         |""".stripMargin) { (s, dir) =>
       val docs = subDocs(s, dir)
       SubstringDedup.spanReport(docs, SubstringDedup.dupIntervals(docs))
+    },
+
+    // ---- substring dedup, MAXIMAL intervals (suffix-array semantics) ---
+    // q_dedup_substring's islands measure covered tokens; this emits
+    // the maximal duplicated SUBSTRINGS themselves with true lengths —
+    // maximal runs of consecutive duplicated gram starts, len = run+7
+    // (SubstringDedup.maximalRuns scaladoc derives why that is the
+    // every-K-window relaxation of the Lee-et-al. >=50-token contract;
+    // MaximalSubstringSpec pins it against brute-force all-substrings
+    // enumeration on a planted corpus). The sf corpus contains spans
+    // up to ~90 tokens, so the >=50 class is genuinely exercised.
+    QDef("q_dedup_substring_maximal",
+      subDupsSql +
+      """runs AS (
+        |  SELECT doc_id, s,
+        |    s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM dups)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_len
+        |FROM runs GROUP BY doc_id, grp
+        |""".stripMargin) { (s, dir) =>
+      SubstringDedup.maximalRuns(
+        SubstringDedup.dupIntervals(subDocs(s, dir)))
     },
 
     // ---- substring dedup, applied (cleaned corpus) ---------------------
