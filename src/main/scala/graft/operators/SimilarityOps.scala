@@ -98,6 +98,71 @@ object SimilarityOps {
       scored.groupBy(col("qid")).agg(topkBy(col("cos"), col("vec_id"), k).as("top")))
   }
 
+  /** Int8 RESIDUAL quantization of an assigned corpus (the PQ coding
+    * step): r = x − centroid, per-vector scale = 127/max|rᵢ|, codes =
+    * ⌊rᵢ·scale + 0.5⌋ — q_embed_quantize's deterministic arithmetic
+    * applied to residuals, which is what makes the codes SMALL (a
+    * vector near its centroid has a tiny residual range, so the 8-bit
+    * grid is dense exactly where the mass is). A zero residual (the
+    * centroid vector itself) stores scale 0 / codes 0 and
+    * reconstructs to the centroid exactly. Returns (vec_id,
+    * centroid_id, sc, codes) — ~dim bytes of payload per vector
+    * instead of 4·dim: the memory-bounded form a 100-TB vector corpus
+    * needs (raw floats don't fit; codes do). */
+  def pqCodes(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), col("centroid_id") === col("cid"))
+      .withColumn("r", expr(
+        "zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"))
+      .withColumn("maxabs", expr(
+        "aggregate(r, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("sc", when(col("maxabs") > 0,
+        lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("centroid_id"), col("sc"),
+        expr("transform(r, x -> CAST(floor(x * sc + 0.5D) AS BIGINT))")
+          .as("codes"))
+
+  /** IVF-PQ search — asymmetric distance computation + exact re-rank:
+    * probes select nprobe centroids per query on TRUE centroid
+    * vectors; candidates in probed buckets are scored with the
+    * full-precision query against their int8-RECONSTRUCTED form
+    * (x̂ = centroid + codes/scale — classic ADC); the top k·refine
+    * shortlist per query is re-ranked EXACTLY against true
+    * embeddings. Only the shortlist ever touches a float vector —
+    * the scan side reads codes. Every ranking edge is
+    * 6-digit-rounded with id tie-breaks, so the whole pipeline is
+    * deterministic and DuckDB-recomputable (q_sim_ann_ivfpq). */
+  def ivfPqSearch(codes: DataFrame, centroids: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame = {
+    ensure(corpus)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cd", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        topkBy(col("cd"), col("cid"), nprobe).as("pr"))
+      .select(col("qid"), col("qv"), explode(col("pr.id")).as("cid"))
+    val recon = codes.join(broadcast(
+        centroids.select(col("cid").as("rcid"), col("cv"))),
+        col("centroid_id") === col("rcid"))
+      .withColumn("xhat", expr(
+        """zip_with(cv, codes, (c, qc) -> CAST(c AS DOUBLE) +
+          | (CASE WHEN sc = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+          |  ELSE qc / sc END))""".stripMargin))
+      .select(col("vec_id"), col("centroid_id"), col("xhat"))
+    val appx = recon.join(broadcast(probes),
+        recon("centroid_id") === probes("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ap", round(VectorOps.cosine(col("xhat"), col("qv")), 6))
+    val shortlist = appx.groupBy(col("qid"))
+      .agg(topkBy(col("ap"), col("vec_id"), k * refine).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val exact = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+      .withColumn("cos", round(VectorOps.cosine(col("embedding"), col("qv")), 6))
+    explodeRanked(
+      exact.groupBy(col("qid")).agg(topkBy(col("cos"), col("vec_id"), k).as("top")))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Brute-force cosine top-10 for one query vector.
@@ -190,6 +255,86 @@ object SimilarityOps {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ivfSearch(ivfAssign(e, 97), centroids, q, 10, 8)
+    },
+
+    // IVF-PQ: quantized ANN — int8 residual codes per centroid bucket,
+    // asymmetric reconstruction scoring, exact re-rank of the top
+    // k·refine shortlist (k=10, refine=3, nprobe=8). The memory-
+    // bounded form a 100-TB vector corpus needs (IvfIndex.buildPq
+    // persists this layout; IvfPqSpec measures recall vs the
+    // unquantized search). All arithmetic is floor-quantized integers
+    // + fixed-order IEEE ops with 6-digit ranking edges, so DuckDB
+    // recomputes coding, probing, shortlist, and re-rank exactly.
+    QDef("q_sim_ann_ivfpq",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+        |       FROM embeddings e CROSS JOIN c),
+        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM ax GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS rn
+        |        FROM ad),
+        |assigned AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
+        |res AS (
+        |  SELECT a.vec_id, a.centroid_id,
+        |    list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS r
+        |  FROM assigned a JOIN embeddings e USING (vec_id) JOIN c ON c.cid = a.centroid_id),
+        |pq AS (
+        |  SELECT vec_id, centroid_id, r,
+        |    CASE WHEN list_max(list_transform(r, x -> abs(x))) > 0
+        |         THEN 127.0 / list_max(list_transform(r, x -> abs(x))) ELSE 0.0 END AS sc
+        |  FROM res),
+        |codes AS (SELECT vec_id, centroid_id, sc,
+        |    list_transform(r, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS q8 FROM pq),
+        |px AS (SELECT q.qid, c.cid, unnest(q.qv) AS a, unnest(c.cv) AS b
+        |       FROM q CROSS JOIN c),
+        |pd AS (SELECT qid, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM px GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS pr
+        |    FROM pd) WHERE pr <= 8),
+        |recon AS (
+        |  SELECT k.vec_id, k.centroid_id,
+        |    list_transform(c.cv, (cx, i) -> CAST(cx AS DOUBLE) +
+        |      CASE WHEN k.sc = 0 THEN 0.0 ELSE k.q8[i] / k.sc END) AS xhat
+        |  FROM codes k JOIN c ON c.cid = k.centroid_id),
+        |appxu AS (
+        |  SELECT p.qid, r.vec_id, unnest(r.xhat) AS a, unnest(q.qv) AS b
+        |  FROM probes p
+        |  JOIN recon r ON r.centroid_id = p.cid
+        |  JOIN q ON q.qid = p.qid
+        |  WHERE r.vec_id <> p.qid),
+        |appxd AS (SELECT qid, vec_id, sum(a * CAST(b AS DOUBLE)) AS dot,
+        |              sum(a * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM appxu GROUP BY 1, 2),
+        |shortlist AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id) AS ar
+        |    FROM appxd) WHERE ar <= 30),
+        |cx AS (SELECT sl.qid, sl.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |       FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.vec_id
+        |       JOIN q ON q.qid = sl.qid),
+        |cd AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM cx GROUP BY 1, 2),
+        |sc2 AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM cd),
+        |r2 AS (SELECT qid, vec_id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |      FROM sc2)
+        |SELECT qid, vec_id, cos, rn FROM r2 WHERE rn <= 10
+        |""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ivfPqSearch(pqCodes(ivfAssign(e, 97), centroids), centroids,
+        e, q, k = 10, nprobe = 8, refine = 3)
     },
   )
 }
