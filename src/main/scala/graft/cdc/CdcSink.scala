@@ -655,7 +655,7 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
     }
     val resid = (lo.map(col(column) >= lit(_)) ++
       hi.map(col(column) <= lit(_))).reduce(_ && _)
-    statFiltered(target, m, keep, column, resid)
+    statFiltered(target, m, keep, column, resid, lo.orElse(hi))
   }
 
   /** `column = value` reading only buckets whose zone maps (min/max +
@@ -684,22 +684,32 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
       }
       case None => m.keySet
     }
-    statFiltered(target, m, keep, column, col(column) === lit(value))
+    statFiltered(target, m, keep, column, col(column) === lit(value),
+      Some(value))
   }
 
   private def statFiltered(target: String, m: Map[Int, String],
       keep: Set[Int], column: String,
-      resid: org.apache.spark.sql.Column): Option[(DataFrame, PruneReport)] = {
+      resid: org.apache.spark.sql.Column,
+      boundSample: Option[Any]): Option[(DataFrame, PruneReport)] = {
     val report = PruneReport(m.size, keep.size)
     // Schema evolution: a version written before `column` existed has
     // it in NO file of the kept buckets — the predicate must see an
     // all-NULL column (range/eq never match NULL: zero rows, honestly
     // unpruned), not an unresolved-column failure. Only the unborn
     // case is patched; a column present in ANY kept file comes from
-    // the mergeSchema read as usual.
+    // the mergeSchema read as usual. The patched null is TYPED from
+    // the predicate's own bound (the one type the call proves it
+    // expects) so a provably-empty pruned read never exposes NullType
+    // to consumers unioning it with sibling reads; a bound whose type
+    // has no literal form falls back to NullType (documented residual).
+    val nullCol = boundSample.flatMap(v =>
+      scala.util.Try(org.apache.spark.sql.catalyst.expressions
+        .Literal(v).dataType).toOption)
+      .map(dt => lit(null).cast(dt)).getOrElse(lit(null))
     def withCol(df: DataFrame): DataFrame =
       if (df.columns.contains(column)) df
-      else df.withColumn(column, lit(null))
+      else df.withColumn(column, nullCol)
     if (keep.isEmpty)
       // provably empty; limit(0) keeps the schema and costs zero IO
       // (OptimizeLimitZero collapses it to an empty relation)
@@ -1069,8 +1079,17 @@ class ParquetTableStore(private[cdc] val spark: SparkSession, root: String,
   def vacuum(target: String, keep: Int = 2,
       minAgeMs: Long = DefaultVacuumHorizonMs): Seq[String] = {
     val cutoff = System.currentTimeMillis() - math.max(minAgeMs, 0L)
+    // FAIL-SAFE age gate: the newest FILE mtime under the candidate
+    // (Delta's per-file pattern — object-store connectors synthesize
+    // DIRECTORY statuses with mtime 0, so a dir's own mtime would
+    // declare an in-flight merge's freshly staged bucket/changes dirs
+    // "aged" and collect them). Unknown or zero mtimes are NOT old
+    // enough: when age cannot be established, nothing is deleted.
     def oldEnough(p: Path): Boolean =
-      IndexFs.modifiedAt(spark, p.toString).forall(_ <= cutoff)
+      IndexFs.newestModifiedAt(spark, p.toString) match {
+        case Some(ms) if ms > 0L => ms <= cutoff
+        case _ => false
+      }
     val vs = versions(target)
     val cur = currentVersion(target)
     val doomed = vs.dropRight(math.max(keep, 1))

@@ -91,6 +91,29 @@ private[graft] object IndexFs {
     if (!f.exists(p)) None else Some(f.getFileStatus(p).getModificationTime)
   }
 
+  /** Newest FILE mtime under `path`: the path's own when it is a
+    * file, else the recursive max over contained files (falling back
+    * to the directory's own status only when it holds no files).
+    * None when absent. Vacuum's age gate stands on this instead of
+    * [[modifiedAt]] because object-store connectors synthesize
+    * directory statuses with mtime 0 — a directory's own mtime says
+    * nothing about the age of what is inside it (Delta's per-file
+    * vacuum pattern). */
+  def newestModifiedAt(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) return None
+    val st = f.getFileStatus(p)
+    if (st.isFile) Some(st.getModificationTime)
+    else {
+      val it = f.listFiles(p, true)
+      var newest = -1L
+      while (it.hasNext)
+        newest = math.max(newest, it.next().getModificationTime)
+      if (newest >= 0) Some(newest) else Some(st.getModificationTime)
+    }
+  }
+
   /** Paths matching a Hadoop glob pattern (e.g. a `_p_day=&#42;` level
     * under each bucket root); empty when nothing matches — the
     * pre-check that lets path-pruned reads hand `spark.read` only
@@ -180,8 +203,20 @@ private[graft] object IndexFs {
         val out = f.create(tmp, true)
         try out.write(bytes) finally out.close()
         val won =
-          try f.rename(tmp, p)
-          catch { case _: java.io.IOException if f.exists(p) => false }
+          try {
+            val ok = f.rename(tmp, p)
+            // a false rename with NO existing destination is a write
+            // FAILURE (transient NN/FS condition), not a lost race —
+            // folding it into the arbitration-loss path would make the
+            // caller skip a sequence slot over a phantom winner.
+            // Surface it as the retryable IOException it is (the guard
+            // below only swallows the genuine destination-exists loss).
+            if (!ok && !f.exists(p))
+              throw new java.io.IOException(
+                s"rename $tmp -> $p returned false with no existing " +
+                  "destination — write failure, not a lost race")
+            ok
+          } catch { case _: java.io.IOException if f.exists(p) => false }
         if (!won) f.delete(tmp, false)
         won
       case _ =>

@@ -201,6 +201,9 @@ class ObjectStoreProtocolSpec extends AnyFunSuite {
     def age(p: java.nio.file.Path): Unit =
       Files.setLastModifiedTime(p, FileTime.fromMillis(
         System.currentTimeMillis() - 48L * 3600 * 1000))
+    // the age gate is per-FILE since round 12 (dir mtimes are
+    // synthetic on object stores): the staged parquet itself must age
+    age(staged.resolve("part-00000.parquet"))
     age(staged); age(staged.getParent); age(orphanChanges)
     store.vacuum("t", keep = 1)
     assert(!Files.exists(staged) && !Files.exists(orphanChanges),
