@@ -261,8 +261,24 @@ object Bench {
         s""""scan_median":$scanMed,"inline_sec":$inline,""" +
         s""""inline_median":$inlineMed,"inline_max":$inlineMax}"""
     }
+    // CDC-core throughput as a tracked gate (round-11 verdict #8): one
+    // decode→route→compact→count measurement at a FIXED record count
+    // per bench capture, so a CDC-pipeline regression is visible in
+    // the round-over-round JSON exactly like a query regression.
+    // SPARK_GRAFT_BENCH_CDC=0 disables; any other value overrides N.
+    val cdcJson = {
+      val nCdc = sys.env.getOrElse("SPARK_GRAFT_BENCH_CDC", "1000000").toLong
+      if (nCdc <= 0) """{"skipped":true}"""
+      else try {
+        val (first, steady) = graft.cdc.CdcThroughput.measureCount(spark, nCdc)
+        f"""{"records":$nCdc,"first_sec":$first%.2f,"steady_sec":$steady%.2f,"rec_per_sec":${nCdc / steady}%.0f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cdc throughput FAILED: ${e.getMessage}")
+        """{"failed":true}"""
+      }
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"canary":$canaryJson,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"cold_extra":$coldExtraJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_is":"sum_of_medians","total_min":$totalMin,"runs":$completedRuns,"canary":$canaryJson,"cdc":$cdcJson,"memo_cleared_per_run":true,"memo_served":$memoJson,"memo_mixed":$mixedJson,"cold_extra":$coldExtraJson,"retried":$retriedJson,"queries":$qs,"mins":$mins,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout capture upstream truncates long output and keeps the TAIL:
     // end with a short self-contained summary line (total + slowest 5)

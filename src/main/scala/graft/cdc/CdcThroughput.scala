@@ -33,6 +33,54 @@ object CdcThroughput {
     }
   }
 
+  /** The synthetic Debezium envelope frame every throughput probe
+    * decodes: 2× changes per key on average (updates overwrite
+    * creates), 10% deletes — exercises compaction, not just parse. */
+  def envelopes(spark: SparkSession, n: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val keys = math.max(n / 2, 1)
+    spark.range(n).select(
+      lit("mysql.app.customers").as("topic"),
+      format_string("""{"id": %d}""", col("id") % keys).as("key"),
+      format_string(
+        """{"before": null, "after": {"id": %d, "first_name": "fn%d",
+          | "last_name": "ln%d", "email": "u%d@example.com",
+          | "created_at": "2026-01-28T00:00:00Z"}, "source":
+          | {"db": "app", "table": "customers", "ts_ms": %d},
+          | "op": "%s", "ts_ms": %d}""".stripMargin.replaceAll("\n", ""),
+        col("id") % keys, col("id"), col("id"), col("id") % keys,
+        col("id"), when(col("id") % 10 === 9, "d").otherwise("c"), col("id"))
+        .as("value"),
+      lit(0).as("partition"),
+      col("id").as("offset"))
+  }
+
+  /** Warm (JMH-style, see main's rationale) then time TWO passes of
+    * decode → route → compact → count-sink at `n` records; returns
+    * (first, steady) seconds. The bench harness records the
+    * steady-state rate per round (BENCH/bench_full.json "cdc" field)
+    * so CDC-core regressions surface the same way query regressions
+    * do. */
+  def measureCount(spark: SparkSession, n: Long,
+      warmPasses: Int = 2): (Double, Double) = {
+    val raw = envelopes(spark, n)
+    val catalog = CdcCatalog.fromPropertiesString("pk.customers=id\n")
+    val warmSink = new CountingSink
+    Materializer.applyBatch(raw.limit(1000), catalog,
+      Envelope.defaultRegistry, warmSink)
+    (1 to warmPasses).foreach { _ =>
+      Materializer.applyBatch(raw.limit(math.min(n, 1000000L).toInt),
+        catalog, Envelope.defaultRegistry, warmSink)
+    }
+    val sink = new CountingSink
+    val secs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      Materializer.applyBatch(raw, catalog, Envelope.defaultRegistry, sink)
+      (System.nanoTime() - t0) / 1e9
+    }
+    (secs.head, secs.last)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val mode = args.lift(1).getOrElse("count")
@@ -48,24 +96,7 @@ object CdcThroughput {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 2× changes per key on average (updates overwrite creates), 10%
-    // deletes — exercises compaction, not just parse.
-    val keys = math.max(n / 2, 1)
-    val raw = spark.range(n).select(
-      lit("mysql.app.customers").as("topic"),
-      format_string("""{"id": %d}""", col("id") % keys).as("key"),
-      format_string(
-        """{"before": null, "after": {"id": %d, "first_name": "fn%d",
-          | "last_name": "ln%d", "email": "u%d@example.com",
-          | "created_at": "2026-01-28T00:00:00Z"}, "source":
-          | {"db": "app", "table": "customers", "ts_ms": %d},
-          | "op": "%s", "ts_ms": %d}""".stripMargin.replaceAll("\n", ""),
-        col("id") % keys, col("id"), col("id"), col("id") % keys,
-        col("id"), when(col("id") % 10 === 9, "d").otherwise("c"), col("id"))
-        .as("value"),
-      lit(0).as("partition"),
-      col("id").as("offset"))
-
+    val raw = envelopes(spark, n)
     val catalog = CdcCatalog.fromPropertiesString("pk.customers=id\n")
     // Warmup to STEADY STATE, not just plan/codegen existence: a
     // 1000-row pass compiles the generated code but never reaches C2
