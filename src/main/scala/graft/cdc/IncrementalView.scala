@@ -520,11 +520,16 @@ object IncrementalView {
             when(nn >= 2, greatest((s2 - s1 * s1 / nnd) / (nnd - 1), lit(0.0))))
           .withColumn(s"stddev_$c", sqrt(col(s"var_$c")))
       }
+      // try_element_at: a group whose every value is null (an outer
+      // join's fully null-extended group) keeps an EMPTY buffer — its
+      // min/max read NULL (SQL semantics), not an ANSI index error
       val withMin = vdef.mins.foldLeft(withVar) { (df, c) =>
-        df.withColumn(s"min_$c", element_at(col(vdef.minbCol(c)), 1))
+        df.withColumn(s"min_$c",
+          expr(s"try_element_at(`${vdef.minbCol(c)}`, 1)"))
       }
       val withMax = vdef.maxs.foldLeft(withMin) { (df, c) =>
-        df.withColumn(s"max_$c", element_at(col(vdef.maxbCol(c)), 1))
+        df.withColumn(s"max_$c",
+          expr(s"try_element_at(`${vdef.maxbCol(c)}`, 1)"))
       }
       vdef.distincts.foldLeft(withMax) { (df, c) =>
         val nd = store.read(ndView(view, c)) match {

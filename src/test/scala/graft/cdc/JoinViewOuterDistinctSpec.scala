@@ -324,6 +324,65 @@ class JoinViewOuterDistinctSpec extends AnyFunSuite {
     IncrementalJoinView.initialize(store, guarded) // must not throw
   }
 
+  test("min/max K-extreme buffers ride left-outer join views: " +
+      "null-extended rows contribute nothing, and a drained buffer " +
+      "rebuilds from the OUTER joined snapshot") {
+    val store = freshStore()
+    val mmDef = outerDef.copy(view = "mmview",
+      vdef = ViewDef(Seq("region"), Seq("amount"),
+        mins = Seq("amount"), maxs = Seq("amount"), bufK = 2))
+    def assertMm(): Unit = {
+      val o = store.read("ord") match {
+        case Some(d) if d.columns.nonEmpty => d
+        case _ => Seq.empty[(Int, Int, Double)].toDF("oid", "ck", "amount")
+      }
+      val joined = store.read("cust").get.join(
+        o.withColumnRenamed("ck", "custkey"),
+        Seq("custkey"), "left_outer")
+      val exp = IncrementalView.compute(joined, mmDef.vdef)
+        .selectExpr("region", "n", "try_element_at(minb_amount, 1)",
+          "try_element_at(maxb_amount, 1)")
+      val got = IncrementalJoinView.read(store, mmDef).get
+        .selectExpr("region", "n", "min_amount", "max_amount")
+      assert(got.except(exp).isEmpty && exp.except(got).isEmpty,
+        s"outer mm view drifted: ${got.collect().toSeq} vs " +
+          s"${exp.collect().toSeq}")
+    }
+    // cust 2 (na) and 3 (eu) are orderless: their null-extended rows
+    // count in n but contribute NOTHING to the buffers — eu's
+    // min/max are NULL scalars (empty buffer head)
+    store.applyChanges("cust", Seq("custkey"),
+      custs((1, "na"), (2, "na"), (3, "eu")), cKeys())
+    store.applyChanges("ord", Seq("oid"),
+      orders((10, 1, 5.0), (11, 1, 2.0), (12, 1, 9.0)), oKeys())
+    IncrementalJoinView.refreshToCurrent(store, mmDef)
+    assertMm()
+    val eu = IncrementalJoinView.read(store, mmDef).get
+      .filter(col("region") === "eu")
+      .selectExpr("n", "min_amount IS NULL", "max_amount IS NULL")
+      .as[(Long, Boolean, Boolean)].head()
+    assert(eu == ((1L, true, true)), eu)
+
+    // drain na's K=2 min buffer in one span (both kept minima die):
+    // the per-group rebuild must recompute from the OUTER snapshot —
+    // an inner rebuild would LOSE the null-extended rows' n mass
+    store.applyChanges("ord", Seq("oid"), orders(), oKeys(10, 11))
+    IncrementalJoinView.refreshToCurrent(store, mmDef)
+    assertMm()
+    val na = IncrementalJoinView.read(store, mmDef).get
+      .filter(col("region") === "na")
+      .selectExpr("n", "CAST(min_amount AS DOUBLE)",
+        "CAST(max_amount AS DOUBLE)")
+      .as[(Long, Double, Double)].head()
+    assert(na == ((2L, 9.0, 9.0)), na) // cust1⋈order12 + cust2 NE row
+
+    // and the LAST order dying flips na fully null-extended: buffers
+    // empty again through the transition leg's retract/emit
+    store.applyChanges("ord", Seq("oid"), orders(), oKeys(12))
+    IncrementalJoinView.refreshToCurrent(store, mmDef)
+    assertMm()
+  }
+
   test("feedColumns prunes the union legs to groupBy ∪ aggregates ∪ " +
       "parsed where references; only unresolvable predicates keep the " +
       "full joined shape") {
