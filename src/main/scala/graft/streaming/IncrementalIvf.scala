@@ -56,6 +56,34 @@ object IncrementalIvf {
     new IvfIndex(spark, dir)
   }
 
+  /** [[bootstrap]] plus the PQ CODE layout: the bootstrap's int8
+    * residual codes land under `pq/batch=0`, and every later
+    * micro-batch maintains its own `pq/batch=<id>` alongside its
+    * assignment (the presence of `pq/` is the maintenance switch).
+    * Codes derive DETERMINISTICALLY from (assignment, centroids), so
+    * the stream-maintained code table is byte-identical to
+    * `IvfIndex.buildPq` over the same corpus, and `searchPq` works
+    * unchanged — batch and centroid_id are both discovered partition
+    * levels, exactly like the float layout. */
+  def bootstrapPq(corpus: DataFrame, dir: String, modulus: Int): IvfIndex = {
+    val spark = corpus.sparkSession
+    corpus.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // seed pq/ FIRST so writeBatch sees the maintenance switch
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = SimilarityOps.ivfAssignTo(
+      corpus.select(col("vec_id"), col("embedding")), centroids).cache()
+    try {
+      assigned.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/assigned/batch=0")
+      SimilarityOps.pqCodes(assigned, centroids)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/pq/batch=0")
+    } finally assigned.unpersist()
+    new IvfIndex(spark, dir)
+  }
+
   /** Assign one micro-batch against the persisted centroids and write
     * it into its own `batch=<id>` directory (overwrite → replay-safe). */
   def processBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
@@ -67,11 +95,21 @@ object IncrementalIvf {
   }
 
   private def writeBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val centroids = batch.sparkSession.read.parquet(s"$dir/centroids")
-    SimilarityOps.ivfAssignTo(
-        batch.select(col("vec_id"), col("embedding")), centroids)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/assigned/batch=$batchId")
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = SimilarityOps.ivfAssignTo(
+      batch.select(col("vec_id"), col("embedding")), centroids).cache()
+    try {
+      assigned.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/assigned/batch=$batchId")
+      // a PQ-maintained index ([[bootstrapPq]]) keeps its code table
+      // current per batch — same batch-id-keyed overwrite, so a
+      // replayed batch replaces BOTH layouts deterministically
+      if (IndexFs.exists(spark, s"$dir/pq"))
+        SimilarityOps.pqCodes(assigned, centroids)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$dir/pq/batch=$batchId")
+    } finally assigned.unpersist()
   }
 
   /** Wire a (vec_id, embedding) stream into the index; stream batch n
@@ -100,11 +138,23 @@ object IncrementalIvf {
     // reading through the index applies the takedown tombstones, so
     // tombstoned vectors leave PHYSICALLY and the fresh dir needs no
     // deletes/ (the IncrementalPostings.consolidate contract)
-    new IvfIndex(spark, dir).assigned
+    val consolidated = new IvfIndex(spark, dir).assigned
       .select(col("vec_id"), col("embedding"),
         col("centroid_id").cast("long").as("centroid_id"))
+    consolidated
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$intoDir/assigned/batch=0")
+    // codes derive deterministically from (assignment, centroids):
+    // RECOMPUTING them over the consolidated float layout is identical
+    // to (and simpler than) rolling up the code batch history
+    if (IndexFs.exists(spark, s"$dir/pq"))
+      SimilarityOps.pqCodes(
+          spark.read.parquet(s"$intoDir/assigned/batch=0")
+            .select(col("vec_id"), col("embedding"),
+              col("centroid_id").cast("long").as("centroid_id")),
+          spark.read.parquet(s"$intoDir/centroids"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$intoDir/pq/batch=0")
   }
 
   /** Open the maintained index for search (same probe path as the
@@ -163,5 +213,15 @@ object IncrementalIvf {
     centroids.write.mode("overwrite").parquet(s"$intoDir/centroids")
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$intoDir/assigned/batch=0")
+    // retrained centroids invalidate every residual: recompute the PQ
+    // codes against the NEW centroid set (same deterministic derivation)
+    if (IndexFs.exists(spark, s"$dir/pq"))
+      SimilarityOps.pqCodes(
+          spark.read.parquet(s"$intoDir/assigned/batch=0")
+            .select(col("vec_id"), col("embedding"),
+              col("centroid_id").cast("long").as("centroid_id")),
+          spark.read.parquet(s"$intoDir/centroids"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$intoDir/pq/batch=0")
   }
 }
