@@ -24,8 +24,8 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedSt
   * `IncrementalView.delta` / `mergeDelta` unchanged — no new
   * atomicity machinery, the round-10 distinct-cascade move.
   *
-  * ALGEBRA (left outer). J = A ⟕ B decomposes as A ⋈ B + NE(A, B)
-  * where NE null-extends the A rows whose key is absent from B. NE is
+  * ALGEBRA (outer). J = A ⟕ B decomposes as A ⋈ B + NE(A, B) where
+  * NE null-extends the A rows whose key is absent from B. NE is
   * linear in A under signed multisets, so
   *
   *   ΔNE = NE(ΔA, B@toB)  ∪  NE(A@fromA, B@toB) − NE(A@fromA, B@fromB)
@@ -40,6 +40,17 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedSt
   * unchanged contribute nothing — the count never has to be STORED,
   * it is recomputed per refresh from the (micro-batch-sized) touched
   * key set, a point lookup when the join keys are B's merge PKs.
+  *
+  * RIGHT OUTER mirrors the same two legs with every role swapped
+  * (NE(ΔB, A@toA) + the LEFT-count transition emitting null-extended
+  * B@fromB rows); FULL OUTER is the sum of both NE families —
+  * J = A⋈B + NEₐ + NE_b with each family's delta derived against the
+  * other side's pinned versions exactly as above, so the six legs
+  * remain independent signed contributions to one feed. In the
+  * normalized joined shape the join-key columns are never null under
+  * any outer type (an NE row carries the key of whichever side
+  * exists — the USING-join coalesce), which is what keeps group keys
+  * on the join keys merge-safe.
   *
   * COUNT(DISTINCT) rides join views as the same TWO-LEVEL CASCADE the
   * single-table views use (IncrementalView.scala:91): the per-column
@@ -71,7 +82,8 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedSt
   * skips them, `n` counts them, COUNT(DISTINCT) ignores them).
   *
   * CONTRACT: equi-join `leftKeys(i) = rightKeys(i)` (identical types
-  * pairwise), joinType `inner` (default) or `left_outer`. The RIGHT
+  * pairwise), joinType `inner` (default), `left_outer`, `right_outer`
+  * or `full_outer`. The RIGHT
   * side's key columns are renamed to the LEFT names before the join
   * (USING semantics — one key column set in the joined shape, under
   * the left names), which also makes the reference's natural shape
@@ -107,12 +119,20 @@ object IncrementalJoinView {
       rightRename: Map[String, String] = Map.empty) {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "a join view needs pairwise equi-join keys")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"unsupported join view joinType '$joinType' (inner | left_outer)")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")
+        .contains(joinType),
+      s"unsupported join view joinType '$joinType' " +
+        "(inner | left_outer | right_outer | full_outer)")
     require(rightKeys.forall(k => !rightRename.contains(k)),
       "rightRename aliases non-key columns; join keys rename to the " +
         "left names automatically")
-    private[cdc] def outer: Boolean = joinType == "left_outer"
+    /** Unmatched LEFT rows survive null-extended (right columns null). */
+    private[cdc] def neLeft: Boolean =
+      joinType == "left_outer" || joinType == "full_outer"
+    /** Unmatched RIGHT rows survive null-extended (left columns null). */
+    private[cdc] def neRight: Boolean =
+      joinType == "right_outer" || joinType == "full_outer"
+    private[cdc] def outer: Boolean = joinType != "inner"
   }
 
   /** The occurrence view of the distinct cascade: the SAME join, one
@@ -158,53 +178,79 @@ object IncrementalJoinView {
           clash.toSeq.sorted.mkString(", ") +
           " (rename in the source, or join on them)")
       if (j.outer) {
-        // a right-side group column takes NULL on null-extended rows,
-        // and the store's PK merge (like every CDC upsert) is
-        // null-unsafe — so group keys must be provably non-null: a
-        // LEFT column, or a right column whose nulls the view's own
-        // `where` excludes (the distinct cascade's aux views carry
-        // exactly that guard). The guard check is syntactic — the
-        // honest bound without an analyzer pass.
-        val leftCols = l.columns.toSet ++ j.leftKeys
+        // a group column takes NULL on the null-extended rows of the
+        // OTHER side, and the store's PK merge (like every CDC upsert)
+        // is null-unsafe — so group keys must be provably non-null:
+        // a JOIN KEY (outer USING joins coalesce it from whichever
+        // side exists), a column of a side that is never null-extended
+        // away, or a column whose nulls the view's own `where`
+        // excludes (the distinct cascade's aux views carry exactly
+        // that guard). The guard check is syntactic — the honest
+        // bound without an analyzer pass.
+        val leftNonKey = l.columns.toSet -- j.leftKeys
         val guarded = j.vdef.where.getOrElse("")
-        val bad = j.vdef.groupBy.filterNot(c => leftCols.contains(c) ||
+        def whereGuarded(c: String): Boolean =
           guarded.contains(s"`$c` IS NOT NULL") ||
-          guarded.contains(s"$c IS NOT NULL"))
+            guarded.contains(s"$c IS NOT NULL")
+        val bad = j.vdef.groupBy.filterNot { c =>
+          j.leftKeys.contains(c) || whereGuarded(c) ||
+            (leftNonKey.contains(c) && !j.neRight) ||
+            (rightNonKey.contains(c) && !j.neLeft)
+        }
         require(bad.isEmpty,
-          s"JoinViewDef('${j.view}'): left_outer group keys must be " +
-            s"left-side columns (or where-guarded `col IS NOT NULL`) — " +
-            s"right-side, nullable: ${bad.mkString(", ")}")
+          s"JoinViewDef('${j.view}'): ${j.joinType} group keys must be " +
+            "non-null in the joined shape — join keys, columns of a " +
+            "never-null-extended side, or where-guarded " +
+            s"`col IS NOT NULL`; nullable: ${bad.mkString(", ")}")
       }
     }
 
-  /** Marker recording the NORMALIZED right-side schema (DDL) the last
+  /** Markers recording each side's NORMALIZED schema (DDL) the last
     * time it was observable — the type source for null extension when
-    * the right table's current manifest is empty (an all-rows-deleted
-    * base commits a version with no buckets and hence no schema). */
+    * that side's current manifest is empty (an all-rows-deleted base
+    * commits a version with no buckets and hence no schema). */
   private[cdc] val RightSchemaMarker = "_RIGHT_SCHEMA"
+  private[cdc] val LeftSchemaMarker = "_LEFT_SCHEMA"
 
-  private def recordRightSchema(store: ParquetTableStore,
-      j: JoinViewDef): Unit =
-    store.read(j.right).filter(_.columns.nonEmpty).foreach { r =>
-      store.writeMarker(j.view, RightSchemaMarker,
-        normRight(j, r).schema.toDDL)
-    }
+  private def recordSideSchemas(store: ParquetTableStore,
+      j: JoinViewDef): Unit = {
+    if (j.neLeft) // unmatched LEFT rows need the RIGHT columns' types
+      store.read(j.right).filter(_.columns.nonEmpty).foreach { r =>
+        store.writeMarker(j.view, RightSchemaMarker,
+          normRight(j, r).schema.toDDL)
+      }
+    if (j.neRight) // unmatched RIGHT rows need the LEFT columns' types
+      store.read(j.left).filter(_.columns.nonEmpty).foreach { l =>
+        store.writeMarker(j.view, LeftSchemaMarker, l.schema.toDDL)
+      }
+  }
 
-  /** Right-side NON-KEY fields of the joined shape, for typing null
-    * extensions: from the pinned snapshot when it has a schema, else
-    * from the sidecar. None = the right shape has never been observed
-    * (the view stays empty until it is — documented contract). */
-  private def rightFields(store: ParquetTableStore, j: JoinViewDef,
-      atRight: String): Option[Seq[org.apache.spark.sql.types.StructField]] = {
+  /** One side's NON-KEY fields of the joined shape, for typing the
+    * OTHER side's null extensions: from the pinned snapshot when it
+    * has a schema, else from the sidecar. None = that shape has never
+    * been observed (the view stays empty until it is — documented
+    * contract). */
+  private def sideFields(store: ParquetTableStore, j: JoinViewDef,
+      table: String, at: String, marker: String,
+      normalize: DataFrame => DataFrame)
+      : Option[Seq[org.apache.spark.sql.types.StructField]] = {
     val snap =
-      if (atRight.isEmpty) store.spark.emptyDataFrame
-      else store.readVersion(j.right, atRight)
+      if (at.isEmpty) store.spark.emptyDataFrame
+      else store.readVersion(table, at)
     val fields =
-      if (snap.columns.nonEmpty) Some(normRight(j, snap).schema.fields.toSeq)
-      else store.readMarker(j.view, RightSchemaMarker).map(ddl =>
+      if (snap.columns.nonEmpty) Some(normalize(snap).schema.fields.toSeq)
+      else store.readMarker(j.view, marker).map(ddl =>
         org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toSeq)
     fields.map(_.filterNot(f => j.leftKeys.contains(f.name)))
   }
+
+  private def rightFields(store: ParquetTableStore, j: JoinViewDef,
+      atRight: String): Option[Seq[org.apache.spark.sql.types.StructField]] =
+    sideFields(store, j, j.right, atRight, RightSchemaMarker, normRight(j, _))
+
+  private def leftFields(store: ParquetTableStore, j: JoinViewDef,
+      atLeft: String): Option[Seq[org.apache.spark.sql.types.StructField]] =
+    sideFields(store, j, j.left, atLeft, LeftSchemaMarker, identity)
 
   /** The joined snapshot at a pinned version pair — the initializer's
     * input and the drained-buffer rebuild base. Empty (schema-less)
@@ -217,14 +263,22 @@ object IncrementalJoinView {
       atLeft: String, atRight: String): DataFrame = {
     if (atLeft.isEmpty || atRight.isEmpty) return store.spark.emptyDataFrame
     val l = store.readVersion(j.left, atLeft)
-    if (l.columns.isEmpty) return store.spark.emptyDataFrame
     val r = store.readVersion(j.right, atRight)
-    if (r.columns.nonEmpty) l.join(normRight(j, r), j.leftKeys, j.joinType)
-    else if (!j.outer) store.spark.emptyDataFrame
-    else rightFields(store, j, atRight) match {
-      case Some(fs) => nullExtendFields(l, fs)
-      case None => store.spark.emptyDataFrame
-    }
+    if (l.columns.nonEmpty && r.columns.nonEmpty)
+      l.join(normRight(j, r), j.leftKeys, j.joinType)
+    else if (l.columns.nonEmpty && j.neLeft)
+      // right is committed-but-empty: every left row null-extends
+      rightFields(store, j, atRight) match {
+        case Some(fs) => nullExtendFields(l, fs)
+        case None => store.spark.emptyDataFrame
+      }
+    else if (r.columns.nonEmpty && j.neRight)
+      // left is committed-but-empty: every right row null-extends
+      leftFields(store, j, atLeft) match {
+        case Some(fs) => nullExtendFields(normRight(j, r), fs)
+        case None => store.spark.emptyDataFrame
+      }
+    else store.spark.emptyDataFrame
   }
 
   /** One delta-join leg: the (cached, micro-batch-sized) signed feed
@@ -300,7 +354,7 @@ object IncrementalJoinView {
     * cascade's legs. */
   def initialize(store: ParquetTableStore, j: JoinViewDef): (String, String) = {
     validateDisjoint(store, j)
-    if (j.outer) recordRightSchema(store, j)
+    recordSideSchemas(store, j)
     val atL = store.version(j.left).getOrElse("")
     val atR = store.version(j.right).getOrElse("")
     val snapshot = snapshotJoin(store, j, atL, atR)
@@ -351,9 +405,9 @@ object IncrementalJoinView {
     * protocol. */
   def refreshToCurrent(store: ParquetTableStore, j: JoinViewDef): Unit = {
     validateDisjoint(store, j)
-    // keep the null-extension type sidecar current while the right
-    // shape is observable (it must survive the right table emptying)
-    if (j.outer) recordRightSchema(store, j)
+    // keep the null-extension type sidecars current while the shapes
+    // are observable (they must survive a base table emptying)
+    recordSideSchemas(store, j)
     store.readMarker(j.view, IncrementalView.IntentMarker).foreach { intent =>
       intent.split("\t", 3) match {
         case Array(_, to, viewBefore)
@@ -419,48 +473,75 @@ object IncrementalJoinView {
     // released after the merge action completes
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      // leg 1: ΔL ⋈ R@toR — plus, under left_outer, leg 3:
-      // NE(ΔL, R@toR), the ΔL rows with no R@toR join partner,
-      // null-extended with their own signs
-      val (legL, legNE1) =
-        if (fromL == toL) (None, None)
+      /** A delta's unmatched-key rows null-extended with the OTHER
+        * side's fields — the NE(Δside, other@to) leg, side-generic. */
+      def neLeg(feed: DataFrame, otherTable: String, otherPks: Seq[String],
+          otherKeys: Seq[String], otherAt: String,
+          normOther: DataFrame => DataFrame,
+          fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+        val unmatched = prunedSnap(store, feed, otherTable,
+          otherPks, otherAt, j.leftKeys, otherKeys) match {
+          case Some(snap) if snap.columns.nonEmpty =>
+            feed.join(normOther(snap)
+              .select(j.leftKeys.map(col): _*).distinct(),
+              j.leftKeys, "left_anti")
+          // the other side holds no rows at all: every Δ row is unmatched
+          case _ => feed
+        }
+        nullExtendFields(unmatched, fields)
+      }
+      // leg 1: ΔL ⋈ R@toR — plus NE(ΔL, R@toR) when unmatched LEFT
+      // rows survive, and the LEFT-count transition (null-extended
+      // R@fromR rows emitted/retracted as ΔL drives a key's left
+      // count through zero) when unmatched RIGHT rows survive
+      val (legL, legNE1, legTransR) =
+        if (fromL == toL) (None, None, None)
         else {
           val feedL = store.changesBetween(j.left, j.leftPks, fromL, toL).cache()
           cached += feedL
           val inner = leg(store, feedL, j.right, j.rightPks, toR,
             j.leftKeys, j.rightKeys, normRight(j, _))
           val ne =
-            if (!j.outer || toR.isEmpty) None
-            else rightFields(store, j, toR).map { fs =>
-              val unmatched = prunedSnap(store, feedL, j.right,
-                j.rightPks, toR, j.leftKeys, j.rightKeys) match {
-                case Some(snap) if snap.columns.nonEmpty =>
-                  feedL.join(normRight(j, snap)
-                    .select(j.leftKeys.map(col): _*).distinct(),
-                    j.leftKeys, "left_anti")
-                // B@toR holds no rows at all: every ΔL row is unmatched
-                case _ => feedL
-              }
-              nullExtendFields(unmatched, fs)
-            }
-          (inner, ne)
+            if (!j.neLeft || toR.isEmpty) None
+            else rightFields(store, j, toR).map(fs =>
+              neLeg(feedL, j.right, j.rightPks, j.rightKeys, toR,
+                normRight(j, _), fs))
+          val transR =
+            if (!j.neRight || fromR.isEmpty || toL.isEmpty) None
+            else leftFields(store, j, toL).flatMap(fs =>
+              transitionLeg(store, j, feedL,
+                j.left, j.leftPks, j.leftKeys, toL, identity,
+                j.right, j.rightPks, j.rightKeys, fromR, normRight(j, _),
+                fs))
+          (inner, ne, transR)
         }
-      // leg 2: L@fromL ⋈ ΔR (the right feed arrives key-normalized) —
-      // plus, under left_outer, leg 4: the match-count TRANSITION leg
-      val (legR, legNE2) =
-        if (fromR == toR) (None, None)
+      // leg 2: L@fromL ⋈ ΔR — plus the RIGHT-count transition when
+      // unmatched LEFT rows survive, and NE(ΔR, L@toL) when unmatched
+      // RIGHT rows survive
+      val (legR, legNE2, legNE2R) =
+        if (fromR == toR) (None, None, None)
         else {
           val feedR = normRight(j,
             store.changesBetween(j.right, j.rightPks, fromR, toR)).cache()
           cached += feedR
           val inner = leg(store, feedR, j.left, j.leftPks, fromL,
             j.leftKeys, j.leftKeys, identity)
-          val ne =
-            if (!j.outer || fromL.isEmpty || toR.isEmpty) None
-            else transitionLeg(store, j, feedR, fromL, toR)
-          (inner, ne)
+          val transL =
+            if (!j.neLeft || fromL.isEmpty || toR.isEmpty) None
+            else rightFields(store, j, toR).flatMap(fs =>
+              transitionLeg(store, j, feedR,
+                j.right, j.rightPks, j.rightKeys, toR, normRight(j, _),
+                j.left, j.leftPks, j.leftKeys, fromL, identity,
+                fs))
+          val neR =
+            if (!j.neRight || toL.isEmpty) None
+            else leftFields(store, j, toL).map(fs =>
+              neLeg(feedR, j.left, j.leftPks, j.leftKeys, toL,
+                identity, fs))
+          (inner, transL, neR)
         }
-      val legs = (legL.toSeq ++ legR.toSeq ++ legNE1.toSeq ++ legNE2.toSeq)
+      val legs = (legL.toSeq ++ legR.toSeq ++ legNE1.toSeq ++
+        legNE2.toSeq ++ legTransR.toSeq ++ legNE2R.toSeq)
         .map(df => cols.fold(df)(cs => df.select(cs.map(col): _*)))
       if (legs.isEmpty) return 0L
       // without the prune the legs' column ORDERS differ (snapshot
@@ -472,26 +553,38 @@ object IncrementalJoinView {
     } finally cached.foreach(_.unpersist())
   }
 
-  /** Left-outer leg 4: join keys whose match count crossed zero
-    * across ΔR emit/retract the null-extended A@fromL rows at that
-    * key. m₁ is counted from R@toR restricted to ΔR's key set (a
-    * point lookup when the join keys are R's PKs); m₀ = m₁ − ΣΔsigns
-    * — never stored, always derivable from the span itself. */
+  /** The match-count TRANSITION leg, side-generic: join keys whose
+    * match count on the CHURNED side crossed zero emit/retract the
+    * null-extended rows of the SURVIVING side (read at its pinned
+    * `from` version). m₁ is counted from the churned side's `to`
+    * snapshot restricted to the feed's key set (a point lookup when
+    * the join keys are that table's PKs); m₀ = m₁ − ΣΔsigns — never
+    * stored, always derivable from the span itself.
+    *
+    * For a LEFT-outer view: feed = ΔR, counts over R@toR, rows from
+    * A@fromL (normRow = identity, fields = right fields). The
+    * right-outer mirror swaps every role. */
   private def transitionLeg(store: ParquetTableStore, j: JoinViewDef,
-      feedR: DataFrame, fromL: String, toR: String): Option[DataFrame] = {
+      feed: DataFrame,
+      countTable: String, countPks: Seq[String], countKeys: Seq[String],
+      countAt: String, normCount: DataFrame => DataFrame,
+      rowTable: String, rowPks: Seq[String], rowKeys: Seq[String],
+      rowAt: String, normRow: DataFrame => DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField])
+      : Option[DataFrame] = {
     val keys = j.leftKeys
-    val fields = rightFields(store, j, toR).getOrElse(return None)
     val sgn = when(
       col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
-    val dm = feedR.groupBy(keys.map(col): _*)
+    val dm = feed.groupBy(keys.map(col): _*)
       .agg(sum(sgn).as("_dm"))
-    val m1 = prunedSnap(store, feedR, j.right, j.rightPks, toR,
-      keys, j.rightKeys) match {
+    val m1 = prunedSnap(store, feed, countTable, countPks, countAt,
+      keys, countKeys) match {
       case Some(snap) if snap.columns.nonEmpty =>
-        normRight(j, snap).groupBy(keys.map(col): _*)
+        normCount(snap).groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("_m1"))
-      // B@toR holds no rows: every touched key counts zero matches
+      // the churned side holds no rows at `to`: every touched key
+      // counts zero matches
       case _ => dm.select(keys.map(col): _*).limit(0)
         .withColumn("_m1", lit(0L))
     }
@@ -504,15 +597,17 @@ object IncrementalJoinView {
       .withColumn("_change_type",
         when(col("_m1") === 0, lit("insert")).otherwise(lit("delete")))
       .select((keys.map(col) :+ col("_change_type")): _*)
-    val snapL =
-      if (keys == j.leftPks)
-        store.readKeysPrunedAt(j.left, fromL, j.leftPks,
-          trans.select(keys.map(col): _*).distinct()).map(_._1)
+    val snapRows =
+      if (rowKeys == rowPks)
+        store.readKeysPrunedAt(rowTable, rowAt, rowPks,
+          trans.select(keys.map(col): _*).distinct()
+            .toDF(rowKeys: _*)).map(_._1)
           .getOrElse(return None)
-      else store.readVersion(j.left, fromL)
-    // schema-less A@fromL = no left rows existed: nothing to extend
-    if (snapL.columns.isEmpty) return None
-    Some(nullExtendFields(snapL.join(broadcast(trans), keys), fields))
+      else store.readVersion(rowTable, rowAt)
+    // schema-less surviving side = no rows existed: nothing to extend
+    if (snapRows.columns.isEmpty) return None
+    Some(nullExtendFields(
+      normRow(snapRows).join(broadcast(trans), keys), fields))
   }
 
   /** The view with derived consumer columns (avg/var/min/max scalars
