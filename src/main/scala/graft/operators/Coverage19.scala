@@ -1,0 +1,380 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 extension batch: the supervised/statistical corner of the
+  * training-data pipeline — distribution drift as a significance
+  * statistic (chi-square, completing the KS/L1 family), grid-histogram
+  * percentiles (the mergeable form a 100-TB latency/length monitor
+  * actually stores), and an exactly-trainable quality classifier
+  * (Gini-optimal decision stump + held-out evaluation).
+  *
+  * Reference scope: SURVEY.md §2-B LLM-pipeline operator family
+  * (quality scoring / drift monitoring); the reference's own surface
+  * has no classifier, so these are the from-scratch additions the
+  * brief's "training-data pipeline" mandate names.
+  *
+  * ARITHMETIC DISCIPLINE (the repo-wide oracle-parity convention): no
+  * transcendentals cross-engine. Chi-square is rational — every term
+  * is built from integer counts with IEEE +,-,*,/ (deterministic,
+  * unlike ln), each term is decimal-cast BEFORE the sum so the
+  * reduction is order-independent, and only the rounded edge is
+  * double. The stump's split objective is compared on a
+  * deterministic double derived from exact integer sufficient
+  * statistics (sum of squared class counts); percentile thresholds
+  * are pure integer ceil division. That is why ALL FOUR queries carry
+  * full DuckDB oracles rather than rows-only checks.
+  */
+object Coverage19 {
+
+  /** Per-(source, len) observed/expected chi-square terms over the
+    * word-count grid — shared shape with q_ks_drift so one histogram
+    * state can serve both monitors (streaming.IncrementalChiSqDrift
+    * reuses the same cells). */
+  private def lenHist(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("len"))
+      .groupBy("source", "len")
+      .agg(count(lit(1)).cast("long").as("c"))
+
+  /** Bucketed (feature, bucket, lang) class-count histogram for the
+    * stump — candidate thresholds are BUCKET EDGES, so the candidate
+    * set is bounded by the grid (64 + 32 cells) no matter the corpus
+    * size: the one corpus-sized exchange is this histogram agg;
+    * everything downstream is grid-sized. */
+  private def featHist(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("lang"),
+      col("n_chars").cast("long").as("f1"),
+      size(split(trim(col("text")), " ")).cast("long").as("f2"))
+    val u = d.select(col("lang"), lit("n_chars").as("feature"),
+        least(expr("f1 div 16"), lit(63L)).as("b"))
+      .unionAll(d.select(col("lang"), lit("n_tokens").as("feature"),
+        least(expr("f2 div 4"), lit(31L)).as("b")))
+    u.groupBy("feature", "b", "lang")
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** Grid-side stump scoring: from the (feature, b, lang, c) histogram
+    * to per-candidate (feature, b, nl, nr, sl2, sr2, s). Exact integer
+    * sufficient statistics; `s = sl2/nl + sr2/nr` is the
+    * maximize-form of weighted Gini (G = 1 - s/n), compared as a
+    * deterministic double (built from identical integers by identical
+    * IEEE ops on both engines). */
+  private def stumpCandidates(h: DataFrame): DataFrame = {
+    val grid = h.select("feature", "b").distinct()
+    val langs = h.select("feature", "lang").distinct()
+    val cells = grid.join(langs, "feature")
+      .join(h, Seq("feature", "b", "lang"), "left")
+      .select(col("feature"), col("b"), col("lang"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wCum = Window.partitionBy("feature", "lang").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lc = cells.select(col("feature"), col("b"), col("lang"),
+      sum(col("c")).over(wCum).cast("long").as("lcnt"))
+    val tot = cells.groupBy("feature", "lang")
+      .agg(sum(col("c")).cast("long").as("tcnt"))
+    lc.join(tot, Seq("feature", "lang"))
+      .groupBy("feature", "b")
+      .agg(sum(col("lcnt")).cast("long").as("nl"),
+        sum(col("tcnt") - col("lcnt")).cast("long").as("nr"),
+        sum(col("lcnt") * col("lcnt")).cast("long").as("sl2"),
+        sum((col("tcnt") - col("lcnt")) * (col("tcnt") - col("lcnt")))
+          .cast("long").as("sr2"))
+      .filter(col("nl") > 0 && col("nr") > 0)
+      .withColumn("s",
+        col("sl2").cast("double") / col("nl")
+          + col("sr2").cast("double") / col("nr"))
+  }
+
+  /** The shared stump-training SQL body (train-set parameterized by a
+    * WHERE clause) — one definition so q_tree_stump and
+    * q_tree_classify's oracles cannot drift. */
+  private def stumpCtes(where: String): String =
+    s"""d AS (SELECT lang, CAST(n_chars AS BIGINT) AS f1,
+       |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS f2
+       |  FROM documents $where),
+       |u AS (SELECT lang, 'n_chars' AS feature, least(f1 // 16, 63) AS b FROM d
+       |      UNION ALL
+       |      SELECT lang, 'n_tokens' AS feature, least(f2 // 4, 31) AS b FROM d),
+       |h AS (SELECT feature, b, lang, CAST(count(*) AS BIGINT) AS c
+       |      FROM u GROUP BY 1, 2, 3),
+       |grid AS (SELECT DISTINCT feature, b FROM h),
+       |langs AS (SELECT DISTINCT feature, lang FROM h),
+       |cells AS (SELECT g.feature, g.b, l.lang, coalesce(h.c, 0) AS c
+       |  FROM grid g JOIN langs l ON l.feature = g.feature
+       |  LEFT JOIN h ON h.feature = g.feature AND h.b = g.b
+       |    AND h.lang = l.lang),
+       |lc AS (SELECT feature, b, lang,
+       |    CAST(sum(c) OVER (PARTITION BY feature, lang ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS lcnt
+       |  FROM cells),
+       |tot AS (SELECT feature, lang, CAST(sum(c) AS BIGINT) AS tcnt
+       |        FROM cells GROUP BY 1, 2),
+       |cand AS (SELECT lc.feature, lc.b,
+       |    CAST(sum(lc.lcnt) AS BIGINT) AS nl,
+       |    CAST(sum(tot.tcnt - lc.lcnt) AS BIGINT) AS nr,
+       |    CAST(sum(lc.lcnt * lc.lcnt) AS BIGINT) AS sl2,
+       |    CAST(sum((tot.tcnt - lc.lcnt) * (tot.tcnt - lc.lcnt))
+       |      AS BIGINT) AS sr2
+       |  FROM lc JOIN tot ON tot.feature = lc.feature
+       |    AND tot.lang = lc.lang
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT feature, b, nl, nr,
+       |    CAST(sl2 AS DOUBLE) / nl + CAST(sr2 AS DOUBLE) / nr AS s
+       |  FROM cand WHERE nl > 0 AND nr > 0),
+       |r AS (SELECT feature, b, nl, nr, s,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY s DESC, feature, b)
+       |      AS BIGINT) AS rn
+       |  FROM scored)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- chi-square drift per source -----------------------------------
+    // The significance-weighted sibling of q_ks_drift: per source, the
+    // chi-square homogeneity statistic of the 2×grid table (this
+    // source vs the rest of the corpus) over the doc-length
+    // distribution. KS sees the worst CDF gap; chi-square sees the
+    // aggregate cell-level distortion weighted by expectation, which
+    // is what monitoring dashboards alarm on. Rational arithmetic
+    // throughout — counts are integers, E = n_s·c_b/n is one IEEE
+    // expression, ln never appears. The reduction is FIXED-POINT: each
+    // term is floored at 1e-6 into a BIGINT and the sum is exact
+    // integer addition, because the repo's usual decimal-cast-then-sum
+    // is NOT cross-engine-safe for arbitrary doubles — Spark types
+    // decimal(38,10)+decimal(38,10) as decimal(38,9) (precision cap),
+    // rounding every pair-sum a digit early, while DuckDB keeps scale
+    // 10; at sf0.001 that flipped src15's 6th decimal (spec-pinned).
+    // floor() of the IDENTICAL double has no rounding-mode ambiguity
+    // at all. Truncation bias ≤ 2·|grid|·1e-6 — far under the
+    // statistic's own resolution. Plan: ONE corpus-sized histogram
+    // exchange; the source×grid expansion and the per-source sum are
+    // bounded by |sources|×|grid|.
+    QDef("q_chisq_drift",
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c
+        |      FROM d GROUP BY source, len),
+        |cb AS (SELECT len, CAST(sum(c) AS BIGINT) AS cb FROM h GROUP BY len),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY source),
+        |ntot AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM h),
+        |x AS (
+        |  SELECT ns.source, cb.len, cb.cb, ns.n, ntot.ntot,
+        |    CAST(coalesce(h.c, 0) AS BIGINT) AS o
+        |  FROM ns CROSS JOIN cb CROSS JOIN ntot
+        |  LEFT JOIN h ON h.source = ns.source AND h.len = cb.len),
+        |t AS (
+        |  SELECT source, n,
+        |    (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * cb / ntot)
+        |      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * cb / ntot)
+        |      / (CAST(n AS DOUBLE) * cb / ntot) AS ts,
+        |    (CAST(cb - o AS DOUBLE) - CAST(ntot - n AS DOUBLE) * cb / ntot)
+        |      * (CAST(cb - o AS DOUBLE) - CAST(ntot - n AS DOUBLE) * cb / ntot)
+        |      / (CAST(ntot - n AS DOUBLE) * cb / ntot) AS tr
+        |  FROM x)
+        |SELECT source,
+        |  CAST(sum(CAST(floor(ts * 1000000) AS BIGINT)
+        |    + CAST(floor(tr * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000 AS chisq,
+        |  CAST(count(*) - 1 AS BIGINT) AS dof,
+        |  n
+        |FROM t GROUP BY source, n ORDER BY source
+        |""".stripMargin) { (s, dir) =>
+      val h = lenHist(s, dir)
+      val cb = h.groupBy("len").agg(sum(col("c")).cast("long").as("cb"))
+      val ns = h.groupBy("source").agg(sum(col("c")).cast("long").as("n"))
+      val nTot = h.agg(sum(col("c")).cast("long").as("ntot"))
+      val x = ns.crossJoin(broadcast(cb)).crossJoin(broadcast(nTot))
+        .join(h, Seq("source", "len"), "left")
+        .select(col("source"), col("len"), col("cb"), col("n"), col("ntot"),
+          coalesce(col("c"), lit(0L)).as("o"))
+      def term(oc: Column, nc: Column): Column = {
+        val e = nc.cast("double") * col("cb") / col("ntot")
+        (oc.cast("double") - e) * (oc.cast("double") - e) / e
+      }
+      x.select(col("source"), col("n"),
+          term(col("o"), col("n")).as("ts"),
+          term(col("cb") - col("o"), col("ntot") - col("n")).as("tr"))
+        .groupBy("source", "n")
+        .agg((sum(floor(col("ts") * 1000000).cast("long")
+          + floor(col("tr") * 1000000).cast("long")).cast("double")
+          / 1000000).as("chisq"),
+          (count(lit(1)) - 1).cast("long").as("dof"))
+        .select(col("source"), col("chisq"), col("dof"), col("n"))
+        .orderBy("source")
+    },
+
+    // ---- grid-histogram percentiles per source --------------------------
+    // Percentiles in the MERGEABLE form a fleet-wide monitor stores:
+    // a fixed 64-bucket histogram of n_chars (width 16), percentile =
+    // the lower edge of the first bucket whose cumulative count
+    // reaches ceil(p·n/100) — pure integer arithmetic end to end, so
+    // the result is exact-at-grid-resolution AND bit-reproducible on
+    // any cluster (no order-dependent double in sight). The same
+    // histogram is an incremental-view feed (cdc.GridPercentile reads
+    // percentiles off a live count view); this batch query pins the
+    // read-edge semantics. One corpus-sized exchange (histogram agg);
+    // the cumulative window runs over ≤64 rows per source.
+    QDef("q_grid_percentile",
+      """WITH d AS (SELECT source, least(n_chars // 16, 63) AS b FROM documents),
+        |h AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT source, b,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM h),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p),
+        |t AS (SELECT ns.source, p.p, (p.p * ns.n + 99) // 100 AS thresh,
+        |        ns.n
+        |      FROM ns CROSS JOIN p)
+        |SELECT t.source, t.p, CAST(min(cum.b) * 16 AS BIGINT) AS edge, t.n
+        |FROM t JOIN cum ON cum.source = t.source AND cum.cum >= t.thresh
+        |GROUP BY t.source, t.p, t.n ORDER BY t.source, t.p
+        |""".stripMargin) { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("source"),
+          least(expr("n_chars div 16"), lit(63L)).as("b"))
+      val h = d.groupBy("source", "b")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val ns = h.groupBy("source").agg(sum(col("c")).cast("long").as("n"))
+      val wCum = Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.select(col("source"), col("b"),
+        sum(col("c")).over(wCum).cast("long").as("cum"))
+      val ps = s.range(1).select(
+        explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+      val t = ns.crossJoin(broadcast(ps))
+        .withColumn("thresh", expr("(p * n + 99) div 100"))
+      t.join(cum, Seq("source"))
+        .filter(col("cum") >= col("thresh"))
+        .groupBy("source", "p", "n")
+        .agg((min(col("b")) * 16).cast("long").as("edge"))
+        .select(col("source"), col("p"), col("edge"), col("n"))
+        .orderBy("source", "p")
+    },
+
+    // ---- Gini-optimal decision stump (trainable quality classifier) ----
+    // The exactly-trainable core of a fastText-style quality filter:
+    // over a bounded candidate grid (bucket edges of n_chars and token
+    // count), find the split minimizing weighted Gini impurity of the
+    // language label. Gini — unlike entropy — is RATIONAL in the
+    // class counts, so training is exact: the sufficient statistics
+    // (Σ squared class counts left/right of every candidate) are
+    // integers from one histogram + one grid-sized cumulative window,
+    // and candidates are ranked on a deterministic double with
+    // (feature, threshold) tie-breaks. Top-3 candidates reported so
+    // the oracle pins the full ranking, not just the argmax.
+    QDef("q_tree_stump",
+      s"""WITH ${stumpCtes("")},
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT r.feature,
+         |  CAST(CASE WHEN r.feature = 'n_chars' THEN r.b * 16 + 15
+         |            ELSE r.b * 4 + 3 END AS BIGINT) AS threshold,
+         |  round(1.0 - r.s / n1.n, 6) + 0.0 AS gini,
+         |  r.nl AS n_left, r.nr AS n_right, r.rn
+         |FROM r CROSS JOIN n1 WHERE r.rn <= 3 ORDER BY rn
+         |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val cand = stumpCandidates(featHist(docs))
+      val n1 = docs.agg(count(lit(1)).cast("long").as("n"))
+      val wRank = Window.orderBy(col("s").desc, col("feature"), col("b"))
+      cand.withColumn("rn", row_number().over(wRank).cast("long"))
+        .filter(col("rn") <= 3)
+        .crossJoin(broadcast(n1))
+        .select(col("feature"),
+          when(col("feature") === "n_chars", col("b") * 16 + 15)
+            .otherwise(col("b") * 4 + 3).cast("long").as("threshold"),
+          (round(lit(1.0) - col("s") / col("n"), 6) + lit(0.0)).as("gini"),
+          col("nl").as("n_left"), col("nr").as("n_right"), col("rn"))
+        .orderBy("rn")
+    },
+
+    // ---- held-out stump evaluation (confusion matrix) -------------------
+    // The train/apply split of the same classifier: train the stump on
+    // doc_id % 5 <> 0, label each side with its majority language
+    // (count-desc, lang-asc tie-break), classify the held-out 20%, and
+    // report the confusion counts — the accuracy gate a production
+    // quality filter ships with. Everything after the two histogram
+    // aggs is grid-sized; the test-set pass is one broadcast of the
+    // 1-row model.
+    QDef("q_tree_classify",
+      s"""WITH ${stumpCtes("WHERE doc_id % 5 <> 0")},
+         |best AS (SELECT feature, b FROM r WHERE rn = 1),
+         |lmaj AS (SELECT lc.lang FROM lc JOIN best
+         |    ON lc.feature = best.feature AND lc.b = best.b
+         |  ORDER BY lc.lcnt DESC, lc.lang LIMIT 1),
+         |rmaj AS (SELECT lc.lang FROM lc
+         |  JOIN tot ON tot.feature = lc.feature AND tot.lang = lc.lang
+         |  JOIN best ON lc.feature = best.feature AND lc.b = best.b
+         |  ORDER BY tot.tcnt - lc.lcnt DESC, lc.lang LIMIT 1),
+         |test AS (
+         |  SELECT doc.lang,
+         |    CASE WHEN best.feature = 'n_chars'
+         |         THEN least(doc.n_chars // 16, 63)
+         |         ELSE least(CAST(len(string_split(trim(doc.text), ' '))
+         |                    AS BIGINT) // 4, 31) END AS bd,
+         |    best.b AS bb
+         |  FROM documents doc CROSS JOIN best WHERE doc.doc_id % 5 = 0)
+         |SELECT t.lang AS actual,
+         |  CASE WHEN t.bd <= t.bb THEN (SELECT lang FROM lmaj)
+         |       ELSE (SELECT lang FROM rmaj) END AS predicted,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM test t GROUP BY 1, 2 ORDER BY actual, predicted
+         |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val h = featHist(train)
+      // per-candidate per-lang left counts (the lc CTE) — needed both
+      // for ranking (via stumpCandidates) and the majority labels
+      val grid = h.select("feature", "b").distinct()
+      val langs = h.select("feature", "lang").distinct()
+      val cells = grid.join(langs, "feature")
+        .join(h, Seq("feature", "b", "lang"), "left")
+        .select(col("feature"), col("b"), col("lang"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wCum = Window.partitionBy("feature", "lang").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lc = cells.select(col("feature"), col("b"), col("lang"),
+        sum(col("c")).over(wCum).cast("long").as("lcnt"))
+      val tot = cells.groupBy("feature", "lang")
+        .agg(sum(col("c")).cast("long").as("tcnt"))
+      val wRank = Window.orderBy(col("s").desc, col("feature"), col("b"))
+      val best = stumpCandidates(h)
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") === 1)
+        .select(col("feature").as("bfeat"), col("b").as("bb"))
+      val atBest = lc.join(tot, Seq("feature", "lang"))
+        .join(broadcast(best),
+          col("feature") === col("bfeat") && col("b") === col("bb"))
+      val lmaj = atBest
+        .withColumn("mr", row_number().over(
+          Window.orderBy(col("lcnt").desc, col("lang"))))
+        .filter(col("mr") === 1).select(col("lang").as("left_lang"))
+      val rmaj = atBest
+        .withColumn("mr", row_number().over(
+          Window.orderBy((col("tcnt") - col("lcnt")).desc, col("lang"))))
+        .filter(col("mr") === 1).select(col("lang").as("right_lang"))
+      docs.filter(col("doc_id") % 5 === 0)
+        .crossJoin(broadcast(best))
+        .crossJoin(broadcast(lmaj)).crossJoin(broadcast(rmaj))
+        .select(col("lang"),
+          when(
+            when(col("bfeat") === "n_chars",
+              least(expr("n_chars div 16"), lit(63L)))
+              .otherwise(least(
+                expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 4"),
+                lit(31L))) <= col("bb"),
+            col("left_lang")).otherwise(col("right_lang")).as("predicted"))
+        .groupBy(col("lang").as("actual"), col("predicted"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("actual", "predicted")
+    }
+  )
+}

