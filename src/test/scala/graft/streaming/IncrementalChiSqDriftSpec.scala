@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `IncrementalChiSqDrift` — the streaming twin of q_chisq_drift.
+  * Equality contract: after EVERY micro-batch, the emitted per-source
+  * chi-square rows (tagged with the accumulated doc count) equal the
+  * shared sweep over the accumulated prefix; after the final batch
+  * they equal the oracle-backed batch query itself (same fixed-point
+  * floor reduction). Chunking-invariance and the bounded-replay
+  * stance mirror IncrementalKsDriftSpec. */
+class IncrementalChiSqDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def allObs: Seq[IncrementalKsDrift.LenObs] =
+    IncrementalChiSqDrift
+      .fromDocuments(graft.table(spark, sfDir, "documents"))
+      .collect().toSeq
+
+  private def prefixExpected(prefix: Seq[IncrementalKsDrift.LenObs])
+      : Map[String, (Double, Long, Long)] =
+    IncrementalChiSqDrift.chisqOf(
+      prefix.groupBy(o => (o.source, o.len)).toSeq.map { case ((s, l), os) =>
+        IncrementalKsDrift.Cell(s, l, os.size.toLong)
+      }).map(r => r.source -> ((r.chisq, r.dof, r.n))).toMap
+
+  private def run(nBatches: Int, replayBatch: Option[Int] = None)
+      : Seq[IncrementalChiSqDrift.ChiRow] = {
+    val obs = allObs
+    val ms = MemoryStream[IncrementalKsDrift.LenObs](spark)
+    val name = s"chisqdrift_${System.nanoTime()}"
+    val q = IncrementalChiSqDrift.drift(ms.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      obs.grouped(math.max(1, obs.length / nBatches + 1)).zipWithIndex
+        .foreach { case (chunk, i) =>
+          val times = if (replayBatch.contains(i)) 2 else 1
+          (1 to times).foreach { _ =>
+            ms.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        }
+    } finally q.stop()
+    spark.table(name).as[IncrementalChiSqDrift.ChiRow].collect().toSeq
+  }
+
+  test("after every micro-batch the snapshot equals the sweep over the " +
+      "accumulated prefix; the final one equals q_chisq_drift") {
+    val obs = allObs
+    val nBatches = 4
+    val rows = run(nBatches)
+    val chunks = obs.grouped(math.max(1, obs.length / nBatches + 1)).toSeq
+    chunks.indices.foreach { i =>
+      val prefix = chunks.take(i + 1).flatten
+      val tagged = rows.filter(_.n_total == prefix.size)
+        .map(r => r.source -> ((r.chisq, r.dof, r.n))).toMap
+      assert(tagged == prefixExpected(prefix),
+        s"prefix ${i + 1}/${chunks.size} drifted")
+    }
+    // final snapshot == the oracle-backed batch query, bit-for-bit —
+    // the floor fixed-point makes the scala fold, the Spark plan, and
+    // the DuckDB oracle one arithmetic
+    val batch = graft.SparkEntry.queries("q_chisq_drift")(spark, sfDir)
+      .as[(String, Double, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val fin = rows.filter(_.n_total == obs.size)
+      .map(r => r.source -> ((r.chisq, r.dof, r.n))).toMap
+    assert(fin == batch, "final stream snapshot != q_chisq_drift")
+  }
+
+  test("single-batch and many-batch chunkings agree on the final snapshot") {
+    val n = allObs.size
+    val one = run(1).filter(_.n_total == n).map(r => r.source -> r.chisq).toMap
+    val many = run(7).filter(_.n_total == n).map(r => r.source -> r.chisq).toMap
+    assert(one == many)
+  }
+
+  test("a replayed micro-batch distorts the statistic boundedly") {
+    val obs = allObs
+    val chunkSize = math.max(1, obs.length / 3 + 1)
+    val clean = run(3).filter(_.n_total == obs.size)
+      .map(r => r.source -> r.chisq).toMap
+    val replayed = run(3, replayBatch = Some(1))
+    val maxTag = replayed.map(_.n_total).max
+    assert(maxTag == obs.size + math.min(chunkSize, obs.size - chunkSize))
+    val fin = replayed.filter(_.n_total == maxTag)
+      .map(r => r.source -> r.chisq).toMap
+    // chi-square scales with n, so the bound is RELATIVE: duplicating a
+    // batch of b docs among n shifts each cell's O and E by O(b/n) —
+    // the statistic moves by at most a constant multiple of (b/n)·χ²
+    // plus the grid floor granularity
+    val rel = 4.0 * chunkSize.toDouble / obs.size
+    fin.foreach { case (src, x) =>
+      val bound = rel * math.max(clean(src), 1.0) + 1e-3
+      assert(math.abs(x - clean(src)) <= bound,
+        s"$src: replay distortion ${math.abs(x - clean(src))} > $bound")
+    }
+  }
+}
