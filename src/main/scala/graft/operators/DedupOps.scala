@@ -710,6 +710,51 @@ object DedupOps {
           col("best.n_tokens").as("n_tokens"), col("n_docs"))
     },
 
+    // Leakage-safe train/valid/test split: the q_train_test_split hash
+    // applied to the CANONICAL cluster id instead of the doc id, so a
+    // near-duplicate family always lands in ONE split — the guard
+    // against test-set contamination by paraphrases/re-crawls that a
+    // per-doc split cannot give (Lee et al.'s dedup argument applied
+    // to the split boundary). Singletons (docs in no duplicate pair)
+    // are their own canonical. Shares the memoized LSH pair set and
+    // CC labels with q_dedup_clusters — at 100 TB the labels are the
+    // once-per-snapshot assignment table (dup-involved docs only,
+    // corpus-sized in the worst case), so the label attach is a plain
+    // keyed equi-join on doc_id, never a broadcast. The no-cluster-
+    // spans-two-splits invariant is pinned in Coverage19Spec.
+    QDef("q_split_leakage_safe",
+      s"""WITH RECURSIVE
+        |$shingleOracleCtes,
+        |$reachOracleCtes,
+        |cc AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id),
+        |lab AS (SELECT d.doc_id, coalesce(cc.canonical, d.doc_id) AS canonical
+        |        FROM documents d LEFT JOIN cc USING (doc_id)),
+        |sp AS (SELECT doc_id, canonical,
+        |         CASE WHEN (canonical * 2654435761) % 100 < 80 THEN 'train'
+        |              WHEN (canonical * 2654435761) % 100 < 90 THEN 'valid'
+        |              ELSE 'test' END AS split
+        |       FROM lab)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_clusters,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sp GROUP BY split ORDER BY split
+        |""".stripMargin) { (s, dir) =>
+      val cc = clusterLabelsFor(s, dir, 0.8)
+      val lab = table(s, dir, "documents").select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical"), col("doc_id")).as("canonical"))
+      val bucket = (col("canonical") * 2654435761L) % 100
+      lab.select(col("doc_id"), col("canonical"),
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("canonical")).cast("long").as("n_clusters"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")
+    },
+
     // Embedding-cosine near-dup over bounded id-bands (oracle anchor;
     // the unbounded version is LSH/IVF territory — see SimilarityOps).
     QDef("q_dedup_embedding",

@@ -157,6 +157,42 @@ class Coverage19Spec extends AnyFunSuite {
       s"stump accuracy $acc below majority baseline $baseline")
   }
 
+  // ---- leakage-safe split -------------------------------------------------
+
+  test("q_split_leakage_safe: no duplicate cluster spans two splits, " +
+      "and the per-split totals cover the corpus") {
+    import org.apache.spark.sql.functions._
+    val got = run("q_split_leakage_safe")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._2).sum == rows.size.toLong)
+    // rebuild the per-doc assignment and assert the invariant directly:
+    // every canonical cluster maps to exactly one split
+    val cc = DedupOps.clusterLabelsFor(spark, sfDir, 0.8)
+    val lab = graft.table(spark, sfDir, "documents").select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical"))
+    val bucket = (col("canonical") * 2654435761L) % 100
+    val sp = lab.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test"))
+    val spanning = sp.groupBy("canonical")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(spanning == 0L, s"$spanning clusters span a split boundary")
+    // and the split totals the query reports equal this assignment's
+    val agg = sp.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical")).as("n_clusters"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got.sortBy(_._1) == agg)
+    // a per-DOC split on the same corpus must actually differ (the
+    // clusters exist, so the leakage-safe variant is not a no-op)
+    val known = cc.filter(col("doc_id") =!= col("canonical")).count()
+    assert(known > 0, "corpus has no duplicate clusters — test is vacuous")
+  }
+
   // ---- hard negatives ---------------------------------------------------
 
   test("q_hard_negatives: different-label top-3 per query, brute-forced") {
