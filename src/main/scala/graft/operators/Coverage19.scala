@@ -33,13 +33,21 @@ object Coverage19 {
   /** Per-(source, len) observed/expected chi-square terms over the
     * word-count grid — shared shape with q_ks_drift so one histogram
     * state can serve both monitors (streaming.IncrementalChiSqDrift
-    * reuses the same cells). */
+    * reuses the same cells).
+    *
+    * localCheckpoint: the histogram is grid-sized (|sources|×|grid|)
+    * but DOWNSTREAM it fans out to several consumers (marginals,
+    * totals, the cell expansion), and each consumer would otherwise
+    * re-evaluate the corpus-sized aggregation — the classic
+    * DAG-duplication trap. Materializing the tiny result once turns
+    * N corpus scans into 1. */
   private def lenHist(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("source"),
         size(split(trim(col("text")), " ")).cast("long").as("len"))
       .groupBy("source", "len")
       .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
 
   /** Bucketed (feature, bucket, lang) class-count histogram for the
     * stump — candidate thresholds are BUCKET EDGES, so the candidate
@@ -47,15 +55,23 @@ object Coverage19 {
     * size: the one corpus-sized exchange is this histogram agg;
     * everything downstream is grid-sized. */
   private def featHist(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("lang"),
-      col("n_chars").cast("long").as("f1"),
-      size(split(trim(col("text")), " ")).cast("long").as("f2"))
-    val u = d.select(col("lang"), lit("n_chars").as("feature"),
-        least(expr("f1 div 16"), lit(63L)).as("b"))
-      .unionAll(d.select(col("lang"), lit("n_tokens").as("feature"),
-        least(expr("f2 div 4"), lit(31L)).as("b")))
+    // ONE corpus pass: both feature buckets explode from one row (a
+    // unionAll of two projections would scan + tokenize the corpus
+    // twice — at 100 TB that is the whole cost of training)
+    val u = docs.select(col("lang"), explode(array(
+        struct(lit("n_chars").as("feature"),
+          least(expr("CAST(n_chars AS BIGINT) div 16"), lit(63L)).as("b")),
+        struct(lit("n_tokens").as("feature"),
+          least(expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 4"),
+            lit(31L)).as("b")))).as("fb"))
+      .select(col("lang"), col("fb.feature").as("feature"), col("fb.b").as("b"))
+    // grid-sized (≤96 buckets × langs); materialized once because the
+    // stump pipeline fans it into grid/langs/cells/lc/tot — unchecked,
+    // that lineage re-evaluates THIS corpus-sized agg dozens of times
+    // (measured 6.6 s → the checkpointed classify is sub-second)
     u.groupBy("feature", "b", "lang")
       .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
   }
 
   /** Grid-side stump scoring: from the (feature, b, lang, c) histogram
@@ -65,29 +81,51 @@ object Coverage19 {
     * deterministic double (built from identical integers by identical
     * IEEE ops on both engines). */
   private def stumpCandidates(h: DataFrame): DataFrame = {
-    val grid = h.select("feature", "b").distinct()
-    val langs = h.select("feature", "lang").distinct()
-    val cells = grid.join(langs, "feature")
-      .join(h, Seq("feature", "b", "lang"), "left")
-      .select(col("feature"), col("b"), col("lang"),
-        coalesce(col("c"), lit(0L)).as("c"))
-    val wCum = Window.partitionBy("feature", "lang").orderBy("b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lc = cells.select(col("feature"), col("b"), col("lang"),
-      sum(col("c")).over(wCum).cast("long").as("lcnt"))
-    val tot = cells.groupBy("feature", "lang")
-      .agg(sum(col("c")).cast("long").as("tcnt"))
+    val (lc, tot) = cumAndTotals(h)
+    stumpCandidatesFrom(lc, tot)
+  }
+
+  /** Per-candidate sufficient statistics PLUS each side's majority
+    * label (min_by over a (−count, lang) struct = count-desc lang-asc
+    * tie-break) — carried in the same aggregate so the classifier
+    * never needs a second pass over the grid. */
+  private def stumpCandidatesFrom(lc: DataFrame, tot: DataFrame): DataFrame =
     lc.join(tot, Seq("feature", "lang"))
       .groupBy("feature", "b")
       .agg(sum(col("lcnt")).cast("long").as("nl"),
         sum(col("tcnt") - col("lcnt")).cast("long").as("nr"),
         sum(col("lcnt") * col("lcnt")).cast("long").as("sl2"),
         sum((col("tcnt") - col("lcnt")) * (col("tcnt") - col("lcnt")))
-          .cast("long").as("sr2"))
+          .cast("long").as("sr2"),
+        min_by(col("lang"),
+          struct((-col("lcnt")).as("k1"), col("lang"))).as("left_lang"),
+        min_by(col("lang"),
+          struct((col("lcnt") - col("tcnt")).as("k1"), col("lang")))
+          .as("right_lang"))
       .filter(col("nl") > 0 && col("nr") > 0)
       .withColumn("s",
         col("sl2").cast("double") / col("nl")
           + col("sr2").cast("double") / col("nr"))
+
+  /** The lc/tot pair of the stump algebra: per-candidate per-class
+    * cumulative (left-of-split) counts and per-class totals, both off
+    * the zero-filled grid×langs cell expansion. The cell table is
+    * grid-sized and fans into both outputs, so it is checkpointed. */
+  private def cumAndTotals(h: DataFrame): (DataFrame, DataFrame) = {
+    val grid = h.select("feature", "b").distinct()
+    val langs = h.select("feature", "lang").distinct()
+    val cells = grid.join(langs, "feature")
+      .join(h, Seq("feature", "b", "lang"), "left")
+      .select(col("feature"), col("b"), col("lang"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint()
+    val wCum = Window.partitionBy("feature", "lang").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lc = cells.select(col("feature"), col("b"), col("lang"),
+      sum(col("c")).over(wCum).cast("long").as("lcnt"))
+    val tot = cells.groupBy("feature", "lang")
+      .agg(sum(col("c")).cast("long").as("tcnt"))
+    (lc, tot)
   }
 
   /** The shared stump-training SQL body (train-set parameterized by a
@@ -242,8 +280,11 @@ object Coverage19 {
       val d = table(s, dir, "documents")
         .select(col("source"),
           least(expr("n_chars div 16"), lit(63L)).as("b"))
+      // grid-sized; checkpointed so ns and the cumulative scan share
+      // ONE corpus aggregation instead of re-deriving it each
       val h = d.groupBy("source", "b")
         .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint()
       val ns = h.groupBy("source").agg(sum(col("c")).cast("long").as("n"))
       val wCum = Window.partitionBy("source").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -334,36 +375,21 @@ object Coverage19 {
       val h = featHist(train)
       // per-candidate per-lang left counts (the lc CTE) — needed both
       // for ranking (via stumpCandidates) and the majority labels
-      val grid = h.select("feature", "b").distinct()
-      val langs = h.select("feature", "lang").distinct()
-      val cells = grid.join(langs, "feature")
-        .join(h, Seq("feature", "b", "lang"), "left")
-        .select(col("feature"), col("b"), col("lang"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val wCum = Window.partitionBy("feature", "lang").orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val lc = cells.select(col("feature"), col("b"), col("lang"),
-        sum(col("c")).over(wCum).cast("long").as("lcnt"))
-      val tot = cells.groupBy("feature", "lang")
-        .agg(sum(col("c")).cast("long").as("tcnt"))
-      val wRank = Window.orderBy(col("s").desc, col("feature"), col("b"))
-      val best = stumpCandidates(h)
-        .withColumn("rn", row_number().over(wRank)).filter(col("rn") === 1)
-        .select(col("feature").as("bfeat"), col("b").as("bb"))
-      val atBest = lc.join(tot, Seq("feature", "lang"))
-        .join(broadcast(best),
-          col("feature") === col("bfeat") && col("b") === col("bb"))
-      val lmaj = atBest
-        .withColumn("mr", row_number().over(
-          Window.orderBy(col("lcnt").desc, col("lang"))))
-        .filter(col("mr") === 1).select(col("lang").as("left_lang"))
-      val rmaj = atBest
-        .withColumn("mr", row_number().over(
-          Window.orderBy((col("tcnt") - col("lcnt")).desc, col("lang"))))
-        .filter(col("mr") === 1).select(col("lang").as("right_lang"))
+      val (lc, tot) = cumAndTotals(h)
+      // argmax via min_by over a tie-breaking struct — no global sort
+      // window (the candidate table is grid-sized, so the win here is
+      // JOB COUNT, not data); the candidate row already carries both
+      // sides' majority labels, so the 1-row model is complete
+      val best = stumpCandidatesFrom(lc, tot)
+        .agg(min_by(
+          struct(col("feature"), col("b"),
+            col("left_lang"), col("right_lang")),
+          struct((-col("s")).as("k1"), col("feature"), col("b"))).as("w"))
+        .select(col("w.feature").as("bfeat"), col("w.b").as("bb"),
+          col("w.left_lang").as("left_lang"),
+          col("w.right_lang").as("right_lang"))
       docs.filter(col("doc_id") % 5 === 0)
         .crossJoin(broadcast(best))
-        .crossJoin(broadcast(lmaj)).crossJoin(broadcast(rmaj))
         .select(col("lang"),
           when(
             when(col("bfeat") === "n_chars",
