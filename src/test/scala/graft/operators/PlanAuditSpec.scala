@@ -108,6 +108,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // every SinglePartition exchange is over ≤254 sampled/bucket rows)
     // + the global Σ agg
     "q_user_gini" -> Budget(maxExchanges = 9),
+    // r12 statistical wave (observed counts + 1 reuse slack). All
+    // post-histogram exchanges carry grid-sized rows (sources×lens,
+    // features×buckets×langs); the BNL joins are crossJoin(broadcast(
+    // 1-row totals/model)) — bounded by construction. hard_negatives
+    // is one scan + broadcast probe + the topk_by partial agg.
+    "q_chisq_drift" -> Budget(maxExchanges = 8),
+    "q_grid_percentile" -> Budget(maxExchanges = 6),
+    "q_tree_stump" -> Budget(maxExchanges = 7),
+    "q_tree_classify" -> Budget(maxExchanges = 9),
+    "q_hard_negatives" -> Budget(maxExchanges = 3),
+    "q_split_leakage_safe" -> Budget(maxExchanges = 5),
     // cohort agg + join-side agg + the (cohort, age) rollup
     "q_cohort_ltv" -> Budget(maxExchanges = 3),
     // daily agg + bounded lag-join rollup + two 1-row stat aggs; every
