@@ -54,22 +54,27 @@ object Coverage19 {
     * set is bounded by the grid (64 + 32 cells) no matter the corpus
     * size: the one corpus-sized exchange is this histogram agg;
     * everything downstream is grid-sized. */
-  private def featHist(docs: DataFrame): DataFrame = {
+  private def featHist(docs: DataFrame, keys: Seq[String] = Nil)
+      : DataFrame = {
     // ONE corpus pass: both feature buckets explode from one row (a
     // unionAll of two projections would scan + tokenize the corpus
-    // twice — at 100 TB that is the whole cost of training)
-    val u = docs.select(col("lang"), explode(array(
+    // twice — at 100 TB that is the whole cost of training). `keys`
+    // prefix the grouping (the depth-2 tree conditions on the parent
+    // split's side column this way).
+    val u = docs.select(keys.map(col) ++ Seq(col("lang"), explode(array(
         struct(lit("n_chars").as("feature"),
           least(expr("CAST(n_chars AS BIGINT) div 16"), lit(63L)).as("b")),
         struct(lit("n_tokens").as("feature"),
           least(expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 4"),
-            lit(31L)).as("b")))).as("fb"))
-      .select(col("lang"), col("fb.feature").as("feature"), col("fb.b").as("b"))
-    // grid-sized (≤96 buckets × langs); materialized once because the
-    // stump pipeline fans it into grid/langs/cells/lc/tot — unchecked,
-    // that lineage re-evaluates THIS corpus-sized agg dozens of times
-    // (measured 6.6 s → the checkpointed classify is sub-second)
-    u.groupBy("feature", "b", "lang")
+            lit(31L)).as("b")))).as("fb")): _*)
+      .select(keys.map(col) ++ Seq(col("lang"),
+        col("fb.feature").as("feature"), col("fb.b").as("b")): _*)
+    // grid-sized (≤96 buckets × langs × |key-domain|); materialized
+    // once because the stump pipeline fans it into grid/langs/cells/
+    // lc/tot — unchecked, that lineage re-evaluates THIS corpus-sized
+    // agg dozens of times (measured 6.6 s → the checkpointed classify
+    // is sub-second)
+    u.groupBy((keys ++ Seq("feature", "b", "lang")).map(col): _*)
       .agg(count(lit(1)).cast("long").as("c"))
       .localCheckpoint()
   }
@@ -88,10 +93,12 @@ object Coverage19 {
   /** Per-candidate sufficient statistics PLUS each side's majority
     * label (min_by over a (−count, lang) struct = count-desc lang-asc
     * tie-break) — carried in the same aggregate so the classifier
-    * never needs a second pass over the grid. */
-  private def stumpCandidatesFrom(lc: DataFrame, tot: DataFrame): DataFrame =
-    lc.join(tot, Seq("feature", "lang"))
-      .groupBy("feature", "b")
+    * never needs a second pass over the grid. `keys` prefix every
+    * grouping (conditioning columns of a deeper tree level). */
+  private def stumpCandidatesFrom(lc: DataFrame, tot: DataFrame,
+      keys: Seq[String] = Nil): DataFrame =
+    lc.join(tot, keys ++ Seq("feature", "lang"))
+      .groupBy((keys ++ Seq("feature", "b")).map(col): _*)
       .agg(sum(col("lcnt")).cast("long").as("nl"),
         sum(col("tcnt") - col("lcnt")).cast("long").as("nr"),
         sum(col("lcnt") * col("lcnt")).cast("long").as("sl2"),
@@ -111,19 +118,21 @@ object Coverage19 {
     * cumulative (left-of-split) counts and per-class totals, both off
     * the zero-filled grid×langs cell expansion. The cell table is
     * grid-sized and fans into both outputs, so it is checkpointed. */
-  private def cumAndTotals(h: DataFrame): (DataFrame, DataFrame) = {
-    val grid = h.select("feature", "b").distinct()
-    val langs = h.select("feature", "lang").distinct()
-    val cells = grid.join(langs, "feature")
-      .join(h, Seq("feature", "b", "lang"), "left")
-      .select(col("feature"), col("b"), col("lang"),
-        coalesce(col("c"), lit(0L)).as("c"))
+  private def cumAndTotals(h: DataFrame, keys: Seq[String] = Nil)
+      : (DataFrame, DataFrame) = {
+    val kf = keys :+ "feature"
+    val grid = h.select((kf :+ "b").map(col): _*).distinct()
+    val langs = h.select((kf :+ "lang").map(col): _*).distinct()
+    val cells = grid.join(langs, kf)
+      .join(h, kf ++ Seq("b", "lang"), "left")
+      .select((kf ++ Seq("b", "lang")).map(col) :+
+        coalesce(col("c"), lit(0L)).as("c"): _*)
       .localCheckpoint()
-    val wCum = Window.partitionBy("feature", "lang").orderBy("b")
+    val wCum = Window.partitionBy((kf :+ "lang").map(col): _*).orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lc = cells.select(col("feature"), col("b"), col("lang"),
-      sum(col("c")).over(wCum).cast("long").as("lcnt"))
-    val tot = cells.groupBy("feature", "lang")
+    val lc = cells.select((kf ++ Seq("b", "lang")).map(col) :+
+      sum(col("c")).over(wCum).cast("long").as("lcnt"): _*)
+    val tot = cells.groupBy((kf :+ "lang").map(col): _*)
       .agg(sum(col("c")).cast("long").as("tcnt"))
     (lc, tot)
   }
@@ -401,6 +410,114 @@ object Coverage19 {
         .groupBy(col("lang").as("actual"), col("predicted"))
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy("actual", "predicted")
+    },
+
+    // ---- depth-2 decision tree (the algebra composes) -------------------
+    // One more Gini-exact level: the root stump splits the corpus, and
+    // each side trains its own stump CONDITIONED on the root — the
+    // same cumAndTotals/candidates algebra with a `side` key prefixed
+    // to every grouping. Two corpus passes total (root histogram,
+    // side-keyed histogram); everything else is grid-sized. Per-node
+    // weighted Gini = 1 − s/(nl+nr), exact integers under a
+    // deterministic-double ranking as before. A pure or single-bucket
+    // side would simply emit no child row (both engines agree).
+    QDef("q_tree_depth2",
+      s"""WITH ${stumpCtes("")},
+         |best AS (SELECT feature, b, nl, nr, s FROM r WHERE rn = 1),
+         |d2 AS (SELECT lang, CAST(n_chars AS BIGINT) AS f1,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS f2
+         |  FROM documents),
+         |sided AS (SELECT
+         |    CASE WHEN (CASE WHEN best.feature = 'n_chars'
+         |               THEN least(d2.f1 // 16, 63)
+         |               ELSE least(d2.f2 // 4, 31) END) <= best.b
+         |         THEN 'L' ELSE 'R' END AS side,
+         |    d2.lang, d2.f1, d2.f2
+         |  FROM d2 CROSS JOIN best),
+         |u2 AS (SELECT side, lang, 'n_chars' AS feature,
+         |         least(f1 // 16, 63) AS b FROM sided
+         |       UNION ALL
+         |       SELECT side, lang, 'n_tokens', least(f2 // 4, 31) FROM sided),
+         |h2 AS (SELECT side, feature, b, lang, CAST(count(*) AS BIGINT) AS c
+         |       FROM u2 GROUP BY 1, 2, 3, 4),
+         |grid2 AS (SELECT DISTINCT side, feature, b FROM h2),
+         |langs2 AS (SELECT DISTINCT side, feature, lang FROM h2),
+         |cells2 AS (SELECT g.side, g.feature, g.b, l.lang,
+         |    coalesce(h2.c, 0) AS c
+         |  FROM grid2 g JOIN langs2 l
+         |    ON l.side = g.side AND l.feature = g.feature
+         |  LEFT JOIN h2 ON h2.side = g.side AND h2.feature = g.feature
+         |    AND h2.b = g.b AND h2.lang = l.lang),
+         |lc2 AS (SELECT side, feature, b, lang,
+         |    CAST(sum(c) OVER (PARTITION BY side, feature, lang ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS lcnt
+         |  FROM cells2),
+         |tot2 AS (SELECT side, feature, lang, CAST(sum(c) AS BIGINT) AS tcnt
+         |         FROM cells2 GROUP BY 1, 2, 3),
+         |cand2 AS (SELECT lc2.side, lc2.feature, lc2.b,
+         |    CAST(sum(lc2.lcnt) AS BIGINT) AS nl,
+         |    CAST(sum(tot2.tcnt - lc2.lcnt) AS BIGINT) AS nr,
+         |    CAST(sum(lc2.lcnt * lc2.lcnt) AS BIGINT) AS sl2,
+         |    CAST(sum((tot2.tcnt - lc2.lcnt) * (tot2.tcnt - lc2.lcnt))
+         |      AS BIGINT) AS sr2
+         |  FROM lc2 JOIN tot2 ON tot2.side = lc2.side
+         |    AND tot2.feature = lc2.feature AND tot2.lang = lc2.lang
+         |  GROUP BY 1, 2, 3),
+         |scored2 AS (SELECT side, feature, b, nl, nr,
+         |    CAST(sl2 AS DOUBLE) / nl + CAST(sr2 AS DOUBLE) / nr AS s
+         |  FROM cand2 WHERE nl > 0 AND nr > 0),
+         |r2 AS (SELECT side, feature, b, nl, nr, s,
+         |    ROW_NUMBER() OVER (PARTITION BY side
+         |      ORDER BY s DESC, feature, b) AS rn
+         |  FROM scored2),
+         |nodes AS (
+         |  SELECT 'root' AS node, feature, b, nl, nr, s FROM best
+         |  UNION ALL
+         |  SELECT side, feature, b, nl, nr, s FROM r2 WHERE rn = 1)
+         |SELECT node, feature,
+         |  CAST(CASE WHEN feature = 'n_chars' THEN b * 16 + 15
+         |            ELSE b * 4 + 3 END AS BIGINT) AS threshold,
+         |  round(1.0 - s / (nl + nr), 6) + 0.0 AS gini,
+         |  nl AS n_left, nr AS n_right
+         |FROM nodes ORDER BY node
+         |""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val (lcR, totR) = cumAndTotals(featHist(docs))
+      val root = stumpCandidatesFrom(lcR, totR)
+        .agg(min_by(
+          struct(col("feature"), col("b"), col("nl"), col("nr"), col("s")),
+          struct((-col("s")).as("k1"), col("feature"), col("b"))).as("w"))
+        .select(col("w.feature").as("bfeat"), col("w.b").as("bb"),
+          col("w.nl").as("rnl"), col("w.nr").as("rnr"), col("w.s").as("rs"))
+      val sided = docs.crossJoin(broadcast(root))
+        .withColumn("side",
+          when(
+            when(col("bfeat") === "n_chars",
+              least(expr("CAST(n_chars AS BIGINT) div 16"), lit(63L)))
+              .otherwise(least(
+                expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 4"),
+                lit(31L))) <= col("bb"), "L").otherwise("R"))
+      val (lc2, tot2) = cumAndTotals(featHist(sided, Seq("side")), Seq("side"))
+      val children = stumpCandidatesFrom(lc2, tot2, Seq("side"))
+        .groupBy("side")
+        .agg(min_by(
+          struct(col("feature"), col("b"), col("nl"), col("nr"), col("s")),
+          struct((-col("s")).as("k1"), col("feature"), col("b"))).as("w"))
+        .select(col("side").as("node"), col("w.feature").as("feature"),
+          col("w.b").as("b"), col("w.nl").as("nl"), col("w.nr").as("nr"),
+          col("w.s").as("s"))
+      val rootRow = root.select(lit("root").as("node"),
+        col("bfeat").as("feature"), col("bb").as("b"),
+        col("rnl").as("nl"), col("rnr").as("nr"), col("rs").as("s"))
+      rootRow.unionAll(children)
+        .select(col("node"), col("feature"),
+          when(col("feature") === "n_chars", col("b") * 16 + 15)
+            .otherwise(col("b") * 4 + 3).cast("long").as("threshold"),
+          (round(lit(1.0) - col("s") / (col("nl") + col("nr")), 6)
+            + lit(0.0)).as("gini"),
+          col("nl").as("n_left"), col("nr").as("n_right"))
+        .orderBy("node")
     }
   )
 }

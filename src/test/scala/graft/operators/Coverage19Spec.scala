@@ -157,6 +157,38 @@ class Coverage19Spec extends AnyFunSuite {
       s"stump accuracy $acc below majority baseline $baseline")
   }
 
+  test("q_tree_depth2: root and per-side children equal the exhaustive " +
+      "conditioned search") {
+    def nodeOf(rs: Seq[(Long, String, String, Long, Long)], label: String) = {
+      val (f, thr, s, nl, nr) = bruteStump(rs).head
+      val gini = BigDecimal(1.0 - s / (nl + nr))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (label, f, thr, gini, nl, nr)
+    }
+    val root @ (_, rf, rthr, _, _, _) = nodeOf(rows, "root")
+    def bucket(r: (Long, String, String, Long, Long)): Long =
+      if (rf == "n_chars") math.min(r._4 / 16, 63L) else math.min(r._5 / 4, 31L)
+    val bb = if (rf == "n_chars") (rthr - 15) / 16 else (rthr - 3) / 4
+    val (l, r) = rows.partition(bucket(_) <= bb)
+    val expected = Seq(nodeOf(l, "L"), nodeOf(r, "R"), root).sortBy(_._1)
+    val got = run("q_tree_depth2").map(x => (x.getString(0), x.getString(1),
+      x.getLong(2), x.getDouble(3), x.getLong(4), x.getLong(5))).toSeq
+    assert(got == expected)
+    // depth must help: each child's post-split gini is no worse than
+    // its OWN side's pre-split gini (weighted Gini never increases
+    // under a split — concavity; the root's MIXED value is not a
+    // bound, since the impurer side can exceed it)
+    def preGini(rs: Seq[(Long, String, String, Long, Long)]): Double = {
+      val n = rs.size.toDouble
+      1.0 - rs.groupBy(_._2).values.map(g => g.size * g.size.toDouble).sum /
+        (n * n)
+    }
+    val pre = Map("L" -> preGini(l), "R" -> preGini(r))
+    got.filter(_._1 != "root").foreach { case (n, _, _, g, _, _) =>
+      assert(g <= pre(n) + 1e-9, s"child $n gini $g > pre-split ${pre(n)}")
+    }
+  }
+
   // ---- leakage-safe split -------------------------------------------------
 
   test("q_split_leakage_safe: no duplicate cluster spans two splits, " +

@@ -119,6 +119,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tree_classify" -> Budget(maxExchanges = 9),
     "q_hard_negatives" -> Budget(maxExchanges = 3),
     "q_split_leakage_safe" -> Budget(maxExchanges = 5),
+    // two corpus passes (root + side-keyed histograms), the rest
+    // grid-sized: 11 observed + 1 slack
+    "q_tree_depth2" -> Budget(maxExchanges = 12),
     // cohort agg + join-side agg + the (cohort, age) rollup
     "q_cohort_ltv" -> Budget(maxExchanges = 3),
     // daily agg + bounded lag-join rollup + two 1-row stat aggs; every
