@@ -518,6 +518,60 @@ object Coverage19 {
             + lit(0.0)).as("gini"),
           col("nl").as("n_left"), col("nr").as("n_right"))
         .orderBy("node")
+    },
+
+    // ---- temperature-mixed token budgets (the data-mixing recipe) -------
+    // The DoReMi-shaped composition: per-source token budgets set by
+    // TEMPERATURE-flattened source mass (α = 0.5 — small sources get
+    // relatively more budget than proportional sampling gives), then
+    // the deterministic per-source greedy selection (q_token_budget's
+    // md5-ordered prefix sum) fills each budget. Arithmetic: sqrt is
+    // CORRECTLY ROUNDED by IEEE-754 (unlike ln/exp), so √n_s is
+    // engine-exact; the weight sum uses the fixed-point floor
+    // reduction (q_chisq_drift's lesson — never decimal-sum arbitrary
+    // doubles cross-engine), and each budget is one exact integer
+    // multiply-divide. Selected docs per source = the longest md5
+    // prefix whose token total stays under the source's budget.
+    QDef("q_mixture_budget",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |ns AS (SELECT source, CAST(sum(toks) AS BIGINT) AS n_toks
+        |       FROM t GROUP BY source),
+        |w AS (SELECT source, n_toks,
+        |        CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000)
+        |          AS BIGINT) AS wfp
+        |      FROM ns),
+        |wt AS (SELECT CAST(sum(wfp) AS BIGINT) AS wtot FROM w),
+        |b AS (SELECT w.source, w.n_toks,
+        |        (12000 * w.wfp) // wt.wtot AS budget
+        |      FROM w CROSS JOIN wt),
+        |c AS (SELECT t.doc_id, t.source, t.toks,
+        |    sum(t.toks) OVER (PARTITION BY t.source ORDER BY t.ord, t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.toks,
+        |  CAST(c.cum AS BIGINT) AS cum_tokens, CAST(b.budget AS BIGINT) AS budget
+        |FROM c JOIN b ON b.source = c.source
+        |WHERE c.cum - c.toks < b.budget
+        |""".stripMargin) { (s, dir) =>
+      val t = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val ns = t.groupBy("source").agg(sum(col("toks")).cast("long").as("n_toks"))
+      val w = ns.withColumn("wfp",
+        floor(sqrt(col("n_toks").cast("double")) * 1000000).cast("long"))
+      val wt = w.agg(sum(col("wfp")).cast("long").as("wtot"))
+      val budgets = w.crossJoin(broadcast(wt))
+        .select(col("source"), expr("(12000 * wfp) div wtot").as("budget"))
+      graft.plans.PrefixSum.perKey(t, "source",
+          md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+          col("toks"), "cum")
+        .join(broadcast(budgets), "source")
+        .filter(col("cum") - col("toks") < col("budget"))
+        .select(col("doc_id"), col("source"), col("toks"),
+          col("cum").as("cum_tokens"), col("budget"))
     }
   )
 }

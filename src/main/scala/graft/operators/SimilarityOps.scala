@@ -372,5 +372,62 @@ object SimilarityOps {
       explodeRanked(scored.groupBy(col("qid"))
         .agg(topkBy(col("cos"), col("vec_id"), 3).as("top")))
     },
+
+    // Truncated-dimension quality curve: top-10 cosine neighbors of
+    // query 0 computed on the FIRST d dims (d ∈ 8,16,32,64) and the
+    // overlap of each truncated top-10 with the full-dim top-10 — the
+    // measurement behind "how many dims do we actually have to store"
+    // (Matryoshka-style prefix truncation: at 100 TB, a d/64 prefix
+    // scan is a d/64 I/O bill). One scan; the per-dim ranking is the
+    // map-side topk_by; the overlap join is 10×4 rows.
+    QDef("q_sim_dim_curve",
+      """WITH dims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dim),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |x AS (SELECT d.dim, e.vec_id,
+        |        unnest(e.embedding) AS a, unnest(q.qv) AS b,
+        |        generate_subscripts(e.embedding, 1) AS i
+        |      FROM embeddings e CROSS JOIN q CROSS JOIN dims d
+        |      WHERE e.vec_id <> 0),
+        |dd AS (SELECT dim, vec_id,
+        |         sum(CASE WHEN i <= dim THEN CAST(a AS DOUBLE) * b ELSE 0 END) AS dot,
+        |         sum(CASE WHEN i <= dim THEN CAST(a AS DOUBLE) * a ELSE 0 END) AS na,
+        |         sum(CASE WHEN i <= dim THEN CAST(b AS DOUBLE) * b ELSE 0 END) AS nb
+        |       FROM x GROUP BY dim, vec_id),
+        |sc AS (SELECT dim, vec_id,
+        |         round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM dd),
+        |r AS (SELECT dim, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY dim
+        |          ORDER BY cos DESC, vec_id) AS rn
+        |      FROM sc),
+        |top AS (SELECT dim, vec_id FROM r WHERE rn <= 10),
+        |full_top AS (SELECT vec_id FROM top WHERE dim = 64)
+        |SELECT t.dim,
+        |  CAST(count(f.vec_id) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS k
+        |FROM top t LEFT JOIN full_top f ON f.vec_id = t.vec_id
+        |GROUP BY t.dim ORDER BY t.dim
+        |""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      ensure(e)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dims = s.range(1).select(
+        explode(array(Seq(8, 16, 32, 64).map(d => lit(d.toLong)): _*)).as("dim"))
+      val scored = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)).crossJoin(broadcast(dims))
+        .withColumn("cos", round(VectorOps.cosine(
+          slice(col("embedding"), lit(1), col("dim").cast("int")),
+          slice(col("qv"), lit(1), col("dim").cast("int"))), 6))
+      val top = scored.groupBy(col("dim"))
+        .agg(topkBy(col("cos"), col("vec_id"), 10).as("top"))
+        .select(col("dim"), explode(col("top.id")).as("vec_id"))
+        .localCheckpoint()
+      val fullTop = top.filter(col("dim") === 64)
+        .select(col("vec_id").as("fid"))
+      top.join(broadcast(fullTop), col("vec_id") === col("fid"), "left")
+        .groupBy("dim")
+        .agg(count(col("fid")).cast("long").as("hits"),
+          count(lit(1)).cast("long").as("k"))
+        .orderBy("dim")
+    },
   )
 }

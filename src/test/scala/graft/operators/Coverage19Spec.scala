@@ -225,7 +225,74 @@ class Coverage19Spec extends AnyFunSuite {
     assert(known > 0, "corpus has no duplicate clusters — test is vacuous")
   }
 
+  // ---- temperature-mixed budgets ------------------------------------------
+
+  test("q_mixture_budget: budgets follow sqrt mass, selection is the " +
+      "md5-prefix under each budget") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS toks")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // brute-force budgets: fixed-point sqrt weights, exact int division
+    val ns = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val wfp = ns.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1000000).toLong).toMap
+    val wtot = wfp.values.sum
+    val budget = wfp.view.mapValues(w => 12000L * w / wtot).toMap
+    // brute-force selection: per source, md5(doc_id) order, take while
+    // the RUNNING total before the doc stays under budget
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = toks.groupBy(_._2).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (md5hex(d._1.toString), d._1)).flatMap { d =>
+        val take = cum < budget(src)
+        cum += d._3
+        if (take) Some((d._1, src, d._3, cum, budget(src))) else None
+      }
+    }.toSet
+    val got = run("q_mixture_budget").map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // the temperature property: every source with positive mass gets a
+    // positive budget, and the FLATTENED shares sit closer to uniform
+    // than the raw token shares (that is what α = 0.5 is for)
+    assert(budget.values.forall(_ > 0))
+    val rawMax = ns.values.max.toDouble / ns.values.sum
+    val mixMax = budget.values.max.toDouble / budget.values.sum
+    assert(mixMax <= rawMax + 1e-9)
+  }
+
   // ---- hard negatives ---------------------------------------------------
+
+  test("q_sim_dim_curve: prefix-dim top-10 overlap vs full dim, " +
+      "brute-forced; the full dim overlaps itself completely") {
+    val e = graft.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = e.find(_._1 == 0L).get._2
+    def cosD(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top10(d: Int): Set[Long] = e.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cosD(v, qv, d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val full = top10(64)
+    val expected = Seq(8, 16, 32, 64)
+      .map(d => (d.toLong, (top10(d) & full).size.toLong, 10L))
+    val got = run("q_sim_dim_curve")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.last == ((64L, 10L, 10L)))
+  }
 
   test("q_hard_negatives: different-label top-3 per query, brute-forced") {
     val e = graft.table(spark, sfDir, "embeddings")

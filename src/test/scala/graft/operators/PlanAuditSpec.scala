@@ -122,6 +122,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // two corpus passes (root + side-keyed histograms), the rest
     // grid-sized: 11 observed + 1 slack
     "q_tree_depth2" -> Budget(maxExchanges = 12),
+    // sqrt-weight table is |sources|-sized (broadcast); the PrefixSum
+    // rank machinery pays the rest: 9 observed + 1 slack
+    "q_mixture_budget" -> Budget(maxExchanges = 10),
+    // one scan × 4 broadcast dims, map-side topk_by, 40-row overlap
+    "q_sim_dim_curve" -> Budget(maxExchanges = 4),
     // cohort agg + join-side agg + the (cohort, age) rollup
     "q_cohort_ltv" -> Budget(maxExchanges = 3),
     // daily agg + bounded lag-join rollup + two 1-row stat aggs; every
