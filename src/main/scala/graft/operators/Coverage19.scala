@@ -572,6 +572,82 @@ object Coverage19 {
         .filter(col("cum") - col("toks") < col("budget"))
         .select(col("doc_id"), col("source"), col("toks"),
           col("cum").as("cum_tokens"), col("budget"))
+    },
+
+    // ---- corpus prep, mixed edition (the session's flagship) ------------
+    // The training-set recipe END TO END in one declarative plan:
+    // quality filter (bottom-quartile alpha cut) → LEAKAGE-SAFE train
+    // split (hash on the dedup-cluster canonical — computed over the
+    // FULL corpus, so the split of a surviving doc never depends on
+    // which of its near-dups the quality cut kept) → sqrt-temperature
+    // per-source token budgets over the survivors → deterministic
+    // md5-prefix fill. Each stage's standalone twin is its own oracle
+    // row (q_quality_filter, q_split_leakage_safe, q_mixture_budget);
+    // this row pins the COMPOSITION, like q_corpus_prep does for the
+    // dedup pipeline. Data-sized work: the corpus scan, the LSH/CC
+    // label attach (keyed join), and the PrefixSum rank — budgets and
+    // cutoffs ride 1-row/`|sources|`-row broadcasts.
+    QDef("q_corpus_prep_mixed",
+      s"""WITH RECURSIVE
+        |${DedupOps.shingleOracleCtes},
+        |${DedupOps.reachOracleCtes},
+        |cc AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id),
+        |m AS (SELECT doc_id, source, text,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, text FROM m
+        |      WHERE alpha > (SELECT quantile_cont(alpha, 0.25) FROM m)),
+        |tr AS (SELECT q.doc_id, q.source, q.text
+        |       FROM q LEFT JOIN cc USING (doc_id)
+        |       WHERE (coalesce(cc.canonical, q.doc_id) * 2654435761) % 100 < 80),
+        |t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM tr),
+        |ns AS (SELECT source, CAST(sum(toks) AS BIGINT) AS n_toks
+        |       FROM t GROUP BY source),
+        |w AS (SELECT source,
+        |        CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000)
+        |          AS BIGINT) AS wfp
+        |      FROM ns),
+        |wt AS (SELECT CAST(sum(wfp) AS BIGINT) AS wtot FROM w),
+        |b AS (SELECT w.source, (9600 * w.wfp) // wt.wtot AS budget
+        |      FROM w CROSS JOIN wt),
+        |c AS (SELECT t.doc_id, t.source, t.toks,
+        |    sum(t.toks) OVER (PARTITION BY t.source ORDER BY t.ord, t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.toks,
+        |  CAST(c.cum AS BIGINT) AS cum_tokens, CAST(b.budget AS BIGINT) AS budget
+        |FROM c JOIN b ON b.source = c.source
+        |WHERE c.cum - c.toks < b.budget
+        |""".stripMargin) { (s, dir) =>
+      val m = table(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("text"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / length(col("text"))).as("alpha"))
+      val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
+      val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
+      val cc = DedupOps.clusterLabelsFor(s, dir, 0.8)
+      val tr = q.join(cc, Seq("doc_id"), "left")
+        .filter((coalesce(col("canonical"), col("doc_id"))
+          * 2654435761L) % 100 < 80)
+      val t = tr.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val ns = t.groupBy("source").agg(sum(col("toks")).cast("long").as("n_toks"))
+      val w = ns.withColumn("wfp",
+        floor(sqrt(col("n_toks").cast("double")) * 1000000).cast("long"))
+      val wt = w.agg(sum(col("wfp")).cast("long").as("wtot"))
+      val budgets = w.crossJoin(broadcast(wt))
+        .select(col("source"), expr("(9600 * wfp) div wtot").as("budget"))
+      graft.plans.PrefixSum.perKey(t, "source",
+          md5(col("doc_id").cast("string").cast("binary")), "doc_id",
+          col("toks"), "cum")
+        .join(broadcast(budgets), "source")
+        .filter(col("cum") - col("toks") < col("budget"))
+        .select(col("doc_id"), col("source"), col("toks"),
+          col("cum").as("cum_tokens"), col("budget"))
     }
   )
 }

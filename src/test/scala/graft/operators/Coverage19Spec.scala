@@ -265,6 +265,53 @@ class Coverage19Spec extends AnyFunSuite {
     assert(mixMax <= rawMax + 1e-9)
   }
 
+  test("q_corpus_prep_mixed equals a stage-wise driver-side recompute") {
+    val docs = graft.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // stage 1: quality cut (exact interpolated quartile, Spark's
+    // `percentile` definition: index p*(n-1), linear interpolation)
+    def alpha(t: String): Double =
+      t.count(c => c >= 'a' && c <= 'z').toDouble / t.length
+    val alphas = docs.map(d => alpha(d._3)).sorted
+    val idx = 0.25 * (alphas.size - 1)
+    val (lo, hi) = (alphas(idx.toInt), alphas(math.ceil(idx).toInt))
+    val cut = lo + (hi - lo) * (idx - idx.toInt)
+    val q = docs.filter(d => alpha(d._3) > cut)
+    // stage 2: leakage-safe train split on full-corpus cluster labels
+    val cc = DedupOps.clusterLabelsFor(spark, sfDir, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = q.filter(d => (cc.getOrElse(d._1, d._1) * 2654435761L) % 100 < 80)
+    // stage 3: sqrt-temperature budgets over the SURVIVORS
+    val toks = tr.map(d => (d._1, d._2,
+      d._3.trim.split("\\s+").length.toLong))
+    val ns = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val wfp = ns.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1000000).toLong).toMap
+    val wtot = wfp.values.sum
+    val budget = wfp.view.mapValues(w => 9600L * w / wtot).toMap
+    // stage 4: md5-prefix fill
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = toks.groupBy(_._2).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (md5hex(d._1.toString), d._1)).flatMap { d =>
+        val take = cum < budget(src)
+        cum += d._3
+        if (take) Some((d._1, src, d._3, cum, budget(src))) else None
+      }
+    }.toSet
+    val got = run("q_corpus_prep_mixed").map(r => (r.getLong(0),
+      r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // the leakage property survives the composition: every selected
+    // doc's cluster hashes into the train band
+    got.foreach { case (id, _, _, _, _) =>
+      assert((cc.getOrElse(id, id) * 2654435761L) % 100 < 80)
+    }
+  }
+
   // ---- hard negatives ---------------------------------------------------
 
   test("q_sim_dim_curve: prefix-dim top-10 overlap vs full dim, " +

@@ -125,6 +125,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // sqrt-weight table is |sources|-sized (broadcast); the PrefixSum
     // rank machinery pays the rest: 9 observed + 1 slack
     "q_mixture_budget" -> Budget(maxExchanges = 10),
+    // the composition flagship: quality cut + LSH/CC label attach
+    // (cold plan includes the label pipeline; memoized runs fewer) +
+    // budgets + PrefixSum: 18 observed cold + 2 slack
+    "q_corpus_prep_mixed" -> Budget(maxExchanges = 20),
     // one scan × 4 broadcast dims, map-side topk_by, 40-row overlap
     "q_sim_dim_curve" -> Budget(maxExchanges = 4),
     // cohort agg + join-side agg + the (cohort, age) rollup
