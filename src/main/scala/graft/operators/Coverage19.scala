@@ -215,7 +215,8 @@ object Coverage19 {
         |  SELECT ns.source, cb.len, cb.cb, ns.n, ntot.ntot,
         |    CAST(coalesce(h.c, 0) AS BIGINT) AS o
         |  FROM ns CROSS JOIN cb CROSS JOIN ntot
-        |  LEFT JOIN h ON h.source = ns.source AND h.len = cb.len),
+        |  LEFT JOIN h ON h.source = ns.source AND h.len = cb.len
+        |  WHERE ns.n < ntot.ntot),
         |t AS (
         |  SELECT source, n,
         |    (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * cb / ntot)
@@ -237,8 +238,13 @@ object Coverage19 {
       val cb = h.groupBy("len").agg(sum(col("c")).cast("long").as("cb"))
       val ns = h.groupBy("source").agg(sum(col("c")).cast("long").as("n"))
       val nTot = h.agg(sum(col("c")).cast("long").as("ntot"))
+      // n < ntot: a source with an empty complement (single-source
+      // corpus) has no rest-of-corpus to test against — its statistic
+      // is undefined, and the unguarded arithmetic would divide by
+      // zero (NaN → three engines disagree on floor(NaN)); emit no row
       val x = ns.crossJoin(broadcast(cb)).crossJoin(broadcast(nTot))
         .join(h, Seq("source", "len"), "left")
+        .filter(col("n") < col("ntot"))
         .select(col("source"), col("len"), col("cb"), col("n"), col("ntot"),
           coalesce(col("c"), lit(0L)).as("o"))
       def term(oc: Column, nc: Column): Column = {

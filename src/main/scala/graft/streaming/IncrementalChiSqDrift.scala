@@ -51,7 +51,12 @@ object IncrementalChiSqDrift {
     val grid = cells.map(_.len).distinct.sorted
     val nTot = cells.map(_.c).sum
     val byLen = cells.groupBy(_.len).view.mapValues(_.map(_.c).sum).toMap
-    cells.groupBy(_.source).toSeq.sortBy(_._1).map { case (src, cs) =>
+    // a source with an empty complement (single-source corpus) has no
+    // rest to test against — skip it, mirroring the batch plan's
+    // n < ntot guard (unguarded, the three implementations would
+    // disagree on floor(NaN))
+    cells.groupBy(_.source).toSeq.sortBy(_._1)
+      .filter(_._2.map(_.c).sum < nTot).map { case (src, cs) =>
       val n = cs.map(_.c).sum
       val mine = cs.map(c => c.len -> c.c).toMap
       val fp = grid.map { l =>

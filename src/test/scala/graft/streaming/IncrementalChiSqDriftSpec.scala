@@ -74,6 +74,13 @@ class IncrementalChiSqDriftSpec extends AnyFunSuite {
     assert(fin == batch, "final stream snapshot != q_chisq_drift")
   }
 
+  test("a single-source corpus emits no rows (statistic undefined " +
+      "against an empty complement — the n < ntot guard)") {
+    assert(IncrementalChiSqDrift.chisqOf(Seq(
+      IncrementalKsDrift.Cell("only", 5L, 3L),
+      IncrementalKsDrift.Cell("only", 9L, 2L))).isEmpty)
+  }
+
   test("single-batch and many-batch chunkings agree on the final snapshot") {
     val n = allObs.size
     val one = run(1).filter(_.n_total == n).map(r => r.source -> r.chisq).toMap
