@@ -40,6 +40,11 @@ object GridPercentile {
     * Every exchange below is bounded by groups×grid×|pcts|. */
   def percentiles(hist: DataFrame, group: Seq[String], bucket: String,
       pcts: Seq[Long], width: Long = 1L): DataFrame = {
+    // out-of-range percents don't crash this declarative form — they
+    // silently DROP the group's row (no cum ever reaches the threshold),
+    // which is worse; same boundary contract as the streaming sweep
+    require(pcts.forall(p => p >= 1L && p <= 100L),
+      s"percentiles must be in [1, 100], got ${pcts.mkString(", ")}")
     val s = hist.sparkSession
     val gcols = group.map(col)
     val ns = hist.groupBy(gcols: _*)

@@ -135,6 +135,53 @@ object IncrementalJoinView {
     private[cdc] def outer: Boolean = joinType != "inner"
   }
 
+  /** N-WAY JOIN VIEWS BY COMPOSITION: a chain of [[JoinViewDef]]s in
+    * which each later view's LEFT "table" is the PREVIOUS view's
+    * materialized output — legal because `applyChanges` records a
+    * change feed for EVERY store table, views included, so a
+    * maintained view is a first-class delta source for the next view
+    * (the distinct cascade's move, generalized across joins). A 3-way
+    * customer ⋈ orders ⋈ items rollup is a 2-link chain: link 1
+    * materializes the ROW-LEVEL joined relation (groupBy = the left
+    * PK plus the passthrough columns the next link needs — each group
+    * is one joined row, n = 1), link 2 joins the third table against
+    * that view's feed and aggregates. Refresh order is upstream-first
+    * (the chain-typed `refreshToCurrent` walks the links;
+    * MirrorPipeline's `joinViews` refresh in declaration order, so
+    * passing `chain.defs` rides the stream).
+    * Each link keeps its OWN marker/intent crash protocol — a crash
+    * between links resumes exactly-once per leg, the upstream simply
+    * running ahead until the next refresh catches the downstream up.
+    * Cost per refresh stays O(Δ · fan-out + touched groups) PER LINK;
+    * the intermediate view is base-sized only when the rollup
+    * genuinely needs row-level composition (it is the classic IVM
+    * delta-join tree, materialized one binary join at a time).
+    * JoinViewIvmSpec pins the 3-way rollup recompute-exact under
+    * 25-round churn on all three tables, riding MirrorPipeline. */
+  final case class JoinViewChain(defs: Seq[JoinViewDef]) {
+    require(defs.nonEmpty, "a chain needs at least one join view")
+    defs.sliding(2).foreach {
+      case Seq(up, down) =>
+        require(down.left == up.view,
+          s"chain break: '${down.view}' reads left table '${down.left}' " +
+            s"but the previous link materializes '${up.view}'")
+        require(down.leftPks == up.vdef.groupBy,
+          s"chain break: '${down.view}' declares leftPks " +
+            s"${down.leftPks.mkString(",")} but '${up.view}' is keyed by " +
+            s"its groupBy ${up.vdef.groupBy.mkString(",")}")
+      case _ => // single link — nothing to validate
+    }
+  }
+
+  /** Advance every link of the chain, upstream first — each link's
+    * own `refreshToCurrent` crash protocol applies unchanged. */
+  def refreshToCurrent(store: ParquetTableStore, chain: JoinViewChain): Unit =
+    chain.defs.foreach(refreshToCurrent(store, _))
+
+  /** The chain's final rollup with derived consumer columns. */
+  def read(store: ParquetTableStore, chain: JoinViewChain): Option[DataFrame] =
+    read(store, chain.defs.last)
+
   /** The occurrence view of the distinct cascade: the SAME join, one
     * count-only view per distinct column grouped by (groupBy, c) —
     * wholly inside the join-view machinery, so it inherits joinType,

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * layout-sensitive table pass `preserveSortWithin` to re-establish a
   * per-file sort (cheap local sort, no exchange beyond the
   * repartition), keeping min/max pruning effective after the rewrite.
+  * A table whose scans filter on TWO correlated dimensions passes
+  * `zOrderBy` instead: the rewrite re-clusters on the Morton curve
+  * (the ZOrder.write layout at the byte-derived file count), so the
+  * maintenance pass that fixes the file-count pathology ALSO restores
+  * the 2-d data-skipping a stream of appends erodes — file-level
+  * min/max stats are tight on both dimensions after every cycle
+  * (CompactionSpec measures the touched-file ratio surviving the
+  * cycle). Round-robin compaction would do the opposite: it shuffles
+  * rows arbitrarily, destroying whatever clustering the appends still
+  * had.
   *
   * The rewrite goes through a sibling temp dir + atomic-ish rename
   * swap rather than `overwrite` on the live path, so a reader that
@@ -51,7 +61,11 @@ object Compaction {
     * `_compact_tmp`/`_compact_old` sibling (cleaned on the next run),
     * but the live path always holds a complete file set. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-      preserveSortWithin: Seq[String] = Nil): (Int, Int) = {
+      preserveSortWithin: Seq[String] = Nil,
+      zOrderBy: Option[(String, String)] = None): (Int, Int) = {
+    require(zOrderBy.isEmpty || preserveSortWithin.isEmpty,
+      "pass either zOrderBy (Morton re-cluster) or preserveSortWithin " +
+        "(per-file sort), not both — they prescribe conflicting layouts")
     // fail FAST on a non-local path: the java.io walk below would see
     // an empty directory on hdfs://s3a:// and "compact" the table to
     // nothing was the failure mode; documented contract above. An
@@ -66,23 +80,33 @@ object Compaction {
         s"walk + rename swap); got '$dir' — use a transactional table " +
         s"format's own compaction on object stores")
     val dir0 = if (uri.getScheme == "file") uri.getPath else dir
-    return compactLocal(spark, dir0, targetBytes, preserveSortWithin)
+    return compactLocal(spark, dir0, targetBytes, preserveSortWithin, zOrderBy)
   }
 
   private def compactLocal(spark: SparkSession, dir: String,
-      targetBytes: Long, preserveSortWithin: Seq[String]): (Int, Int) = {
+      targetBytes: Long, preserveSortWithin: Seq[String],
+      zOrderBy: Option[(String, String)]): (Int, Int) = {
     val (bytes, before) = stats(spark, dir)
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
-    val rewritten = {
-      val rep = df.repartition(n)
-      if (preserveSortWithin.nonEmpty)
-        rep.sortWithinPartitions(preserveSortWithin.map(col): _*)
-      else rep
+    // the Morton re-cluster writes through ZOrder.write's own
+    // range-partitioned layout into the temp dir, then swaps below —
+    // one skew-aware sampled shuffle, the same cost class as the
+    // round-robin repartition it replaces
+    val rewritten = zOrderBy match {
+      case Some(_) => df // layout handled by ZOrder.write at the swap
+      case None =>
+        val rep = df.repartition(n)
+        if (preserveSortWithin.nonEmpty)
+          rep.sortWithinPartitions(preserveSortWithin.map(col): _*)
+        else rep
     }
     val tmp = dir.stripSuffix("/") + "_compact_tmp"
     val old = dir.stripSuffix("/") + "_compact_old"
-    rewritten.write.mode("overwrite").parquet(tmp)
+    zOrderBy match {
+      case Some((a, b)) => ZOrder.write(rewritten, a, b, tmp, n)
+      case None => rewritten.write.mode("overwrite").parquet(tmp)
+    }
     val dirF = new java.io.File(dir); val tmpF = new java.io.File(tmp)
     val oldF = new java.io.File(old)
     def rm(f: java.io.File): Unit = {

@@ -593,20 +593,38 @@ object Coverage19 {
     // dedup pipeline. Data-sized work: the corpus scan, the LSH/CC
     // label attach (keyed join), and the PrefixSum rank — budgets and
     // cutoffs ride 1-row/`|sources|`-row broadcasts.
+    //
+    // The quality cut is RANK-BASED (round-12 advice): alpha is floored
+    // into 1e-6 fixed-point, the cut value is the ceil(n/4)-th smallest
+    // afp read off a grid-sized histogram (smallest afp whose cumulative
+    // count reaches the threshold — integer arithmetic end to end), and
+    // survivors are strictly above it. The standalone twin's
+    // `alpha > quantile_cont(alpha, 0.25)` relies on Spark `percentile`
+    // and DuckDB `quantile_cont` producing bit-identical interpolated
+    // doubles — mathematically equal but expressed differently, one ulp
+    // from a boundary flip; the rank cut has no interpolated double
+    // anywhere. The split coin is the md5-prefix idiom
+    // (q_train_test_split — the Knuth multiply overflows int64 for
+    // canonicals ≥ ~3.47e9, routine at 100 TB).
     QDef("q_corpus_prep_mixed",
       s"""WITH RECURSIVE
         |${DedupOps.shingleOracleCtes},
         |${DedupOps.reachOracleCtes},
         |cc AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id),
         |m AS (SELECT doc_id, source, text,
-        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-        |      / length(text) AS alpha
+        |    CAST(floor(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) * 1000000) AS BIGINT) AS afp
         |  FROM documents),
-        |q AS (SELECT doc_id, source, text FROM m
-        |      WHERE alpha > (SELECT quantile_cont(alpha, 0.25) FROM m)),
+        |hist AS (SELECT afp, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY afp),
+        |kk AS (SELECT (sum(c) + 3) // 4 AS k FROM hist),
+        |cut AS (SELECT min(afp) AS cutfp FROM
+        |         (SELECT afp, sum(c) OVER (ORDER BY afp) AS cum FROM hist) h
+        |         CROSS JOIN kk WHERE h.cum >= kk.k),
+        |q AS (SELECT doc_id, source, text FROM m CROSS JOIN cut
+        |      WHERE m.afp > cut.cutfp),
         |tr AS (SELECT q.doc_id, q.source, q.text
         |       FROM q LEFT JOIN cc USING (doc_id)
-        |       WHERE (coalesce(cc.canonical, q.doc_id) * 2654435761) % 100 < 80),
+        |       WHERE substring(md5(CAST(coalesce(cc.canonical, q.doc_id) AS VARCHAR)), 1, 8) < 'cccccccc'),
         |t AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
         |    md5(CAST(doc_id AS VARCHAR)) AS ord
@@ -631,14 +649,22 @@ object Coverage19 {
         |""".stripMargin) { (s, dir) =>
       val m = table(s, dir, "documents").select(
         col("doc_id"), col("source"), col("text"),
-        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
-          / length(col("text"))).as("alpha"))
-      val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
-      val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
+        floor(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / length(col("text")) * 1000000).cast("long").as("afp"))
+      // the cut rides a GRID-sized histogram (≤1e6+1 fixed-point cells
+      // at any corpus size), so the single-partition cumulative window
+      // is bounded — the q_grid_percentile shape, never a corpus sort
+      val hist = m.groupBy("afp").agg(count(lit(1)).as("c"))
+      val kk = hist.agg(expr("(sum(c) + 3) div 4").as("k"))
+      val cut = hist.withColumn("cum",
+          sum(col("c")).over(Window.orderBy("afp")))
+        .crossJoin(broadcast(kk)).filter(col("cum") >= col("k"))
+        .agg(min(col("afp")).as("cutfp"))
+      val q = m.crossJoin(broadcast(cut)).filter(col("afp") > col("cutfp"))
       val cc = DedupOps.clusterLabelsFor(s, dir, 0.8)
       val tr = q.join(cc, Seq("doc_id"), "left")
-        .filter((coalesce(col("canonical"), col("doc_id"))
-          * 2654435761L) % 100 < 80)
+        .filter(substring(md5(coalesce(col("canonical"), col("doc_id"))
+          .cast("string").cast("binary")), 1, 8) < "cccccccc")
       val t = tr.select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
       val ns = t.groupBy("source").agg(sum(col("toks")).cast("long").as("n_toks"))

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion — the read-path algebra that joins the
+  * engine's two retrieval families (BM25 keyword ranking and IVF-PQ
+  * vector ANN) into the hybrid search a RAG deployment actually ships.
+  * Shared verbatim by the batch query (q_hybrid_retrieval) and the
+  * stream-maintained-index read
+  * ([[graft.streaming.IncrementalHybrid]]), so stream==batch equality
+  * is one formula, not two.
+  *
+  * RRF(d) = Σ_systems 1/(C + rank_sys(d)), C = 60 (Cormack et al.'s
+  * constant). The sum is RATIONAL: computed as
+  * `10¹² div (C + rank)` — pure int64 division, identical on every
+  * engine, no float anywhere — then summed exactly. A document in one
+  * list only contributes that list's term (the standard RRF treatment
+  * of one-sided candidates: full outer join, missing rank = zero
+  * contribution). Ties break on doc_id — deterministic, hash-exact.
+  *
+  * Scale shape: both inputs are ALREADY top-k lists (≤ tens of rows —
+  * the bounded outputs of TakeOrdered / topk_by aggregates over the
+  * data-sized scans), so the fusion itself is driver-trivial: a full
+  * outer join of two broadcast-sized frames and one TakeOrdered. The
+  * heavy lifting stays in the legs, where the existing plans already
+  * prune (term_bucket files / centroid_id partitions).
+  */
+object HybridRetrieval {
+
+  /** The RRF constant (Cormack/Clarke/Buettcher 2009). */
+  val C = 60L
+
+  /** Fixed-point scale: 1/(C+r) carried as 10¹² div (C+r). With
+    * C = 60 and rank ≥ 1 the per-term value sits in [9.8e9, 1.6e10] —
+    * summing even thousands of systems stays far inside int64. */
+  val FP = 1000000000000L
+
+  /** Fuse a lexical (doc_id, lex_rnk) list with a vector
+    * (doc_id, ann_rnk) list into the RRF top-k:
+    * (doc_id, lex_rnk, ann_rnk, rrf_fp, rnk). Missing-side ranks stay
+    * NULL in the output (the consumer sees WHY a doc ranked).
+    *
+    * Shape: the full-outer-join formulation RRF is usually written as
+    * would plan a SortMergeJoin (equi full outer has no broadcast
+    * form); a union + ONE hash aggregate computes the identical
+    * result with no join at all — each doc appears at most once per
+    * leg, so `max(when(leg, rnk))` recovers each side's rank and the
+    * integer sum folds both contributions. Generalizes to N legs
+    * unchanged. */
+  def fuse(lex: DataFrame, ann: DataFrame, k: Int): DataFrame = {
+    val tagged = lex
+      .select(col("doc_id"), col("lex_rnk").as("rnk"), lit(true).as("is_lex"))
+      .unionByName(ann
+        .select(col("doc_id"), col("ann_rnk").as("rnk"),
+          lit(false).as("is_lex")))
+    val fused = tagged.groupBy("doc_id").agg(
+      max(when(col("is_lex"), col("rnk"))).as("lex_rnk"),
+      max(when(!col("is_lex"), col("rnk"))).as("ann_rnk"),
+      sum(expr(s"$FP div ($C + rnk)")).as("rrf_fp"))
+    fused.orderBy(col("rrf_fp").desc, col("doc_id")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rnk"), col("ann_rnk"),
+        col("rrf_fp"), col("rnk"))
+  }
+}
+
+/** Round-13 coverage: hybrid retrieval — the fused lexical ⊕ vector
+  * read path (round-12 verdict #1). The engine already had both
+  * halves (q_bm25's ranked keyword retrieval, q_sim_ann_ivfpq's
+  * quantized ANN) each with a live stream-maintained index twin; this
+  * module pins their FUSION, batch (full DuckDB oracle) and streaming
+  * ([[graft.streaming.IncrementalHybrid]] over IncrementalPostings +
+  * IncrementalIvf, stream==batch + takedown parity in
+  * IncrementalHybridSpec). */
+object Coverage20 {
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- hybrid retrieval: BM25 ⊕ IVF-PQ by reciprocal-rank fusion ----
+    // One fixed query, both modalities: the 3-term keyword query scores
+    // BM25 top-20 over documents; vec_id 0's embedding probes the
+    // IVF-PQ index for ANN top-20 over embeddings (vec_id IS the
+    // embedded doc's id — the tables share the id domain); RRF with
+    // C = 60 fuses the two rankings, top-10. Every ingredient reuses
+    // the standalone query's exact arithmetic (Bm25.rank,
+    // SimilarityOps.ivfPqSearch), and the fusion is integer-exact
+    // (10¹² div (60 + rank) — no float), so the full pipeline is
+    // DuckDB-recomputable end to end: the oracle is q_bm25's CTEs plus
+    // q_sim_ann_ivfpq's CTEs plus a 3-line integer fusion.
+    //
+    // Scale: the legs are the already-audited retrieval plans (postings
+    // explode filtered to the query vocabulary before any shuffle;
+    // codes scanned only in probed buckets, floats only for the
+    // shortlist); the fusion joins two ≤20-row lists.
+    QDef("q_hybrid_retrieval",
+      """WITH lexq(term) AS (VALUES ('hash'), ('join'), ('filter')),
+        |docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok JOIN lexq USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |score AS (
+        |  SELECT tf.doc_id,
+        |    sum(CAST(
+        |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+        |      AS DECIMAL(38,10))) AS sc
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS lex_rnk
+        |        FROM score ORDER BY sc DESC, doc_id LIMIT 20),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+        |vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+        |       FROM embeddings e CROSS JOIN c),
+        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM ax GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS rn
+        |        FROM ad),
+        |assigned AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
+        |res AS (
+        |  SELECT a.vec_id, a.centroid_id,
+        |    list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS r
+        |  FROM assigned a JOIN embeddings e USING (vec_id) JOIN c ON c.cid = a.centroid_id),
+        |pq AS (
+        |  SELECT vec_id, centroid_id, r,
+        |    CASE WHEN list_max(list_transform(r, x -> abs(x))) > 0
+        |         THEN 127.0 / list_max(list_transform(r, x -> abs(x))) ELSE 0.0 END AS sc
+        |  FROM res),
+        |codes AS (SELECT vec_id, centroid_id, sc,
+        |    list_transform(r, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS q8 FROM pq),
+        |px AS (SELECT vq.qid, c.cid, unnest(vq.qv) AS a, unnest(c.cv) AS b
+        |       FROM vq CROSS JOIN c),
+        |pd AS (SELECT qid, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM px GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS pr
+        |    FROM pd) WHERE pr <= 8),
+        |recon AS (
+        |  SELECT k.vec_id, k.centroid_id,
+        |    list_transform(c.cv, (cx, i) -> CAST(cx AS DOUBLE) +
+        |      CASE WHEN k.sc = 0 THEN 0.0 ELSE k.q8[i] / k.sc END) AS xhat
+        |  FROM codes k JOIN c ON c.cid = k.centroid_id),
+        |appxu AS (
+        |  SELECT p.qid, r.vec_id, unnest(r.xhat) AS a, unnest(vq.qv) AS b
+        |  FROM probes p
+        |  JOIN recon r ON r.centroid_id = p.cid
+        |  JOIN vq ON vq.qid = p.qid
+        |  WHERE r.vec_id <> p.qid),
+        |appxd AS (SELECT qid, vec_id, sum(a * CAST(b AS DOUBLE)) AS dot,
+        |              sum(a * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM appxu GROUP BY 1, 2),
+        |shortlist AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id) AS ar
+        |    FROM appxd) WHERE ar <= 60),
+        |cx AS (SELECT sl.qid, sl.vec_id, unnest(e.embedding) AS a, unnest(vq.qv) AS b
+        |       FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.vec_id
+        |       JOIN vq ON vq.qid = sl.qid),
+        |cd AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
+        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+        |       FROM cx GROUP BY 1, 2),
+        |sc2 AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM cd),
+        |ann AS (SELECT vec_id AS doc_id,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS ann_rnk
+        |        FROM sc2 ORDER BY cos DESC, vec_id LIMIT 20),
+        |fused AS (
+        |  SELECT doc_id, lex_rnk, ann_rnk,
+        |    coalesce(1000000000000 // (60 + lex_rnk), 0)
+        |      + coalesce(1000000000000 // (60 + ann_rnk), 0) AS rrf_fp
+        |  FROM lex FULL JOIN ann USING (doc_id))
+        |SELECT doc_id, lex_rnk, ann_rnk, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+        |  CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rnk
+        |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
+        |""".stripMargin) { (s, dir) =>
+      val terms = Seq("hash", "join", "filter")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val postings = docs
+        .select(col("doc_id"), explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+      val lex = Bm25.rank(postings, stats, 20)
+        .select(col("doc_id"), col("rnk").as("lex_rnk"))
+      val e = table(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val vq = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ann = SimilarityOps.ivfPqSearch(
+          SimilarityOps.pqCodes(SimilarityOps.ivfAssign(e, 97), centroids),
+          centroids, e, vq, k = 20, nprobe = 8, refine = 3)
+        .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))
+      HybridRetrieval.fuse(lex, ann, 10)
+    }
+  )
+}

@@ -418,7 +418,14 @@ object DedupOps {
     * embedding-LSH oracles so the arithmetic can never drift between
     * them. `buck` is referenced twice (the band self-join): MATERIALIZED
     * keeps DuckDB from inlining — and re-running — the whole projection
-    * chain per reference (a long-session OOM otherwise). */
+    * chain per reference (a long-session OOM otherwise).
+    *
+    * Id-domain contract for the Knuth multiply below: the multiplicand
+    * is `p·d + i` with p < 128 planes and i < d vector dims — bounded
+    * by 128·d (≈2¹³ at d=64), so `k · 2654435761` peaks around 2⁴⁵,
+    * nowhere near int64 overflow at ANY corpus size (the hash is over
+    * plane/dim indices, never over data-sized ids — unlike the split
+    * coins, which use the md5-prefix idiom for exactly that reason). */
   private val srpOracleCtes =
     """e AS (SELECT vec_id, embedding FROM embeddings),
       |x AS (SELECT vec_id, len(embedding) AS d,
@@ -730,8 +737,8 @@ object DedupOps {
         |lab AS (SELECT d.doc_id, coalesce(cc.canonical, d.doc_id) AS canonical
         |        FROM documents d LEFT JOIN cc USING (doc_id)),
         |sp AS (SELECT doc_id, canonical,
-        |         CASE WHEN (canonical * 2654435761) % 100 < 80 THEN 'train'
-        |              WHEN (canonical * 2654435761) % 100 < 90 THEN 'valid'
+        |         CASE WHEN substring(md5(CAST(canonical AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |              WHEN substring(md5(CAST(canonical AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
         |              ELSE 'test' END AS split
         |       FROM lab)
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
@@ -744,9 +751,12 @@ object DedupOps {
         .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("canonical"), col("doc_id")).as("canonical"))
-      val bucket = (col("canonical") * 2654435761L) % 100
+      // md5-prefix membership coin (q_train_test_split's overflow-free
+      // idiom — the Knuth multiply wraps int64 for canonicals ≥ ~3.47e9)
+      val bucket =
+        substring(md5(col("canonical").cast("string").cast("binary")), 1, 8)
       lab.select(col("doc_id"), col("canonical"),
-          when(bucket < 80, "train").when(bucket < 90, "valid")
+          when(bucket < "cccccccc", "train").when(bucket < "e6666666", "valid")
             .otherwise("test").as("split"))
         .groupBy("split")
         .agg(count(lit(1)).cast("long").as("n_docs"),

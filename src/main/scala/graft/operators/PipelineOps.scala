@@ -35,23 +35,31 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), round(col("alpha_ratio"), 6).as("alpha_ratio"))
     },
 
-    // Deterministic train/validation/test split: pure arithmetic on the
-    // id (identical on any engine, stable across runs and partitions —
-    // the property random() splits lack).
+    // Deterministic train/validation/test split: the membership coin is
+    // the doc id's md5 hex prefix (identical on any engine, stable
+    // across runs and partitions — the property random() splits lack).
+    // The md5-prefix idiom (q_sample_stratified_det's) is OVERFLOW-FREE
+    // at any id domain; the previous Knuth multiply `id * 2654435761`
+    // silently wraps int64 in Spark (non-ANSI) but RAISES in DuckDB for
+    // ids ≥ ~3.47e9 — a >3.5B-doc corpus, routine at 100 TB.
+    // Thresholds: 8 hex chars span 2³²; 0xCCCCCCCC/2³² = 80%,
+    // 0xE6666666/2³² = 90% (lexicographic compare of lowercase hex ==
+    // numeric compare of the 32-bit prefix).
     QDef("q_train_test_split",
       """SELECT split, COUNT(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM (
         |  SELECT doc_id,
-        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
         |         ELSE 'test' END AS split
         |  FROM documents) t
         |GROUP BY split
         |""".stripMargin) { (s, dir) =>
-      val bucket = (col("doc_id") * 2654435761L) % 100
+      val bucket =
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8)
       table(s, dir, "documents")
         .select(col("doc_id"),
-          when(bucket < 80, "train").when(bucket < 90, "valid")
+          when(bucket < "cccccccc", "train").when(bucket < "e6666666", "valid")
             .otherwise("test").as("split"))
         .groupBy("split")
         .agg(count(lit(1)).as("n"),

@@ -4,11 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Streaming chi-square drift: the incremental twin of q_chisq_drift
-  * (operators/Coverage19.scala), sharing its state shape with
-  * [[IncrementalKsDrift]] — the per-(source, length) count histogram
-  * is the sufficient statistic for BOTH monitors, so a deployment
-  * running the two pays for one fold (this object exists separately
-  * so each statistic's equality contract stays independently pinned).
+  * (operators/Coverage19.scala), sharing its state shape AND its state
+  * transition with [[IncrementalKsDrift]] — the per-(source, length)
+  * count histogram is the sufficient statistic for BOTH monitors, so a
+  * deployment running the two pays for one fold (this object exists
+  * separately so each statistic's equality contract stays
+  * independently pinned).
   *
   * After every micro-batch the operator emits, per source, the
   * chi-square homogeneity statistic of that source's accumulated
@@ -16,8 +17,11 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * the significance-weighted reading of the same histogram KS sweeps.
   *
   * STATE is O(sources × grid) in one global group (chi-square needs
-  * the cross-source marginals), identical to the KS stance; the sweep
-  * per batch costs |sources| × |grid|, corpus-size-free.
+  * the cross-source marginals), identical to the KS stance; the
+  * per-batch feed into that group is the KS monitor's map-side
+  * pre-reduction ([[IncrementalKsDrift.cellsOf]] — O(partitions ×
+  * sources × grid) cells per batch, never the raw rows), and the
+  * sweep per batch costs |sources| × |grid|, corpus-size-free.
   *
   * EQUALITY CONTRACT: after any prefix of micro-batches, the emitted
   * rows tagged with that prefix's accumulated count equal the batch
@@ -25,14 +29,15 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * same fixed-point reduction (each term floored at 1e-6 into a long;
   * floor of an identical IEEE double is unambiguous, which is what
   * makes the scala fold below bit-equal to the Spark plan AND the
-  * DuckDB oracle). Eviction/redelivery stances are IncrementalKsDrift's
-  * verbatim: grid-shaping and TTL-eviction live outside the algebra,
-  * and a replayed micro-batch distorts the statistic boundedly (it is
-  * a monitor, not an accountant — exact-once deployments feed from
-  * the store's merge).
+  * DuckDB oracle). Eviction and redelivery stances are
+  * IncrementalKsDrift's verbatim — `evictAfterBatches` drops sources
+  * idle past the TTL from the shared histogram (cold restart on
+  * reappearance), and a replayed micro-batch distorts the statistic
+  * boundedly (it is a monitor, not an accountant — exact-once
+  * deployments feed from the store's merge).
   */
 object IncrementalChiSqDrift {
-  import IncrementalKsDrift.{Cell, LenObs}
+  import IncrementalKsDrift.{Cell, KsState, LenObs}
 
   /** Per-source chi-square against the accumulated rest-of-corpus,
     * tagged with the accumulated doc count. `dof` = |grid| − 1. */
@@ -73,22 +78,17 @@ object IncrementalChiSqDrift {
     }
   }
 
-  /** The stream: every micro-batch folds its observations into the
-    * shared histogram shape and emits the full per-source snapshot. */
-  def drift(obs: Dataset[LenObs]): Dataset[ChiRow] = {
+  /** The stream: every micro-batch pre-reduces map-side, folds its
+    * cells into the shared histogram shape (evicting idle sources when
+    * asked), and emits the full per-source snapshot. */
+  def drift(obs: Dataset[LenObs],
+      evictAfterBatches: Option[Long] = None): Dataset[ChiRow] = {
     import obs.sparkSession.implicits._
-    obs.groupByKey(_ => 0)
-      .flatMapGroupsWithState[IncrementalKsDrift.KsState, ChiRow](
+    IncrementalKsDrift.cellsOf(obs).groupByKey(_ => 0)
+      .flatMapGroupsWithState[KsState, ChiRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, it, state) =>
-        val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
-        state.getOption.foreach(_.cells.foreach(c =>
-          acc((c.source, c.len)) = c.c))
-        it.foreach { o =>
-          acc((o.source, o.len)) = acc.getOrElse((o.source, o.len), 0L) + 1L
-        }
-        val cells = acc.toSeq.map { case ((s, l), c) => Cell(s, l, c) }
-        state.update(IncrementalKsDrift.KsState(cells.toArray))
+        val cells = IncrementalKsDrift.foldState(it, state, evictAfterBatches)
         chisqOf(cells).iterator
       }
   }

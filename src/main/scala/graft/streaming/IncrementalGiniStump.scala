@@ -15,8 +15,12 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * (feature, bucket, lang) count histogram — grid-bounded (96 buckets
   * × langs) no matter how many documents flow through — so state is
   * O(grid) in ONE group and the per-batch sweep costs |grid|×|langs|.
-  * Training a model whose sufficient statistics are a bounded
-  * histogram is a FOLD, and folds stream.
+  * The row stream is PRE-REDUCED map-side before the singleton group
+  * ([[cellsOf]]): each micro-batch partition folds its observations
+  * to local (feature, bucket, lang, count) cells, so the one-task
+  * shuffle carries O(partitions × grid) cells per batch, never
+  * O(batch rows). Training a model whose sufficient statistics are a
+  * bounded histogram is a FOLD, and folds stream.
   *
   * EQUALITY CONTRACT: after any prefix of micro-batches, the emitted
   * top-3 rows (tagged with the accumulated doc count) equal the batch
@@ -88,11 +92,32 @@ object IncrementalGiniStump {
     }
   }
 
-  /** The stream: fold both feature histograms in one grid-sized state
-    * group and emit the re-ranked top-3 every micro-batch. */
+  /** Map-side pre-reduction: fold each partition's observations into
+    * its local (feature, bucket, lang, count) cells (both feature
+    * bucketings from the one pass), so the singleton state group
+    * receives O(partitions × grid) cells per micro-batch instead of
+    * the raw row stream. */
+  private[streaming] def cellsOf(obs: Dataset[FObs]): Dataset[FCell] = {
+    import obs.sparkSession.implicits._
+    obs.mapPartitions { it =>
+      val acc = scala.collection.mutable
+        .Map.empty[(String, Long, String), Long]
+      it.foreach { o =>
+        acc(("n_chars", o.bChars, o.lang)) =
+          acc.getOrElse(("n_chars", o.bChars, o.lang), 0L) + 1L
+        acc(("n_tokens", o.bTokens, o.lang)) =
+          acc.getOrElse(("n_tokens", o.bTokens, o.lang), 0L) + 1L
+      }
+      acc.iterator.map { case ((f, b, l), c) => FCell(f, b, l, c) }
+    }
+  }
+
+  /** The stream: pre-reduce each micro-batch map-side, fold both
+    * feature histograms in one grid-sized state group, and emit the
+    * re-ranked top-3 every micro-batch. */
   def train(obs: Dataset[FObs]): Dataset[SplitRow] = {
     import obs.sparkSession.implicits._
-    obs.groupByKey(_ => 0)
+    cellsOf(obs).groupByKey(_ => 0)
       .flatMapGroupsWithState[FState, SplitRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, it, state) =>
@@ -100,11 +125,9 @@ object IncrementalGiniStump {
           .Map.empty[(String, Long, String), Long]
         state.getOption.foreach(_.cells.foreach(c =>
           acc((c.feature, c.b, c.lang)) = c.c))
-        it.foreach { o =>
-          acc(("n_chars", o.bChars, o.lang)) =
-            acc.getOrElse(("n_chars", o.bChars, o.lang), 0L) + 1L
-          acc(("n_tokens", o.bTokens, o.lang)) =
-            acc.getOrElse(("n_tokens", o.bTokens, o.lang), 0L) + 1L
+        it.foreach { fc =>
+          acc((fc.feature, fc.b, fc.lang)) =
+            acc.getOrElse((fc.feature, fc.b, fc.lang), 0L) + fc.c
         }
         val cells = acc.toSeq.map { case ((f, b, l), c) => FCell(f, b, l, c) }
         state.update(FState(cells.toArray))

@@ -54,6 +54,11 @@ object IncrementalGridPercentile {
     * read edge (and GridPercentile.percentiles'). */
   def sweep(group: String, counts: Map[Long, Long], pcts: Seq[Long],
       width: Long): Seq[PctRow] = {
+    // a percentile outside (0, 100] makes the ceil threshold exceed the
+    // total count, sending indexWhere to -1 and grid(-1) to a crash —
+    // reject at the boundary instead of inside a running stream
+    require(pcts.forall(p => p >= 1L && p <= 100L),
+      s"percentiles must be in [1, 100], got ${pcts.mkString(", ")}")
     val grid = counts.keys.toSeq.sorted
     val n = counts.values.sum
     val cum = grid.scanLeft(0L)((a, b) => a + counts(b)).tail

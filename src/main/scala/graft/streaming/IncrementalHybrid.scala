@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.operators.{HybridRetrieval, IvfIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid (lexical ⊕ vector) retrieval over the STREAM-MAINTAINED
+  * indexes: the continuous-ingestion read path of q_hybrid_retrieval.
+  * The lexical leg is [[IncrementalPostings.search]] (BM25 over the
+  * term-bucket-pruned postings tree, tombstones applied, corpus stats
+  * from the per-batch rows); the vector leg is
+  * [[graft.operators.IvfIndex.searchPq]] over the
+  * [[IncrementalIvf]]-maintained PQ layout (probed centroid_id
+  * partitions, int8 codes, exact re-rank); the fusion is
+  * [[graft.operators.HybridRetrieval.fuse]] — the SAME integer RRF the
+  * batch query runs, so stream==batch is one formula.
+  *
+  * Equality contract (IncrementalHybridSpec): after ingesting a corpus
+  * in ANY micro-batch split, the fused top-k equals the one-shot batch
+  * fusion over the same corpus — both legs are batch-split-invariant
+  * by their own contracts (BM25 ingredients are per-doc/corpus sums;
+  * IVF assignment is per-vector against fixed centroids), and fusion
+  * is a deterministic function of the two rankings. TAKEDOWN PARITY:
+  * tombstoning a document in both indexes (the compliance pass a
+  * training corpus runs) makes the fused read equal a batch fusion
+  * over the reduced corpus — each leg already proves its own takedown
+  * parity; this pins the composition.
+  */
+object IncrementalHybrid {
+
+  /** Fused top-k over the two maintained indexes. `queries` is the
+    * ANN leg's (qid, qv) frame; `terms` the lexical query. Leg depths
+    * and probe parameters mirror q_hybrid_retrieval's defaults. */
+  def search(spark: SparkSession, postingsDir: String, ivfDir: String,
+      terms: Seq[String], queries: DataFrame, k: Int,
+      kLex: Int = 20, kAnn: Int = 20, nprobe: Int = 8, refine: Int = 3)
+      : DataFrame = {
+    val lex = IncrementalPostings.search(spark, postingsDir, terms, kLex)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val ann = new IvfIndex(spark, ivfDir).searchPq(queries, kAnn, nprobe, refine)
+      .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))
+    HybridRetrieval.fuse(lex, ann, k)
+  }
+
+  /** Take a document down from BOTH halves of the hybrid read in one
+    * call — the compliance pass (text tombstones via
+    * [[IncrementalPostings.delete]], vector tombstones via
+    * [[graft.operators.IvfIndex.delete]]; physical removal rides each
+    * index's own consolidate). vec_id == doc_id is the id-domain
+    * contract the fusion itself relies on. */
+  def takedown(spark: SparkSession, postingsDir: String, ivfDir: String,
+      docIds: Seq[Long], deleteId: Long): Unit = {
+    IncrementalPostings.delete(spark, postingsDir, docIds, deleteId)
+    new IvfIndex(spark, ivfDir).delete(docIds, deleteId)
+  }
+}

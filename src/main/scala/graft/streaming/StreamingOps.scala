@@ -107,4 +107,30 @@ object StreamingOps {
       "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
       .select("purchase_id", "user_id", "p_ts", "view_id", "v_ts", "purchase_value")
   }
+
+  /** LEFT OUTER watermarked stream-stream join: [[purchaseViewJoin]]
+    * plus the rows it silently drops — purchases with NO view in the
+    * preceding hour, which is precisely the cohort a funnel /
+    * attribution consumer needs ("bought without browsing"). Matched
+    * pairs emit as they meet, exactly as the inner join; a purchase
+    * that stays unmatched emits ONCE, null-extended (view_id/v_ts
+    * null), when the watermark passes the end of its match window —
+    * the engine can only then prove no admissible view will arrive.
+    * Late views inside the watermark still match (the pair emits in
+    * the later batch); state per side stays the inner join's one hour.
+    * Complete-input equality with the batch left join is pinned in
+    * StreamingOpsSpec, including the match-arrives-later and
+    * never-matched cases. */
+  def purchaseViewJoinOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    p.join(v, expr(
+      "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"),
+      "leftOuter")
+      .select("purchase_id", "user_id", "p_ts", "view_id", "v_ts", "purchase_value")
+  }
 }

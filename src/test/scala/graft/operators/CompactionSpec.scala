@@ -55,6 +55,55 @@ class CompactionSpec extends AnyFunSuite {
     // order, which is what the assertion above pins.
   }
 
+  test("zOrderBy compaction: small-files litter collapses to the target " +
+      "AND the 2-d box pruning ratio survives the compaction cycle") {
+    graft.functions.ZInterleave.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_zc").toFile
+      .getAbsolutePath
+    val dir = s"$root/t"
+    val n = 200000
+    def mk(lo: Int, hi: Int) = spark.range(lo, hi).select(
+      (pmod(col("id") * 2654435761L, lit(1000000)) / 1000.0).as("x"),
+      (pmod(col("id") * 40503L + 17, lit(1000000)) / 1000.0).as("y"))
+    // a well-laid-out table (the ZOrderSpec shape)...
+    ZOrder.write(mk(0, n), "x", "y", dir, nFiles = 64)
+    // ...eroded by a stream of APPENDS: 24 unclustered litter files
+    (0 until 8).foreach { i =>
+      mk(n + i * 1000, n + (i + 1) * 1000)
+        .repartition(3).write.mode("append").parquet(dir)
+    }
+    val (bytes, before) = Compaction.stats(spark, dir)
+    assert(before == 64 + 24)
+    val original = spark.read.parquet(dir).count()
+
+    def filesTouched(): Long =
+      spark.read.parquet(dir)
+        .filter(col("x").between(400, 500) && col("y").between(400, 500))
+        .select(input_file_name()).distinct().count()
+    val erodedTouched = filesTouched()
+
+    // Morton re-cluster at the byte-derived target (~the original 64)
+    val (_, after) = Compaction.compact(spark, dir, bytes / 64,
+      zOrderBy = Some(("x", "y")))
+    assert(spark.read.parquet(dir).count() == original)
+    assert(after <= 70 && after >= 32, s"unexpected file count $after")
+    // the 10%×10% box touches O(sqrt(files)) again — the layout the
+    // appends eroded is RESTORED by the same pass that fixed the file
+    // count (every litter file overlapped the box before)
+    val zTouched = filesTouched()
+    assert(zTouched <= after / 4,
+      s"z-compacted box touched $zTouched of $after files " +
+        s"(eroded layout touched $erodedTouched of $before)")
+    assert(erodedTouched >= 24,
+      "litter files should all have overlapped the box pre-compaction")
+
+    // both layout knobs at once is a contract error, not a silent pick
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir, bytes, preserveSortWithin = Seq("x"),
+        zOrderBy = Some(("x", "y")))
+    }
+  }
+
   test("a second compaction is a no-op-sized rewrite (idempotent target)") {
     val dir = freshDir()
     graft.table(spark, "/root/testdata/sf0.01", "orders")

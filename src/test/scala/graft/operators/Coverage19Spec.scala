@@ -58,14 +58,17 @@ class Coverage19Spec extends AnyFunSuite {
   }
 
   test("chi-square is zero when every source shares one distribution") {
-    // planted: 3 sources, identical length histograms → every O == E
-    import spark.implicits._
-    val planted = (for {
-      s <- Seq("a", "b", "c"); l <- Seq(5L, 9L); i <- 0 until 4
-    } yield (s, s"doc_${s}_${l}_$i", l)).toDF("source", "doc_id", "len")
-    // recompute via the same arithmetic the query uses
-    val terms = planted.groupBy("source", "len").count().collect()
-    assert(terms.forall(_.getLong(2) == 4L))
+    // planted: 3 sources, identical length histograms → every O == E,
+    // so the statistic itself must vanish (fed through the SAME sweep
+    // the streaming twin and the batch plan share — round-12 advice:
+    // assert the chi-square, not just the planted counts)
+    val planted = for {
+      s <- Seq("a", "b", "c"); l <- Seq(5L, 9L)
+    } yield graft.streaming.IncrementalKsDrift.Cell(s, l, 4L)
+    val got = graft.streaming.IncrementalChiSqDrift.chisqOf(planted)
+    assert(got.map(_.source) == Seq("a", "b", "c"))
+    assert(got.forall(r => r.chisq == 0.0 && r.dof == 1L && r.n == 8L),
+      got.mkString(", "))
   }
 
   // ---- grid percentiles -----------------------------------------------
@@ -204,9 +207,10 @@ class Coverage19Spec extends AnyFunSuite {
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical"))
-    val bucket = (col("canonical") * 2654435761L) % 100
+    val bucket =
+      substring(md5(col("canonical").cast("string").cast("binary")), 1, 8)
     val sp = lab.withColumn("split",
-      when(bucket < 80, "train").when(bucket < 90, "valid")
+      when(bucket < "cccccccc", "train").when(bucket < "e6666666", "valid")
         .otherwise("test"))
     val spanning = sp.groupBy("canonical")
       .agg(countDistinct(col("split")).as("ns"))
@@ -269,19 +273,25 @@ class Coverage19Spec extends AnyFunSuite {
     val docs = graft.table(spark, sfDir, "documents")
       .selectExpr("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    // stage 1: quality cut (exact interpolated quartile, Spark's
-    // `percentile` definition: index p*(n-1), linear interpolation)
+    // stage 1: RANK-BASED quality cut (round-12 advice shape): alpha in
+    // 1e-6 fixed point, cut = the ceil(n/4)-th smallest afp, survivors
+    // strictly above it — integer arithmetic end to end
     def alpha(t: String): Double =
       t.count(c => c >= 'a' && c <= 'z').toDouble / t.length
-    val alphas = docs.map(d => alpha(d._3)).sorted
-    val idx = 0.25 * (alphas.size - 1)
-    val (lo, hi) = (alphas(idx.toInt), alphas(math.ceil(idx).toInt))
-    val cut = lo + (hi - lo) * (idx - idx.toInt)
-    val q = docs.filter(d => alpha(d._3) > cut)
+    def afp(t: String): Long = math.floor(alpha(t) * 1000000).toLong
+    val afps = docs.map(d => afp(d._3)).sorted
+    val k = (afps.size + 3) / 4
+    val cutfp = afps(k - 1)
+    val q = docs.filter(d => afp(d._3) > cutfp)
     // stage 2: leakage-safe train split on full-corpus cluster labels
+    // (md5-prefix coin — the overflow-free split idiom)
+    def md5hex8(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val cc = DedupOps.clusterLabelsFor(spark, sfDir, 0.8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tr = q.filter(d => (cc.getOrElse(d._1, d._1) * 2654435761L) % 100 < 80)
+    val tr = q.filter(d =>
+      md5hex8(cc.getOrElse(d._1, d._1).toString) < "cccccccc")
     // stage 3: sqrt-temperature budgets over the SURVIVORS
     val toks = tr.map(d => (d._1, d._2,
       d._3.trim.split("\\s+").length.toLong))
@@ -308,7 +318,7 @@ class Coverage19Spec extends AnyFunSuite {
     // the leakage property survives the composition: every selected
     // doc's cluster hashes into the train band
     got.foreach { case (id, _, _, _, _) =>
-      assert((cc.getOrElse(id, id) * 2654435761L) % 100 < 80)
+      assert(md5hex8(cc.getOrElse(id, id).toString) < "cccccccc")
     }
   }
 

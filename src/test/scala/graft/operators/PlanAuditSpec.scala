@@ -128,7 +128,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // the composition flagship: quality cut + LSH/CC label attach
     // (cold plan includes the label pipeline; memoized runs fewer) +
     // budgets + PrefixSum: 18 observed cold + 2 slack
-    "q_corpus_prep_mixed" -> Budget(maxExchanges = 20),
+    // r13: the rank-based quality cut replaced the percentile scalar
+    // with a grid-sized histogram + cumulative window + cut aggregate
+    // (+2 small exchanges, all ≤1e6-cell): 22 observed cold + 2 slack
+    "q_corpus_prep_mixed" -> Budget(maxExchanges = 24),
+    // r13 hybrid retrieval: the two already-audited legs (BM25
+    // postings agg + IVF-PQ assign/code/probe/shortlist/re-rank) plus
+    // the RRF fuse — union of two ≤20-row lists into ONE hash
+    // aggregate (no join: the full-outer formulation would SMJ) and
+    // one TakeOrdered: 21 observed + 2 slack
+    "q_hybrid_retrieval" -> Budget(maxExchanges = 23),
     // one scan × 4 broadcast dims, map-side topk_by, 40-row overlap
     "q_sim_dim_curve" -> Budget(maxExchanges = 4),
     // cohort agg + join-side agg + the (cohort, age) rollup

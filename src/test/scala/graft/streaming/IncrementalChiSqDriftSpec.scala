@@ -88,6 +88,49 @@ class IncrementalChiSqDriftSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("TTL eviction shares the KS fold: an idle source leaves the " +
+      "cross-source marginals and a reappearing one restarts cold") {
+    import IncrementalKsDrift.{Cell, LenObs}
+    // three sources; a and b stay ALIVE every batch (the statistic
+    // needs ≥2 sources after the eviction — and an idle-but-wanted
+    // source would itself evict, which is the contract, not a bug)
+    val a = (1 to 6).map(i => LenObs("a", (i % 3 + 10).toLong))
+    val b = (1 to 5).map(i => LenObs("b", (i % 2 + 20).toLong))
+    val x = (1 to 6).map(i => LenObs("x", (i % 2 + 50).toLong))
+    val ms = MemoryStream[LenObs](spark)
+    val name = s"chisq_evict_${System.nanoTime()}"
+    val q = IncrementalChiSqDrift.drift(ms.toDS(), evictAfterBatches = Some(1L))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def step(obs: Seq[LenObs]): Unit = { ms.addData(obs); q.processAllAvailable() }
+    try {
+      step(a.take(3) ++ b.take(2) ++ x.take(4)) // batch 0: all three (9)
+      step(a.slice(3, 5) ++ b.slice(2, 3))      // batch 1: x idle 1 ≤ ttl (12)
+      step(a.slice(5, 6) ++ b.slice(3, 4))      // batch 2: x idle 2 > ttl →
+                                                //   evicted (14 − 4 = 10)
+      step(b.slice(4, 5) ++ x.take(2))          // batch 3: x cold (13)
+    } finally q.stop()
+    val rows = spark.table(name).as[IncrementalChiSqDrift.ChiRow]
+      .collect().toSeq
+    def cellsOf(obs: Seq[LenObs]): Seq[Cell] =
+      obs.groupBy(o => (o.source, o.len)).toSeq
+        .map { case ((s, l), os) => Cell(s, l, os.size.toLong) }
+    def expect(obs: Seq[LenObs]): Map[String, (Double, Long)] =
+      IncrementalChiSqDrift.chisqOf(cellsOf(obs))
+        .map(r => r.source -> ((r.chisq, r.n))).toMap
+    // post-eviction snapshot: x's mass is out of the marginals
+    val at10 = rows.filter(_.n_total == 10L)
+      .map(r => r.source -> ((r.chisq, r.n))).toMap
+    assert(at10 == expect(a ++ b.take(4)) && !at10.contains("x"),
+      s"evicted source must leave the marginals: $at10")
+    // batch-3 snapshot: a + all of b + ONLY the 2 cold x-docs (the 4
+    // pre-eviction x-docs are forgotten)
+    val at13 = rows.filter(_.n_total == 13L)
+      .map(r => r.source -> ((r.chisq, r.n))).toMap
+    assert(at13 == expect(a ++ b ++ x.take(2)),
+      s"reappearing source must be cold: $at13")
+  }
+
   test("a replayed micro-batch distorts the statistic boundedly") {
     val obs = allObs
     val chunkSize = math.max(1, obs.length / 3 + 1)

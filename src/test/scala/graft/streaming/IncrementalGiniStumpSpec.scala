@@ -68,4 +68,28 @@ class IncrementalGiniStumpSpec extends AnyFunSuite {
     assert(run(1).filter(_.n_total == n).sortBy(_.rn) ==
       run(7).filter(_.n_total == n).sortBy(_.rn))
   }
+
+  test("the state funnel is fed pre-reduced cells, not raw observations") {
+    // 800 raw rows over 4 partitions, 2 langs × 3 char-buckets × 2
+    // token-buckets: the map-side fold must emit at most
+    // partitions × |distinct cells| rows (each doc lands in BOTH
+    // feature histograms) whose counts conserve the doubled mass
+    val raw = (1 to 800).map(i => IncrementalGiniStump.FObs(
+      s"l${i % 2}", (i % 3).toLong, (i % 2).toLong))
+    val cells = IncrementalGiniStump.cellsOf(
+      spark.createDataset(raw).repartition(4)).collect()
+    // distinct cells: 2·3 (n_chars) + 2·2 (n_tokens) = 10
+    assert(cells.length <= 4 * 10,
+      s"pre-reduction leaked ${cells.length} rows into the funnel")
+    assert(cells.map(_.c).sum == 1600L,
+      "each observation must land once per feature histogram")
+    val hist = cells.groupBy(c => (c.feature, c.b, c.lang))
+      .view.mapValues(_.map(_.c).sum).toMap
+    val expect =
+      raw.groupBy(o => ("n_chars", o.bChars, o.lang))
+        .view.mapValues(_.size.toLong).toMap ++
+      raw.groupBy(o => ("n_tokens", o.bTokens, o.lang))
+        .view.mapValues(_.size.toLong).toMap
+    assert(hist == expect)
+  }
 }

@@ -79,4 +79,18 @@ class IncrementalGridPercentileSpec extends AnyFunSuite {
       rows.filter(r => perGroupN.get(r.group).contains(r.n)).toSet
     assert(fin(run(1)) == fin(run(7)))
   }
+
+  test("a percentile outside [1, 100] is rejected at the boundary, " +
+      "not as a grid(-1) crash inside a running stream") {
+    val counts = Map(1L -> 3L, 2L -> 5L)
+    intercept[IllegalArgumentException] {
+      IncrementalGridPercentile.sweep("g", counts, Seq(101L), 16L)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalGridPercentile.sweep("g", counts, Seq(0L), 16L)
+    }
+    // the boundary itself stays valid: p = 100 reads the last bucket
+    assert(IncrementalGridPercentile.sweep("g", counts, Seq(100L), 16L)
+      .head.edge == 32L)
+  }
 }

@@ -80,6 +80,68 @@ class IncrementalKsDriftSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("the state funnel is fed pre-reduced cells: O(partitions × " +
+      "sources × grid) rows, never the raw observation stream") {
+    // 4 partitions × 3 sources × 2 distinct lengths, 999 raw rows:
+    // the pre-reduction must hand the singleton group at most
+    // partitions × |distinct (source, len)| cells whose counts sum to
+    // the raw row count — the shape claim the scale docstring makes
+    val raw = (1 to 999).map(i =>
+      IncrementalKsDrift.LenObs(s"src${i % 3}", (i % 2 + 10).toLong))
+    val ds = spark.createDataset(raw).repartition(4)
+    val cells = IncrementalKsDrift.cellsOf(ds).collect()
+    assert(cells.length <= 4 * 6,
+      s"pre-reduction leaked ${cells.length} rows into the funnel")
+    assert(cells.map(_.c).sum == 999L, "pre-reduced counts must conserve mass")
+    // and the reduced cells regroup to the exact histogram
+    val hist = cells.groupBy(c => (c.source, c.len))
+      .view.mapValues(_.map(_.c).sum).toMap
+    val expect = raw.groupBy(o => (o.source, o.len))
+      .view.mapValues(_.size.toLong).toMap
+    assert(hist == expect)
+  }
+
+  test("opt-in TTL eviction drops an idle source from the histogram " +
+      "(snapshots equal a batch over retained sources) and a " +
+      "reappearing source restarts cold") {
+    import IncrementalKsDrift.{Cell, LenObs}
+    val a = (1 to 8).map(i => LenObs("a", (i % 4 + 10).toLong))
+    val x = (1 to 6).map(i => LenObs("x", (i % 3 + 50).toLong))
+    val ms = MemoryStream[LenObs](spark)
+    val name = s"ksdrift_evict_${System.nanoTime()}"
+    val q = IncrementalKsDrift.drift(ms.toDS(), evictAfterBatches = Some(1L))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def step(obs: Seq[LenObs]): Unit = {
+      ms.addData(obs); q.processAllAvailable()
+    }
+    try {
+      step(a.take(4) ++ x)       // batch 0: a + x (n_total 10)
+      step(a.slice(4, 6))        // batch 1: a only (x idle 1 ≤ ttl; 12)
+      step(a.slice(6, 8))        // batch 2: a only (x idle 2 > ttl → evicted; 8)
+      step(x.take(3))            // batch 3: x reappears — cold (11)
+    } finally q.stop()
+    val rows = spark.table(name).as[IncrementalKsDrift.KsRow].collect().toSeq
+    def cellsOf(obs: Seq[LenObs]): Seq[Cell] =
+      obs.groupBy(o => (o.source, o.len)).toSeq
+        .map { case ((s, l), os) => Cell(s, l, os.size.toLong) }
+    // batch 1 snapshot (n_total = 12): x still retained
+    val at12 = rows.filter(_.n_total == 12L).map(r => r.source -> r.ks).toMap
+    assert(at12 == IncrementalKsDrift.ksOf(
+      cellsOf(a.take(6) ++ x)).toMap, "pre-eviction snapshot drifted")
+    // batch 2 snapshot: x's mass has LEFT the corpus CDF — the emitted
+    // rows equal a batch computation over source a's 8 docs alone
+    val at8 = rows.filter(_.n_total == 8L).map(r => r.source -> r.ks).toMap
+    assert(at8 == IncrementalKsDrift.ksOf(cellsOf(a)).toMap,
+      s"eviction must remove the idle source's mass: $at8")
+    assert(!at8.contains("x"))
+    // batch 3: x restarts COLD — 8 retained a-docs + only the 3 new
+    // x-docs (the 6 pre-eviction x-docs are forgotten)
+    val at11 = rows.filter(_.n_total == 11L).map(r => r.source -> r.ks).toMap
+    assert(at11 == IncrementalKsDrift.ksOf(
+      cellsOf(a ++ x.take(3))).toMap, "reappearing source must be cold")
+  }
+
   test("a replayed micro-batch distorts each source's KS by a bounded, " +
       "self-healing amount (the documented at-least-once stance)") {
     val obs = allObs

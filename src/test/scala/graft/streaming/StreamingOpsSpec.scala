@@ -124,6 +124,62 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("left-outer stream-stream join: matched pairs emit like the " +
+      "inner join, a late view still matches in a later batch, and a " +
+      "never-matched purchase emits null-extended after expiry") {
+    val p = MemoryStream[Ev](spark)
+    val v = MemoryStream[Ev](spark)
+    val joined = StreamingOps.purchaseViewJoinOuter(
+      p.toDF().filter(col("event_type") === "purchase"),
+      v.toDF().filter(col("event_type") === "view"))
+    val name = s"ssjo_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    // user 2 purchases at 00:55 with NO view ever (the dropped cohort);
+    // user 1 purchases at 01:10 and the matching 00:40 view arrives in
+    // a LATER batch (inside the watermark) — the match must still emit
+    val purchase2 = Ev(10, t("2024-01-01 00:55:00"), 2, "purchase", 10.0)
+    val purchase1 = Ev(11, t("2024-01-01 01:10:00"), 1, "purchase", 7.0)
+    val lateView1 = Ev(12, t("2024-01-01 00:40:00"), 1, "view", 1.0)
+    val flushP = Ev(90, t("2024-01-01 09:00:00"), 9, "purchase", 0.0)
+    val flushV = Ev(91, t("2024-01-01 09:00:00"), 9, "view", 0.0)
+    try {
+      p.addData(Seq(purchase2, purchase1)); q.processAllAvailable()
+      v.addData(Seq(lateView1)); q.processAllAvailable() // later batch
+      // advance both watermarks far past every match window so the
+      // never-matched purchase's null row can emit
+      p.addData(Seq(flushP)); v.addData(Seq(flushV))
+      q.processAllAvailable()
+      // one more nudge: outer results emit on the NEXT state cleanup
+      p.addData(Seq(Ev(92, t("2024-01-01 11:00:00"), 8, "purchase", 0.0)))
+      v.addData(Seq(Ev(93, t("2024-01-01 11:00:00"), 8, "view", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .select(col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+      .as[(Long, Long)].collect().toSet
+    // the late view matched across batches
+    assert(got.contains((11L, 12L)), s"late view must match: $got")
+    // the never-matched purchase emitted exactly once, null-extended
+    assert(got.contains((10L, -1L)), s"unmatched purchase must emit: $got")
+    assert(spark.table(name).filter(col("purchase_id") === 10L).count() == 1L)
+    // and it equals the batch LEFT join over the complete input
+    val all = Seq(purchase2, purchase1, lateView1, flushP, flushV,
+      Ev(92, t("2024-01-01 11:00:00"), 8, "purchase", 0.0),
+      Ev(93, t("2024-01-01 11:00:00"), 8, "view", 0.0))
+    val expected = (for {
+      pp <- all if pp.event_type == "purchase"
+    } yield {
+      val vs = all.filter(vv => vv.event_type == "view" &&
+        vv.user_id == pp.user_id && !vv.ts.after(pp.ts) &&
+        vv.ts.getTime >= pp.ts.getTime - 3600 * 1000)
+      if (vs.isEmpty) Set((pp.event_id, -1L))
+      else vs.map(vv => (pp.event_id, vv.event_id)).toSet
+    }).flatten.toSet
+    assert(got == expected, s"stream != batch left join: $got vs $expected")
+  }
+
   test("streamed sessions over the real corpus equal batch sessionization") {
     val sfDir = "/root/testdata/sf0.001"
     val corpus = graft.table(spark, sfDir, "events")
