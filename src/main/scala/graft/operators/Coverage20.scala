@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,24 @@ object HybridRetrieval {
       .select(col("doc_id"), col("lex_rnk"), col("ann_rnk"),
         col("rrf_fp"), col("rnk"))
   }
+
+  /** N-leg RRF: fuse ANY number of (doc_id, rnk) top-k lists — the
+    * union + one-hash-aggregate shape of [[fuse]] verbatim, with the
+    * per-leg rank columns replaced by `n_legs` (how many systems
+    * ranked the doc — the agreement signal). Output
+    * (doc_id, n_legs, rrf_fp, rnk). */
+  def fuseN(legs: Seq[DataFrame], k: Int): DataFrame = {
+    require(legs.nonEmpty, "RRF needs at least one ranked list")
+    val tagged = legs.map(_.select(col("doc_id"), col("rnk")))
+      .reduce(_.unionByName(_))
+    val fused = tagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_legs"),
+      sum(expr(s"$FP div ($C + rnk)")).as("rrf_fp"))
+    fused.orderBy(col("rrf_fp").desc, col("doc_id")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_legs"), col("rrf_fp"), col("rnk"))
+  }
 }
 
 /** Round-13 coverage: hybrid retrieval — the fused lexical ⊕ vector
@@ -77,6 +95,124 @@ object HybridRetrieval {
   * IncrementalIvf, stream==batch + takedown parity in
   * IncrementalHybridSpec). */
 object Coverage20 {
+
+  /** q_bm25's CTE chain ending in `lex(doc_id, lex_rnk)` — shared by
+    * both hybrid oracles so the lexical leg cannot drift between them. */
+  private val lexCtes =
+    """lexq(term) AS (VALUES ('hash'), ('join'), ('filter')),
+      |docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok JOIN lexq USING (term) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |score AS (
+      |  SELECT tf.doc_id,
+      |    sum(CAST(
+      |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * (1.2 + 1)
+      |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+      |      AS DECIMAL(38,10))) AS sc
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+      |  GROUP BY tf.doc_id),
+      |lex AS (SELECT doc_id,
+      |          CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS lex_rnk
+      |        FROM score ORDER BY sc DESC, doc_id LIMIT 20)""".stripMargin
+
+  /** q_sim_ann_ivfpq's CTE chain for query vector 0, ending in
+    * `ann(doc_id, ann_rnk)` — shared by both hybrid oracles. */
+  private val annCtes =
+    """c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+      |vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
+      |       FROM embeddings e CROSS JOIN c),
+      |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+      |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+      |       FROM ax GROUP BY 1, 2),
+      |asg AS (SELECT vec_id, cid,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id
+      |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS rn
+      |        FROM ad),
+      |assigned AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
+      |res AS (
+      |  SELECT a.vec_id, a.centroid_id,
+      |    list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS r
+      |  FROM assigned a JOIN embeddings e USING (vec_id) JOIN c ON c.cid = a.centroid_id),
+      |pq AS (
+      |  SELECT vec_id, centroid_id, r,
+      |    CASE WHEN list_max(list_transform(r, x -> abs(x))) > 0
+      |         THEN 127.0 / list_max(list_transform(r, x -> abs(x))) ELSE 0.0 END AS sc
+      |  FROM res),
+      |codes AS (SELECT vec_id, centroid_id, sc,
+      |    list_transform(r, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS q8 FROM pq),
+      |px AS (SELECT vq.qid, c.cid, unnest(vq.qv) AS a, unnest(c.cv) AS b
+      |       FROM vq CROSS JOIN c),
+      |pd AS (SELECT qid, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
+      |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+      |       FROM px GROUP BY 1, 2),
+      |probes AS (SELECT qid, cid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS pr
+      |    FROM pd) WHERE pr <= 8),
+      |recon AS (
+      |  SELECT k.vec_id, k.centroid_id,
+      |    list_transform(c.cv, (cx, i) -> CAST(cx AS DOUBLE) +
+      |      CASE WHEN k.sc = 0 THEN 0.0 ELSE k.q8[i] / k.sc END) AS xhat
+      |  FROM codes k JOIN c ON c.cid = k.centroid_id),
+      |appxu AS (
+      |  SELECT p.qid, r.vec_id, unnest(r.xhat) AS a, unnest(vq.qv) AS b
+      |  FROM probes p
+      |  JOIN recon r ON r.centroid_id = p.cid
+      |  JOIN vq ON vq.qid = p.qid
+      |  WHERE r.vec_id <> p.qid),
+      |appxd AS (SELECT qid, vec_id, sum(a * CAST(b AS DOUBLE)) AS dot,
+      |              sum(a * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+      |       FROM appxu GROUP BY 1, 2),
+      |shortlist AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id) AS ar
+      |    FROM appxd) WHERE ar <= 60),
+      |cx AS (SELECT sl.qid, sl.vec_id, unnest(e.embedding) AS a, unnest(vq.qv) AS b
+      |       FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.vec_id
+      |       JOIN vq ON vq.qid = sl.qid),
+      |cd AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
+      |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
+      |       FROM cx GROUP BY 1, 2),
+      |sc2 AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM cd),
+      |ann AS (SELECT vec_id AS doc_id,
+      |          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS ann_rnk
+      |        FROM sc2 ORDER BY cos DESC, vec_id LIMIT 20)""".stripMargin
+
+  /** The Spark-side legs, shared by both hybrid queries. */
+  private def lexLeg(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "filter")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val postings = docs
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+    Bm25.rank(postings, stats, 20)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+  }
+
+  private def annLeg(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val centroids = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val vq = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    SimilarityOps.ivfPqSearch(
+        SimilarityOps.pqCodes(SimilarityOps.ivfAssign(e, 97), centroids),
+        centroids, e, vq, k = 20, nprobe = 8, refine = 3)
+      .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -95,89 +231,11 @@ object Coverage20 {
     // Scale: the legs are the already-audited retrieval plans (postings
     // explode filtered to the query vocabulary before any shuffle;
     // codes scanned only in probed buckets, floats only for the
-    // shortlist); the fusion joins two ≤20-row lists.
+    // shortlist); the fusion unions two ≤20-row lists into one hash
+    // aggregate — no join.
     QDef("q_hybrid_retrieval",
-      """WITH lexq(term) AS (VALUES ('hash'), ('join'), ('filter')),
-        |docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |dl AS (SELECT doc_id, len(w) AS dl FROM docs),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |tok AS (SELECT doc_id, unnest(w) AS term FROM docs),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM tok JOIN lexq USING (term) GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |score AS (
-        |  SELECT tf.doc_id,
-        |    sum(CAST(
-        |      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-        |        * tf.tf * (1.2 + 1)
-        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
-        |      AS DECIMAL(38,10))) AS sc
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-        |  GROUP BY tf.doc_id),
-        |lex AS (SELECT doc_id,
-        |          CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS lex_rnk
-        |        FROM score ORDER BY sc DESC, doc_id LIMIT 20),
-        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
-        |vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
-        |       FROM embeddings e CROSS JOIN c),
-        |ad AS (SELECT vec_id, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
-        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
-        |       FROM ax GROUP BY 1, 2),
-        |asg AS (SELECT vec_id, cid,
-        |          ROW_NUMBER() OVER (PARTITION BY vec_id
-        |            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS rn
-        |        FROM ad),
-        |assigned AS (SELECT vec_id, cid AS centroid_id FROM asg WHERE rn = 1),
-        |res AS (
-        |  SELECT a.vec_id, a.centroid_id,
-        |    list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS r
-        |  FROM assigned a JOIN embeddings e USING (vec_id) JOIN c ON c.cid = a.centroid_id),
-        |pq AS (
-        |  SELECT vec_id, centroid_id, r,
-        |    CASE WHEN list_max(list_transform(r, x -> abs(x))) > 0
-        |         THEN 127.0 / list_max(list_transform(r, x -> abs(x))) ELSE 0.0 END AS sc
-        |  FROM res),
-        |codes AS (SELECT vec_id, centroid_id, sc,
-        |    list_transform(r, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS q8 FROM pq),
-        |px AS (SELECT vq.qid, c.cid, unnest(vq.qv) AS a, unnest(c.cv) AS b
-        |       FROM vq CROSS JOIN c),
-        |pd AS (SELECT qid, cid, sum(CAST(a AS DOUBLE) * b) AS dot,
-        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
-        |       FROM px GROUP BY 1, 2),
-        |probes AS (SELECT qid, cid FROM (
-        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, cid) AS pr
-        |    FROM pd) WHERE pr <= 8),
-        |recon AS (
-        |  SELECT k.vec_id, k.centroid_id,
-        |    list_transform(c.cv, (cx, i) -> CAST(cx AS DOUBLE) +
-        |      CASE WHEN k.sc = 0 THEN 0.0 ELSE k.q8[i] / k.sc END) AS xhat
-        |  FROM codes k JOIN c ON c.cid = k.centroid_id),
-        |appxu AS (
-        |  SELECT p.qid, r.vec_id, unnest(r.xhat) AS a, unnest(vq.qv) AS b
-        |  FROM probes p
-        |  JOIN recon r ON r.centroid_id = p.cid
-        |  JOIN vq ON vq.qid = p.qid
-        |  WHERE r.vec_id <> p.qid),
-        |appxd AS (SELECT qid, vec_id, sum(a * CAST(b AS DOUBLE)) AS dot,
-        |              sum(a * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
-        |       FROM appxu GROUP BY 1, 2),
-        |shortlist AS (SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id) AS ar
-        |    FROM appxd) WHERE ar <= 60),
-        |cx AS (SELECT sl.qid, sl.vec_id, unnest(e.embedding) AS a, unnest(vq.qv) AS b
-        |       FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.vec_id
-        |       JOIN vq ON vq.qid = sl.qid),
-        |cd AS (SELECT qid, vec_id, sum(CAST(a AS DOUBLE) * b) AS dot,
-        |              sum(CAST(a AS DOUBLE) * a) AS na, sum(CAST(b AS DOUBLE) * b) AS nb
-        |       FROM cx GROUP BY 1, 2),
-        |sc2 AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM cd),
-        |ann AS (SELECT vec_id AS doc_id,
-        |          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS ann_rnk
-        |        FROM sc2 ORDER BY cos DESC, vec_id LIMIT 20),
+      s"""WITH $lexCtes,
+        |$annCtes,
         |fused AS (
         |  SELECT doc_id, lex_rnk, ann_rnk,
         |    coalesce(1000000000000 // (60 + lex_rnk), 0)
@@ -187,29 +245,54 @@ object Coverage20 {
         |  CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rnk
         |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
         |""".stripMargin) { (s, dir) =>
-      val terms = Seq("hash", "join", "filter")
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
-      val stats = dl.agg(count(lit(1)).cast("long").as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val postings = docs
-        .select(col("doc_id"), explode(col("w")).as("term"))
-        .filter(col("term").isin(terms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .join(dl, "doc_id")
-      val lex = Bm25.rank(postings, stats, 20)
-        .select(col("doc_id"), col("rnk").as("lex_rnk"))
-      val e = table(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val vq = e.filter(col("vec_id") === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ann = SimilarityOps.ivfPqSearch(
-          SimilarityOps.pqCodes(SimilarityOps.ivfAssign(e, 97), centroids),
-          centroids, e, vq, k = 20, nprobe = 8, refine = 3)
-        .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))
-      HybridRetrieval.fuse(lex, ann, 10)
+      HybridRetrieval.fuse(lexLeg(s, dir), annLeg(s, dir), 10)
+    },
+
+    // ---- 3-leg fusion: BM25 ⊕ exact-phrase ⊕ IVF-PQ -------------------
+    // The N-leg claim DEMONSTRATED, not asserted: the same union + one
+    // hash aggregate fuses three systems — keyword BM25, exact-phrase
+    // occurrence ranking (q_phrase_search's compiled phrase_count), and
+    // the quantized ANN — emitting n_legs (how many systems ranked the
+    // doc: the agreement signal a retrieval consumer thresholds on).
+    // The oracle's phrase leg is q_phrase_search's CTE verbatim over
+    // the lexical chain's `docs`; the fused sum is CAST back to BIGINT
+    // (DuckDB types sum(BIGINT) as HUGEINT — the round-6 lesson).
+    QDef("q_hybrid_retrieval_3way",
+      s"""WITH $lexCtes,
+        |phits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS occ
+        |  FROM docs, unnest(range(len(w) - 1)) AS t(i)
+        |  WHERE w[i+1] = 'hash' AND w[i+2] = 'join'
+        |  GROUP BY doc_id),
+        |phr AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY occ DESC, doc_id) AS BIGINT) AS rnk
+        |        FROM phits ORDER BY occ DESC, doc_id LIMIT 20),
+        |$annCtes,
+        |fused AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_legs,
+        |    CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_fp
+        |  FROM (SELECT doc_id, lex_rnk AS rnk FROM lex
+        |        UNION ALL SELECT doc_id, rnk FROM phr
+        |        UNION ALL SELECT doc_id, ann_rnk AS rnk FROM ann) u
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_legs, rrf_fp,
+        |  CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rnk
+        |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
+        |""".stripMargin) { (s, dir) =>
+      graft.functions.PhraseExpressions.register(s)
+      val phr = SubstringDedup.tokenize(table(s, dir, "documents"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          expr("phrase_count(w, 'hash join')").as("occ"))
+        .filter(col("occ") > 0)
+        .orderBy(col("occ").desc, col("doc_id")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("occ").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rnk"))
+      HybridRetrieval.fuseN(Seq(
+        lexLeg(s, dir).select(col("doc_id"), col("lex_rnk").as("rnk")),
+        phr,
+        annLeg(s, dir).select(col("doc_id"), col("ann_rnk").as("rnk"))), 10)
     }
   )
 }

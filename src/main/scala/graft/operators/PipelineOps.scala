@@ -30,8 +30,10 @@ object PipelineOps {
         col("doc_id"), col("lang"),
         (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
           / length(col("text"))).as("alpha_ratio"))
-      val cutoff = m.agg(expr("percentile(alpha_ratio, 0.25)")).head().getDouble(0)
-      m.filter(col("alpha_ratio") > cutoff)
+      // the cutoff rides a 1-row broadcast instead of a driver-side
+      // head() round-trip — the whole filter stays one plan
+      val cutoff = m.agg(expr("percentile(alpha_ratio, 0.25)").as("_cut"))
+      m.crossJoin(broadcast(cutoff)).filter(col("alpha_ratio") > col("_cut"))
         .select(col("doc_id"), col("lang"), round(col("alpha_ratio"), 6).as("alpha_ratio"))
     },
 

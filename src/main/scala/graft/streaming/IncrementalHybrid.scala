@@ -42,6 +42,25 @@ object IncrementalHybrid {
     HybridRetrieval.fuse(lex, ann, k)
   }
 
+  /** THREE-leg fused read (q_hybrid_retrieval_3way's streaming twin):
+    * BM25 ⊕ exact-phrase ⊕ ANN, all three legs served by the
+    * maintained indexes — the phrase leg rides the SAME positional
+    * postings tree as the BM25 leg (one index, two ranking functions),
+    * so a takedown applies to all three legs at once. Fusion is
+    * [[graft.operators.HybridRetrieval.fuseN]]. */
+  def search3(spark: SparkSession, postingsDir: String, ivfDir: String,
+      terms: Seq[String], phrase: Seq[String], queries: DataFrame, k: Int,
+      kLeg: Int = 20, nprobe: Int = 8, refine: Int = 3): DataFrame = {
+    val lex = IncrementalPostings.search(spark, postingsDir, terms, kLeg)
+      .select(col("doc_id"), col("rnk"))
+    val phr = IncrementalPostings
+      .phraseSearch(spark, postingsDir, phrase, kLeg)
+      .select(col("doc_id"), col("rnk"))
+    val ann = new IvfIndex(spark, ivfDir).searchPq(queries, kLeg, nprobe, refine)
+      .select(col("vec_id").as("doc_id"), col("rn").as("rnk"))
+    HybridRetrieval.fuseN(Seq(lex, phr, ann), k)
+  }
+
   /** Take a document down from BOTH halves of the hybrid read in one
     * call — the compliance pass (text tombstones via
     * [[IncrementalPostings.delete]], vector tombstones via

@@ -138,6 +138,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // aggregate (no join: the full-outer formulation would SMJ) and
     // one TakeOrdered: 21 observed + 2 slack
     "q_hybrid_retrieval" -> Budget(maxExchanges = 23),
+    // the 3-leg edition adds the phrase leg as one per-row codegen'd
+    // pass + TakeOrdered — no new shuffle class: 21 observed + 2 slack
+    "q_hybrid_retrieval_3way" -> Budget(maxExchanges = 23),
     // one scan × 4 broadcast dims, map-side topk_by, 40-row overlap
     "q_sim_dim_curve" -> Budget(maxExchanges = 4),
     // cohort agg + join-side agg + the (cohort, age) rollup

@@ -96,6 +96,23 @@ class IncrementalHybridSpec extends AnyFunSuite {
       "no doc ranked in both legs — fusion test is vacuous")
   }
 
+  test("3-leg fused read (BM25 ⊕ phrase ⊕ ANN) over the maintained " +
+      "indexes == batch q_hybrid_retrieval_3way") {
+    val (pDir, vDir) = buildIndexes()
+    val expected = graft.SparkEntry
+      .queries("q_hybrid_retrieval_3way")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(_._4)
+    val got = IncrementalHybrid.search3(spark, pDir, vDir, terms,
+        phrase = Seq("hash", "join"), queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(_._4)
+    assert(got == expected, s"3-leg stream != batch: got=${got.take(3)}")
+    // at least one doc must be ranked by more than one system, else
+    // the n_legs agreement signal is untested
+    assert(got.exists(_._2 > 1L), "no multi-leg agreement — vacuous")
+  }
+
   test("takedown in both indexes == batch fusion over the reduced corpus") {
     val (pDir, vDir) = buildIndexes()
     val before = asT(IncrementalHybrid.search(
