@@ -269,24 +269,58 @@ object Bench {
     val cdcJson = {
       val nCdc = sys.env.getOrElse("SPARK_GRAFT_BENCH_CDC", "1000000").toLong
       if (nCdc <= 0) """{"skipped":true}"""
-      else try {
-        // The CDC gate measures the CDC CORE, not the leftovers of the
-        // 3×292-query session that just ran in this JVM: the dedup
-        // memos' localCheckpoint blocks, query-cached relations, and
-        // accumulated garbage otherwise squeeze the block manager and
-        // bill GC/eviction pressure to the CDC number (round-13
-        // finding: 6.6k rec/s in-capture vs 270k for the identical
-        // measurement in a fresh JVM — a 40× harness artifact, not a
-        // code regression). Clear them and absorb the collection HERE,
-        // exactly like the per-run reset at the top of the query loop.
-        graft.operators.DedupOps.clearMemos()
-        spark.catalog.clearCache()
-        System.gc()
-        val (first, steady) = graft.cdc.CdcThroughput.measureCount(spark, nCdc)
-        f"""{"records":$nCdc,"first_sec":$first%.2f,"steady_sec":$steady%.2f,"rec_per_sec":${nCdc / steady}%.0f}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] cdc throughput FAILED: ${e.getMessage}")
-        """{"failed":true}"""
+      else {
+        // The CDC gate measures the CDC CORE, not the aftermath of the
+        // 3×294-query session that just ran in this JVM. Round-13
+        // forensics: the identical 1M-record measureCount read 6.6k
+        // rec/s at the end of a full capture vs 270k in a fresh JVM on
+        // the same quiet host — and clearing the dedup memos + query
+        // cache + a System.gc() first only moved it to ~16k, so the
+        // depression is JVM-LIFETIME state (code-cache/JIT pollution,
+        // context-cleaner backlog, accumulated shuffle dirs), not
+        // block-manager pressure. The honest measurement is a FRESH
+        // child JVM running graft.cdc.CdcThroughput — the same clean
+        // condition a real CDC deployment's dedicated driver has. The
+        // in-process path remains the fallback (still a valid gate,
+        // just noisier) if the child can't launch.
+        def inProcess(): String = try {
+          graft.operators.DedupOps.clearMemos()
+          spark.catalog.clearCache()
+          System.gc()
+          val (first, steady) = graft.cdc.CdcThroughput.measureCount(spark, nCdc)
+          f"""{"records":$nCdc,"first_sec":$first%.2f,"steady_sec":$steady%.2f,"rec_per_sec":${nCdc / steady}%.0f,"fresh_jvm":false}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] cdc throughput FAILED: ${e.getMessage}")
+          """{"failed":true}"""
+        }
+        try {
+          val javaBin = System.getProperty("java.home") + "/bin/java"
+          val cp = System.getProperty("java.class.path")
+          val pb = new ProcessBuilder(javaBin, "-Xmx16g", "-cp", cp,
+            "graft.cdc.CdcThroughput", nCdc.toString, "count")
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val proc = pb.start()
+          val out = scala.io.Source.fromInputStream(proc.getInputStream)
+            .getLines().toList
+          val rc = proc.waitFor()
+          val line = out.findLast(_.contains("\"metric\":\"cdc_throughput\""))
+          if (rc != 0 || line.isEmpty) {
+            System.err.println(s"[bench] fresh-JVM cdc gate failed " +
+              s"(rc=$rc) — falling back to in-process")
+            inProcess()
+          } else {
+            def f(key: String): String =
+              (s""""$key":([-0-9.]+)""".r).findFirstMatchIn(line.get)
+                .map(_.group(1)).getOrElse("-1")
+            s"""{"records":${f("records")},"first_sec":${f("first_sec")},""" +
+              s""""steady_sec":${f("steady_sec")},""" +
+              s""""rec_per_sec":${f("records_per_sec")},"fresh_jvm":true}"""
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] fresh-JVM cdc gate unavailable " +
+            s"(${e.getMessage}) — falling back to in-process")
+          inProcess()
+        }
       }
     }
     val line =
