@@ -314,6 +314,7 @@ object Bench {
                 .map(_.group(1)).getOrElse("-1")
             s"""{"records":${f("records")},"first_sec":${f("first_sec")},""" +
               s""""steady_sec":${f("steady_sec")},""" +
+              s""""noop_sec":${f("noop_sec")},""" +
               s""""rec_per_sec":${f("records_per_sec")},"fresh_jvm":true}"""
           }
         } catch { case e: Throwable =>

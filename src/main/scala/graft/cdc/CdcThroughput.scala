@@ -155,13 +155,25 @@ object CdcThroughput {
     // `store`, pass 2 upserts over the pass-1 table — the same keys —
     // which IS the steady state of a CDC mirror: updates, not first
     // inserts.)
+    // a per-pass NOOP canary (pure scheduling, constant by
+    // construction — the bench harness's probe) makes a host-window
+    // hit on THIS measurement readable from the record itself: the
+    // round-13 forensics caught a fresh-JVM run reading 21k rec/s
+    // inside a transient load window that a standalone run minutes
+    // later (206k) didn't see — without a canary the two records are
+    // indistinguishable from a code regression.
+    def noop(): Double = {
+      val t0 = System.nanoTime(); spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val secs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       Materializer.applyBatch(raw, catalog, Envelope.defaultRegistry, sink)
       (System.nanoTime() - t0) / 1e9
     }
+    val canary = noop()
     val rps = n / secs.last
-    println(f"""{"metric":"cdc_throughput","records":$n,"mode":"$mode","first_sec":${secs.head}%.2f,"steady_sec":${secs.last}%.2f,"records_per_sec":$rps%.0f}""")
+    println(f"""{"metric":"cdc_throughput","records":$n,"mode":"$mode","first_sec":${secs.head}%.2f,"steady_sec":${secs.last}%.2f,"noop_sec":$canary%.3f,"records_per_sec":$rps%.0f}""")
     spark.stop()
   }
 }
