@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reciprocal-rank fusion — the read-path algebra that joins the
-  * engine's two retrieval families (BM25 keyword ranking and IVF-PQ
+  * engine's two retrieval families (BM25 keyword ranking and IVF-SQ8
   * vector ANN) into the hybrid search a RAG deployment actually ships.
   * Shared verbatim by the batch query (q_hybrid_retrieval) and the
   * stream-maintained-index read
@@ -88,7 +88,7 @@ object HybridRetrieval {
 
 /** Round-13 coverage: hybrid retrieval — the fused lexical ⊕ vector
   * read path (round-12 verdict #1). The engine already had both
-  * halves (q_bm25's ranked keyword retrieval, q_sim_ann_ivfpq's
+  * halves (q_bm25's ranked keyword retrieval, q_sim_ann_ivfsq8's
   * quantized ANN) each with a live stream-maintained index twin; this
   * module pins their FUSION, batch (full DuckDB oracle) and streaming
   * ([[graft.streaming.IncrementalHybrid]] over IncrementalPostings +
@@ -121,7 +121,7 @@ object Coverage20 {
       |          CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS lex_rnk
       |        FROM score ORDER BY sc DESC, doc_id LIMIT 20)""".stripMargin
 
-  /** q_sim_ann_ivfpq's CTE chain for query vector 0, ending in
+  /** q_sim_ann_ivfsq8's CTE chain for query vector 0, ending in
     * `ann(doc_id, ann_rnk)` — shared by both hybrid oracles. */
   private val annCtes =
     """c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
@@ -208,25 +208,25 @@ object Coverage20 {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val vq = e.filter(col("vec_id") === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    SimilarityOps.ivfPqSearch(
-        SimilarityOps.pqCodes(SimilarityOps.ivfAssign(e, 97), centroids),
+    SimilarityOps.ivfSq8Search(
+        SimilarityOps.sq8Codes(SimilarityOps.ivfAssign(e, 97), centroids),
         centroids, e, vq, k = 20, nprobe = 8, refine = 3)
       .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))
   }
 
   val defs: Seq[QDef] = Seq(
 
-    // ---- hybrid retrieval: BM25 ⊕ IVF-PQ by reciprocal-rank fusion ----
+    // ---- hybrid retrieval: BM25 ⊕ IVF-SQ8 by reciprocal-rank fusion ----
     // One fixed query, both modalities: the 3-term keyword query scores
     // BM25 top-20 over documents; vec_id 0's embedding probes the
-    // IVF-PQ index for ANN top-20 over embeddings (vec_id IS the
+    // IVF-SQ8 index for ANN top-20 over embeddings (vec_id IS the
     // embedded doc's id — the tables share the id domain); RRF with
     // C = 60 fuses the two rankings, top-10. Every ingredient reuses
     // the standalone query's exact arithmetic (Bm25.rank,
-    // SimilarityOps.ivfPqSearch), and the fusion is integer-exact
+    // SimilarityOps.ivfSq8Search), and the fusion is integer-exact
     // (10¹² div (60 + rank) — no float), so the full pipeline is
     // DuckDB-recomputable end to end: the oracle is q_bm25's CTEs plus
-    // q_sim_ann_ivfpq's CTEs plus a 3-line integer fusion.
+    // q_sim_ann_ivfsq8's CTEs plus a 3-line integer fusion.
     //
     // Scale: the legs are the already-audited retrieval plans (postings
     // explode filtered to the query vocabulary before any shuffle;
@@ -248,7 +248,7 @@ object Coverage20 {
       HybridRetrieval.fuse(lexLeg(s, dir), annLeg(s, dir), 10)
     },
 
-    // ---- 3-leg fusion: BM25 ⊕ exact-phrase ⊕ IVF-PQ -------------------
+    // ---- 3-leg fusion: BM25 ⊕ exact-phrase ⊕ IVF-SQ8 -------------------
     // The N-leg claim DEMONSTRATED, not asserted: the same union + one
     // hash aggregate fuses three systems — keyword BM25, exact-phrase
     // occurrence ranking (q_phrase_search's compiled phrase_count), and

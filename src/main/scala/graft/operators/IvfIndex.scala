@@ -45,24 +45,39 @@ final class IvfIndex(spark: SparkSession, dir: String) {
       .write.mode("overwrite").parquet(s"$dir/deletes/del=$deleteId")
   }
 
-  /** The PQ code table (vec_id, centroid_id, sc, codes), tombstones
-    * hidden like [[assigned]]. Present only on [[IvfIndex.buildPq]]
+  /** The SQ8 code table (vec_id, centroid_id, sc, codes), tombstones
+    * hidden like [[assigned]]. Present only on [[IvfIndex.buildSq8]]
     * indexes. */
+  def sq8Codes: DataFrame = {
+    val raw = spark.read.parquet(s"$dir/sq8")
+    tombstones.map(t => raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(raw)
+  }
+
+  /** The per-subspace PQ codebooks (sub, code, cw) — index METADATA:
+    * m×K×subDim doubles, broadcast-sized, frozen at build/bootstrap
+    * time (re-derived only by a retrain). Present only on
+    * [[IvfIndex.buildPq]] / `IncrementalIvf.bootstrapPq` indexes. */
+  def codebooks: DataFrame = spark.read.parquet(s"$dir/codebooks")
+
+  /** The TRUE-PQ code table (vec_id, centroid_id, codes) — m codebook
+    * indices per vector (m BYTES of entropy, not dim bytes: the
+    * compression class a 100-TB fp32 corpus needs), tombstones hidden
+    * like [[assigned]]. */
   def pqCodes: DataFrame = {
     val raw = spark.read.parquet(s"$dir/pq")
     tombstones.map(t => raw.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .getOrElse(raw)
   }
 
-  /** IVF-PQ ANN top-k: same probe selection as [[search]], but the
-    * probed partitions are read from the PQ CODE table (int8 residual
-    * codes — ~dim bytes/vector instead of 4·dim, the form a 100-TB
-    * vector corpus can actually keep per bucket), scored
-    * asymmetrically against the reconstruction, and only the top
-    * k·refine shortlist per query touches true float embeddings for
-    * the exact re-rank — itself read partition-PRUNED (shortlist
-    * members live in probed buckets by construction). Equals
-    * `SimilarityOps.ivfPqSearch` over the same corpus (IvfPqSpec). */
+  /** TRUE-PQ ANN top-k with ADC lookup tables: probe selection as
+    * [[search]]; the probed partitions are read from the m-byte PQ
+    * CODE table and scored as integer fixed-point
+    * qcfp + Σ_sub luts[sub][code] (per-query m×K tables riding a
+    * broadcast — NO float vector is read for scanning); only the
+    * k·refine shortlist opens float partitions for the exact re-rank.
+    * Equals `ProductQuant.adcSearch` over the same corpus and
+    * codebooks (ProductQuantSpec). */
   def searchPq(queries: DataFrame, k: Int, nprobe: Int,
       refine: Int): DataFrame = {
     graft.functions.VectorOps.ensure(spark)
@@ -78,8 +93,72 @@ final class IvfIndex(spark: SparkSession, dir: String) {
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probePlan.schema)
     val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
+    val probesFp = probes
+      .join(broadcast(centroids.select(col("cid"), col("cv"))), "cid")
+      .withColumn("qcfp", floor(graft.functions.VectorOps.dot(
+        col("qv"), col("cv")) * ProductQuant.FP).cast("long"))
+      .select(col("qid"), col("cid"), col("qcfp"))
+    val luts = ProductQuant.lookupTables(
+      probes.select(col("qid"), col("qv")).distinct(), codebooks)
+    val wtabs = ProductQuant.centroidTables(centroids, codebooks)
+    // partition filter on the m-byte CODE table — the narrow scan
+    val pruned = pqCodes.filter(col("centroid_id").isin(probedCids: _*))
+    val cand = pruned
+      .join(broadcast(probesFp), col("centroid_id") === probesFp("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(luts), "qid")
+      .join(broadcast(wtabs), pruned("centroid_id") === wtabs("wcid"))
+      .withColumn("ipfp", col("qcfp") + expr(
+        "aggregate(zip_with(codes, luts, (c, l) -> element_at(l, CAST(c AS INT) + 1)), 0L, (s, x) -> s + x)"))
+      .withColumn("n2fp", greatest(col("cn2fp") + expr(
+        "aggregate(zip_with(codes, wtab, (c, l) -> element_at(l, CAST(c AS INT) + 1)), 0L, (s, x) -> s + x)"), lit(1L)))
+      .withColumn("adc",
+        col("ipfp").cast("double") / sqrt(col("n2fp").cast("double")))
+    val shortlist = cand.groupBy(col("qid"))
+      .agg(call_function("topk_by", col("adc"),
+        col("vec_id"), lit(k * refine)).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val exact = assigned.filter(col("centroid_id").isin(probedCids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+        .select(col("qid"), col("qv")).distinct()), "qid")
+      .withColumn("cos", round(
+        graft.functions.VectorOps.cosine(col("embedding"), col("qv")), 6))
+    exact.groupBy(col("qid"))
+      .agg(call_function("topk_by", col("cos"), col("vec_id"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  /** IVF-SQ8 ANN top-k: same probe selection as [[search]], but the
+    * probed partitions are read from the SQ8 CODE table (int8 residual
+    * codes — ~dim bytes/vector instead of 4·dim, the form a 100-TB
+    * vector corpus can actually keep per bucket), scored
+    * asymmetrically against the reconstruction, and only the top
+    * k·refine shortlist per query touches true float embeddings for
+    * the exact re-rank — itself read partition-PRUNED (shortlist
+    * members live in probed buckets by construction). Equals
+    * `SimilarityOps.ivfSq8Search` over the same corpus (IvfSq8Spec). */
+  def searchSq8(queries: DataFrame, k: Int, nprobe: Int,
+      refine: Int): DataFrame = {
+    graft.functions.VectorOps.ensure(spark)
+    graft.functions.TopKBy.register(spark)
+    val probePlan = queries.crossJoin(broadcast(centroids))
+      .withColumn("cd", round(
+        graft.functions.VectorOps.cosine(col("qv"), col("cv")), 6))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        call_function("topk_by", col("cd"), col("cid"), lit(nprobe)).as("pr"))
+      .select(col("qid"), col("qv"), explode(col("pr.id")).as("cid"))
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
     // partition filter on the CODE table — the narrow scan
-    val prunedCodes = pqCodes.filter(col("centroid_id").isin(probedCids: _*))
+    val prunedCodes = sq8Codes.filter(col("centroid_id").isin(probedCids: _*))
     val recon = prunedCodes.join(broadcast(
         centroids.select(col("cid").as("rcid"), col("cv"))),
         col("centroid_id") === col("rcid"))
@@ -170,14 +249,31 @@ object IvfIndex {
     new IvfIndex(spark, dir)
   }
 
-  /** [[build]] plus the PQ CODE layout: int8 residual codes
-    * (`SimilarityOps.pqCodes`) persisted `partitionBy(centroid_id)`
+  /** [[build]] plus the SQ8 CODE layout: int8 residual codes
+    * (`SimilarityOps.sq8Codes`) persisted `partitionBy(centroid_id)`
     * alongside the float layout — probes scan codes, only the
-    * re-rank shortlist opens float partitions ([[IvfIndex.searchPq]]). */
-  def buildPq(corpus: DataFrame, dir: String, modulus: Int): IvfIndex = {
+    * re-rank shortlist opens float partitions ([[IvfIndex.searchSq8]]). */
+  def buildSq8(corpus: DataFrame, dir: String, modulus: Int): IvfIndex = {
     val idx = build(corpus, dir, modulus)
-    SimilarityOps.pqCodes(
+    SimilarityOps.sq8Codes(
       idx.assigned, idx.centroids)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/sq8")
+    idx
+  }
+
+  /** [[build]] plus the TRUE-PQ layout: per-subspace codebooks trained
+    * on the corpus's residuals (`ProductQuant.train` — seeded Lloyd,
+    * frozen thereafter) persisted under `codebooks/`, and the m-byte
+    * code table (`ProductQuant.encode`) under `pq/`, partitioned by
+    * centroid_id like the float layout so [[searchPq]] prunes files. */
+  def buildPq(corpus: DataFrame, dir: String, modulus: Int,
+      m: Int = ProductQuant.M, cbMod: Int = ProductQuant.CbMod): IvfIndex = {
+    val idx = build(corpus, dir, modulus)
+    val books = ProductQuant.train(idx.assigned, idx.centroids, m, cbMod)
+    books.write.mode("overwrite").parquet(s"$dir/codebooks")
+    ProductQuant.encode(idx.assigned, idx.centroids,
+        corpus.sparkSession.read.parquet(s"$dir/codebooks"), m)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/pq")
     idx

@@ -98,7 +98,7 @@ object SimilarityOps {
       scored.groupBy(col("qid")).agg(topkBy(col("cos"), col("vec_id"), k).as("top")))
   }
 
-  /** Int8 RESIDUAL quantization of an assigned corpus (the PQ coding
+  /** Int8 RESIDUAL quantization of an assigned corpus (the SQ8 coding
     * step): r = x − centroid, per-vector scale = 127/max|rᵢ|, codes =
     * ⌊rᵢ·scale + 0.5⌋ — q_embed_quantize's deterministic arithmetic
     * applied to residuals, which is what makes the codes SMALL (a
@@ -109,7 +109,7 @@ object SimilarityOps {
     * centroid_id, sc, codes) — ~dim bytes of payload per vector
     * instead of 4·dim: the memory-bounded form a 100-TB vector corpus
     * needs (raw floats don't fit; codes do). */
-  def pqCodes(assigned: DataFrame, centroids: DataFrame): DataFrame =
+  def sq8Codes(assigned: DataFrame, centroids: DataFrame): DataFrame =
     assigned.join(broadcast(centroids), col("centroid_id") === col("cid"))
       .withColumn("r", expr(
         "zip_with(embedding, cv, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"))
@@ -121,7 +121,7 @@ object SimilarityOps {
         expr("transform(r, x -> CAST(floor(x * sc + 0.5D) AS BIGINT))")
           .as("codes"))
 
-  /** IVF-PQ search — asymmetric distance computation + exact re-rank:
+  /** IVF-SQ8 search — asymmetric distance computation + exact re-rank:
     * probes select nprobe centroids per query on TRUE centroid
     * vectors; candidates in probed buckets are scored with the
     * full-precision query against their int8-RECONSTRUCTED form
@@ -130,8 +130,8 @@ object SimilarityOps {
     * embeddings. Only the shortlist ever touches a float vector —
     * the scan side reads codes. Every ranking edge is
     * 6-digit-rounded with id tie-breaks, so the whole pipeline is
-    * deterministic and DuckDB-recomputable (q_sim_ann_ivfpq). */
-  def ivfPqSearch(codes: DataFrame, centroids: DataFrame, corpus: DataFrame,
+    * deterministic and DuckDB-recomputable (q_sim_ann_ivfsq8). */
+  def ivfSq8Search(codes: DataFrame, centroids: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame = {
     ensure(corpus)
     val probes = queries.crossJoin(broadcast(centroids))
@@ -257,15 +257,15 @@ object SimilarityOps {
       ivfSearch(ivfAssign(e, 97), centroids, q, 10, 8)
     },
 
-    // IVF-PQ: quantized ANN — int8 residual codes per centroid bucket,
+    // IVF-SQ8: quantized ANN — int8 residual codes per centroid bucket,
     // asymmetric reconstruction scoring, exact re-rank of the top
     // k·refine shortlist (k=10, refine=3, nprobe=8). The memory-
-    // bounded form a 100-TB vector corpus needs (IvfIndex.buildPq
-    // persists this layout; IvfPqSpec measures recall vs the
+    // bounded form a 100-TB vector corpus needs (IvfIndex.buildSq8
+    // persists this layout; IvfSq8Spec measures recall vs the
     // unquantized search). All arithmetic is floor-quantized integers
     // + fixed-order IEEE ops with 6-digit ranking edges, so DuckDB
     // recomputes coding, probing, shortlist, and re-rank exactly.
-    QDef("q_sim_ann_ivfpq",
+    QDef("q_sim_ann_ivfsq8",
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
@@ -333,7 +333,7 @@ object SimilarityOps {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ivfPqSearch(pqCodes(ivfAssign(e, 97), centroids), centroids,
+      ivfSq8Search(sq8Codes(ivfAssign(e, 97), centroids), centroids,
         e, q, k = 10, nprobe = 8, refine = 3)
     },
 

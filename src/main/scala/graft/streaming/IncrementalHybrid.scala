@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * The lexical leg is [[IncrementalPostings.search]] (BM25 over the
   * term-bucket-pruned postings tree, tombstones applied, corpus stats
   * from the per-batch rows); the vector leg is
-  * [[graft.operators.IvfIndex.searchPq]] over the
+  * [[graft.operators.IvfIndex.searchSq8]] over the
   * [[IncrementalIvf]]-maintained PQ layout (probed centroid_id
   * partitions, int8 codes, exact re-rank); the fusion is
   * [[graft.operators.HybridRetrieval.fuse]] — the SAME integer RRF the
@@ -37,7 +37,7 @@ object IncrementalHybrid {
       : DataFrame = {
     val lex = IncrementalPostings.search(spark, postingsDir, terms, kLex)
       .select(col("doc_id"), col("rnk").as("lex_rnk"))
-    val ann = new IvfIndex(spark, ivfDir).searchPq(queries, kAnn, nprobe, refine)
+    val ann = new IvfIndex(spark, ivfDir).searchSq8(queries, kAnn, nprobe, refine)
       .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))
     HybridRetrieval.fuse(lex, ann, k)
   }
@@ -56,7 +56,7 @@ object IncrementalHybrid {
     val phr = IncrementalPostings
       .phraseSearch(spark, postingsDir, phrase, kLeg)
       .select(col("doc_id"), col("rnk"))
-    val ann = new IvfIndex(spark, ivfDir).searchPq(queries, kLeg, nprobe, refine)
+    val ann = new IvfIndex(spark, ivfDir).searchSq8(queries, kLeg, nprobe, refine)
       .select(col("vec_id").as("doc_id"), col("rn").as("rnk"))
     HybridRetrieval.fuseN(Seq(lex, phr, ann), k)
   }

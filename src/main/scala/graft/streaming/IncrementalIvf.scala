@@ -56,28 +56,61 @@ object IncrementalIvf {
     new IvfIndex(spark, dir)
   }
 
-  /** [[bootstrap]] plus the PQ CODE layout: the bootstrap's int8
-    * residual codes land under `pq/batch=0`, and every later
-    * micro-batch maintains its own `pq/batch=<id>` alongside its
-    * assignment (the presence of `pq/` is the maintenance switch).
+  /** [[bootstrap]] plus the SQ8 CODE layout: the bootstrap's int8
+    * residual codes land under `sq8/batch=0`, and every later
+    * micro-batch maintains its own `sq8/batch=<id>` alongside its
+    * assignment (the presence of `sq8/` is the maintenance switch).
     * Codes derive DETERMINISTICALLY from (assignment, centroids), so
     * the stream-maintained code table is byte-identical to
-    * `IvfIndex.buildPq` over the same corpus, and `searchPq` works
+    * `IvfIndex.buildSq8` over the same corpus, and `searchSq8` works
     * unchanged — batch and centroid_id are both discovered partition
     * levels, exactly like the float layout. */
-  def bootstrapPq(corpus: DataFrame, dir: String, modulus: Int): IvfIndex = {
+  def bootstrapSq8(corpus: DataFrame, dir: String, modulus: Int): IvfIndex = {
     val spark = corpus.sparkSession
     corpus.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    // seed pq/ FIRST so writeBatch sees the maintenance switch
+    // seed sq8/ FIRST so writeBatch sees the maintenance switch
     val centroids = spark.read.parquet(s"$dir/centroids")
     val assigned = SimilarityOps.ivfAssignTo(
       corpus.select(col("vec_id"), col("embedding")), centroids).cache()
     try {
       assigned.write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$dir/assigned/batch=0")
-      SimilarityOps.pqCodes(assigned, centroids)
+      SimilarityOps.sq8Codes(assigned, centroids)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/sq8/batch=0")
+    } finally assigned.unpersist()
+    new IvfIndex(spark, dir)
+  }
+
+  /** [[bootstrap]] plus the TRUE-PQ layout: per-subspace codebooks are
+    * trained ONCE on the bootstrap corpus's residuals
+    * (`ProductQuant.train`) and FROZEN — every later micro-batch
+    * encodes against them (the faiss contract: codebooks are index
+    * metadata, retrained only by the offline retrain path), so the
+    * stream-maintained m-byte code table is byte-identical to a
+    * one-shot `ProductQuant.encode` of the same corpus against the
+    * same books, in any micro-batch split. Layout: `codebooks/` plus
+    * `pq/batch=<id>/centroid_id=<cid>/` (presence of `codebooks/` is
+    * the maintenance switch). */
+  def bootstrapPq(corpus: DataFrame, dir: String, modulus: Int,
+      m: Int = graft.operators.ProductQuant.M,
+      cbMod: Int = graft.operators.ProductQuant.CbMod): IvfIndex = {
+    val spark = corpus.sparkSession
+    corpus.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = SimilarityOps.ivfAssignTo(
+      corpus.select(col("vec_id"), col("embedding")), centroids).cache()
+    try {
+      assigned.write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/assigned/batch=0")
+      graft.operators.ProductQuant.train(assigned, centroids, m, cbMod)
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      graft.operators.ProductQuant.encode(assigned, centroids,
+          spark.read.parquet(s"$dir/codebooks"), m)
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$dir/pq/batch=0")
     } finally assigned.unpersist()
@@ -102,13 +135,23 @@ object IncrementalIvf {
     try {
       assigned.write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$dir/assigned/batch=$batchId")
-      // a PQ-maintained index ([[bootstrapPq]]) keeps its code table
+      // an SQ8-maintained index ([[bootstrapSq8]]) keeps its code table
       // current per batch — same batch-id-keyed overwrite, so a
       // replayed batch replaces BOTH layouts deterministically
-      if (IndexFs.exists(spark, s"$dir/pq"))
-        SimilarityOps.pqCodes(assigned, centroids)
+      if (IndexFs.exists(spark, s"$dir/sq8"))
+        SimilarityOps.sq8Codes(assigned, centroids)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$dir/sq8/batch=$batchId")
+      // a TRUE-PQ index ([[bootstrapPq]]) encodes the batch against the
+      // FROZEN bootstrap codebooks — m is recovered from the stored
+      // books (max sub + 1; a bounded metadata read)
+      if (IndexFs.exists(spark, s"$dir/codebooks")) {
+        val books = spark.read.parquet(s"$dir/codebooks")
+        val m = books.agg(max(col("sub"))).head().getLong(0).toInt + 1
+        graft.operators.ProductQuant.encode(assigned, centroids, books, m)
           .write.mode("overwrite").partitionBy("centroid_id")
           .parquet(s"$dir/pq/batch=$batchId")
+      }
     } finally assigned.unpersist()
   }
 
@@ -147,14 +190,29 @@ object IncrementalIvf {
     // codes derive deterministically from (assignment, centroids):
     // RECOMPUTING them over the consolidated float layout is identical
     // to (and simpler than) rolling up the code batch history
-    if (IndexFs.exists(spark, s"$dir/pq"))
-      SimilarityOps.pqCodes(
+    if (IndexFs.exists(spark, s"$dir/sq8"))
+      SimilarityOps.sq8Codes(
           spark.read.parquet(s"$intoDir/assigned/batch=0")
             .select(col("vec_id"), col("embedding"),
               col("centroid_id").cast("long").as("centroid_id")),
           spark.read.parquet(s"$intoDir/centroids"))
         .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$intoDir/sq8/batch=0")
+    // TRUE-PQ: codebooks are FROZEN metadata — copied verbatim; codes
+    // recomputed from the consolidated float layout against them
+    if (IndexFs.exists(spark, s"$dir/codebooks")) {
+      spark.read.parquet(s"$dir/codebooks")
+        .write.mode("overwrite").parquet(s"$intoDir/codebooks")
+      val books = spark.read.parquet(s"$intoDir/codebooks")
+      val m = books.agg(max(col("sub"))).head().getLong(0).toInt + 1
+      graft.operators.ProductQuant.encode(
+          spark.read.parquet(s"$intoDir/assigned/batch=0")
+            .select(col("vec_id"), col("embedding"),
+              col("centroid_id").cast("long").as("centroid_id")),
+          spark.read.parquet(s"$intoDir/centroids"), books, m)
+        .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$intoDir/pq/batch=0")
+    }
   }
 
   /** Open the maintained index for search (same probe path as the
@@ -213,15 +271,34 @@ object IncrementalIvf {
     centroids.write.mode("overwrite").parquet(s"$intoDir/centroids")
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$intoDir/assigned/batch=0")
-    // retrained centroids invalidate every residual: recompute the PQ
+    // retrained centroids invalidate every residual: recompute the SQ8
     // codes against the NEW centroid set (same deterministic derivation)
-    if (IndexFs.exists(spark, s"$dir/pq"))
-      SimilarityOps.pqCodes(
+    if (IndexFs.exists(spark, s"$dir/sq8"))
+      SimilarityOps.sq8Codes(
           spark.read.parquet(s"$intoDir/assigned/batch=0")
             .select(col("vec_id"), col("embedding"),
               col("centroid_id").cast("long").as("centroid_id")),
           spark.read.parquet(s"$intoDir/centroids"))
         .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$intoDir/sq8/batch=0")
+    // TRUE-PQ: retrained centroids invalidate every residual, so the
+    // codebooks RETRAIN too (same deterministic seeded Lloyd, same
+    // subspace split recovered from the stored books) and the corpus
+    // re-encodes against the new books
+    if (IndexFs.exists(spark, s"$dir/codebooks")) {
+      val oldBooks = spark.read.parquet(s"$dir/codebooks")
+      val m = oldBooks.agg(max(col("sub"))).head().getLong(0).toInt + 1
+      val reassigned = spark.read.parquet(s"$intoDir/assigned/batch=0")
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").cast("long").as("centroid_id"))
+      val newCents = spark.read.parquet(s"$intoDir/centroids")
+      graft.operators.ProductQuant.train(reassigned, newCents, m,
+          graft.operators.ProductQuant.CbMod)
+        .write.mode("overwrite").parquet(s"$intoDir/codebooks")
+      graft.operators.ProductQuant.encode(reassigned, newCents,
+          spark.read.parquet(s"$intoDir/codebooks"), m)
+        .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$intoDir/pq/batch=0")
+    }
   }
 }

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
-/** IVF-PQ: int8 residual codes + asymmetric scoring + exact re-rank.
+/** IVF-SQ8: int8 residual codes + asymmetric scoring + exact re-rank.
   * Pins (1) code arithmetic (reconstruction error bounded by the
-  * 8-bit grid), (2) the persisted searchPq == inline ivfPqSearch,
+  * 8-bit grid), (2) the persisted searchSq8 == inline ivfSq8Search,
   * (3) recall of the quantized search against the UNQUANTIZED IVF
   * search and against brute force — the contract the verdict asks
   * for ("the memory-bounded form a 100-TB vector corpus needs"). */
-class IvfPqSpec extends AnyFunSuite {
+class IvfSq8Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -29,7 +29,7 @@ class IvfPqSpec extends AnyFunSuite {
 
   test("codes reconstruct within the 8-bit grid: |x − x̂| ≤ maxabs/254 " +
       "per element (half a quantization step)") {
-    val codes = SimilarityOps.pqCodes(
+    val codes = SimilarityOps.sq8Codes(
       SimilarityOps.ivfAssign(corpus, Modulus), cents)
     // re-derive the residual and compare against codes/sc (fresh cent
     // aliases — codes already consumed cents internally, so a direct
@@ -56,49 +56,49 @@ class IvfPqSpec extends AnyFunSuite {
     assert(outOfRange.isEmpty)
   }
 
-  test("persisted searchPq == inline ivfPqSearch; reopen identical; " +
-      "PQ scan side touches only code partitions") {
-    val dir = Files.createTempDirectory("ivfpq-idx").toString
-    val idx = IvfIndex.buildPq(corpus, dir, Modulus)
-    val inline = SimilarityOps.ivfPqSearch(
-      SimilarityOps.pqCodes(SimilarityOps.ivfAssign(corpus, Modulus), cents),
+  test("persisted searchSq8 == inline ivfSq8Search; reopen identical; " +
+      "SQ8 scan side touches only code partitions") {
+    val dir = Files.createTempDirectory("ivfsq8-idx").toString
+    val idx = IvfIndex.buildSq8(corpus, dir, Modulus)
+    val inline = SimilarityOps.ivfSq8Search(
+      SimilarityOps.sq8Codes(SimilarityOps.ivfAssign(corpus, Modulus), cents),
       cents, corpus, queries, K, NProbe, Refine)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSet
-    val persisted = idx.searchPq(queries, K, NProbe, Refine)
+    val persisted = idx.searchSq8(queries, K, NProbe, Refine)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSet
     assert(persisted == inline)
     assert(persisted.nonEmpty)
-    val reopened = new IvfIndex(spark, dir).searchPq(queries, K, NProbe, Refine)
+    val reopened = new IvfIndex(spark, dir).searchSq8(queries, K, NProbe, Refine)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSet
     assert(reopened == persisted)
   }
 
-  test("recall: PQ top-10 overlaps the unquantized IVF top-10 >= 80% " +
+  test("recall: SQ8 top-10 overlaps the unquantized IVF top-10 >= 80% " +
       "per query, and matches its candidate universe") {
     val assigned = SimilarityOps.ivfAssign(corpus, Modulus)
     val exactIvf = SimilarityOps.ivfSearch(assigned, cents, queries, K, NProbe)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val pq = SimilarityOps.ivfPqSearch(
-      SimilarityOps.pqCodes(assigned, cents), cents, corpus, queries,
+    val sq8 = SimilarityOps.ivfSq8Search(
+      SimilarityOps.sq8Codes(assigned, cents), cents, corpus, queries,
       K, NProbe, Refine)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    assert(pq.keySet == exactIvf.keySet)
-    pq.foreach { case (qid, ids) =>
+    assert(sq8.keySet == exactIvf.keySet)
+    sq8.foreach { case (qid, ids) =>
       val overlap = ids.intersect(exactIvf(qid)).size.toDouble / K
-      assert(overlap >= 0.8, s"qid $qid: PQ recall vs IVF = $overlap")
+      assert(overlap >= 0.8, s"qid $qid: SQ8 recall vs IVF = $overlap")
     }
     // and against BRUTE FORCE (the end metric): average recall >= 0.7
     val brute = SimilarityOps.bruteForceTopK(corpus, queries, K)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val avg = pq.map { case (qid, ids) =>
+    val avg = sq8.map { case (qid, ids) =>
       ids.intersect(brute(qid)).size.toDouble / K
-    }.sum / pq.size
-    assert(avg >= 0.7, s"PQ recall vs brute force = $avg")
+    }.sum / sq8.size
+    assert(avg >= 0.7, s"SQ8 recall vs brute force = $avg")
   }
 }

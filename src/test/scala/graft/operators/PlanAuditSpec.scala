@@ -133,7 +133,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (+2 small exchanges, all ≤1e6-cell): 22 observed cold + 2 slack
     "q_corpus_prep_mixed" -> Budget(maxExchanges = 24),
     // r13 hybrid retrieval: the two already-audited legs (BM25
-    // postings agg + IVF-PQ assign/code/probe/shortlist/re-rank) plus
+    // postings agg + IVF-SQ8 assign/code/probe/shortlist/re-rank) plus
     // the RRF fuse — union of two ≤20-row lists into ONE hash
     // aggregate (no join: the full-outer formulation would SMJ) and
     // one TakeOrdered: 21 observed + 2 slack
@@ -141,6 +141,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 3-leg edition adds the phrase leg as one per-row codegen'd
     // pass + TakeOrdered — no new shuffle class: 21 observed + 2 slack
     "q_hybrid_retrieval_3way" -> Budget(maxExchanges = 23),
+    // r14 true PQ: every exchange carries bounded rows — N×m subvector
+    // argmins (min_by partials: one row per subvector, never K scored),
+    // m×K codebook aggs, per-query LUT builds, ≤k·refine shortlists;
+    // the count is train+encode+search in ONE declarative tree (build
+    // amortizes at deployment): 44 observed + 1 slack
+    "q_sim_ann_pq" -> Budget(maxExchanges = 45),
     // one scan × 4 broadcast dims, map-side topk_by, 40-row overlap
     "q_sim_dim_curve" -> Budget(maxExchanges = 4),
     // cohort agg + join-side agg + the (cohort, age) rollup

@@ -11,7 +11,7 @@ import java.nio.file.Files
   * indistinguishable from the batch q_hybrid_retrieval:
   *  1. stream==batch — documents ingested into the postings index in 3
   *     micro-batches, embeddings bootstrapped + streamed into the
-  *     IVF-PQ index in 3 slices, fused read == the oracle-backed batch
+  *     IVF-SQ8 index in 3 slices, fused read == the oracle-backed batch
   *     query (both legs split-invariant by their own contracts; the
   *     fusion is the SHARED HybridRetrieval.fuse);
   *  2. takedown parity — tombstoning one document in BOTH indexes
@@ -54,7 +54,7 @@ class IncrementalHybridSpec extends AnyFunSuite {
   }
 
   /** Build both maintained indexes over the full sf0.001 corpus —
-    * postings in 3 ingest batches, IVF-PQ bootstrapped on a slice that
+    * postings in 3 ingest batches, IVF-SQ8 bootstrapped on a slice that
     * contains EVERY corpus centroid (vec_id % 97 == 0 — so the
     * maintained centroid table equals the batch query's deterministic
     * sample) then streamed in 2 more slices. */
@@ -65,7 +65,7 @@ class IncrementalHybridSpec extends AnyFunSuite {
         docs.filter(col("doc_id") % 3 === m), pDir, m.toLong)
     }
     val vDir = Files.createTempDirectory("hybrid-ivf").toString
-    IncrementalIvf.bootstrapPq(
+    IncrementalIvf.bootstrapSq8(
       corpus.filter(col("vec_id") % 97 === 0 || col("vec_id") < 250),
       vDir, 97)
     IncrementalIvf.processBatch(
@@ -130,8 +130,8 @@ class IncrementalHybridSpec extends AnyFunSuite {
     val cents = corpus.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val redCorpus = corpus.filter(col("vec_id") =!= victim)
-    val annRed = SimilarityOps.ivfPqSearch(
-        SimilarityOps.pqCodes(
+    val annRed = SimilarityOps.ivfSq8Search(
+        SimilarityOps.sq8Codes(
           SimilarityOps.ivfAssignTo(redCorpus, cents), cents),
         cents, redCorpus, queries, k = 20, nprobe = 8, refine = 3)
       .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))

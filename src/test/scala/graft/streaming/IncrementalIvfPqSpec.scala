@@ -1,24 +1,27 @@
 package graft.streaming
 
 import graft.TestSpark
-import graft.operators.{IvfIndex, SimilarityOps}
+import graft.operators.{IvfIndex, ProductQuant, SimilarityOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
-/** Stream-maintained IVF-PQ: the code table follows every ingested
-  * micro-batch (batch-id-keyed overwrite — replay-safe), and because
-  * codes derive deterministically from (assignment, centroids), the
-  * maintained index's searchPq EQUALS a one-shot IvfIndex.buildPq
-  * over the same corpus at every quiescent point. Takedowns hide
-  * code rows like float rows; consolidation recomputes batch=0 codes
-  * over the tombstone-applied corpus. */
+/** Stream-maintained TRUE-PQ index: codebooks are trained ONCE on the
+  * bootstrap corpus and FROZEN (index metadata — the faiss contract);
+  * every micro-batch encodes against them (batch-id-keyed overwrite —
+  * replay-safe), so the maintained searchPq EQUALS the one-shot inline
+  * ProductQuant pipeline over the same centroids AND the same books at
+  * every quiescent point, in any batch split. Takedowns hide code rows
+  * like float rows; consolidation copies the frozen books and
+  * recomputes batch=0 codes over the tombstone-applied corpus. */
 class IncrementalIvfPqSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private val sfDir = "/root/testdata/sf0.001"
   private val Modulus = 97
   private val (k, nprobe, refine) = (5, 4, 3)
+  private val M = ProductQuant.M
+  private val CbMod = ProductQuant.CbMod
 
   private def corpus = graft.table(spark, sfDir, "embeddings")
     .select("vec_id", "embedding")
@@ -30,23 +33,29 @@ class IncrementalIvfPqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getLong(3))).toSet
 
-  test("streamed ingestion == the inline PQ pipeline over the same " +
-      "centroids at every split; a replayed batch changes nothing") {
-    // the centroid set is the BOOTSTRAP slice's deterministic sample —
-    // the inline expectation uses exactly those centroids (the
-    // IncrementalIvfSpec comparison discipline)
-    val boot = corpus.filter(col("vec_id") < 250)
+  /** Inline expectation: bootstrap-slice centroids + bootstrap-trained
+    * frozen books, corpus encoded against them. */
+  private def inlineSearch(boot: org.apache.spark.sql.DataFrame,
+      full: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] = {
     val cents = boot.filter(col("vec_id") % Modulus === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val inline = SimilarityOps.ivfPqSearch(
-      SimilarityOps.pqCodes(
-        SimilarityOps.ivfAssignTo(corpus, cents), cents),
-      cents, corpus, queries, k, nprobe, refine)
+    val books = ProductQuant.train(
+      SimilarityOps.ivfAssignTo(boot, cents), cents, M, CbMod)
+    val assigned = SimilarityOps.ivfAssignTo(full, cents)
+    ProductQuant.adcSearch(
+      ProductQuant.encode(assigned, cents, books, M), books, cents,
+      full, queries, k, nprobe, refine)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getLong(3))).toSet
+  }
+
+  test("streamed ingestion == inline pipeline with frozen bootstrap " +
+      "books at every split; a replayed batch changes nothing") {
+    val boot = corpus.filter(col("vec_id") < 250)
+    val inline = inlineSearch(boot, corpus)
     assert(inline.nonEmpty)
 
-    Seq(2, 5).foreach { nBatches =>
+    Seq(2, 4).foreach { nBatches =>
       val dir = Files.createTempDirectory(s"ivfpq-stream$nBatches").toString
       IncrementalIvf.bootstrapPq(boot, dir, Modulus)
       val chunk = 250 / (nBatches - 1).max(1) + 1
@@ -58,8 +67,7 @@ class IncrementalIvfPqSpec extends AnyFunSuite {
       }
       val idx = IncrementalIvf.index(spark, dir)
       assert(searchSet(idx) == inline, s"$nBatches-batch split drifted")
-      // replay the last ingest batch: batch-id-keyed overwrite of BOTH
-      // layouts → byte-identical result
+      // replay the last ingest batch — byte-identical result
       IncrementalIvf.processBatch(
         corpus.filter(col("vec_id") >= 250 + (nBatches - 2).toLong * chunk &&
           col("vec_id") < 250 + (nBatches - 1).toLong * chunk),
@@ -68,44 +76,44 @@ class IncrementalIvfPqSpec extends AnyFunSuite {
     }
   }
 
-  test("takedowns hide PQ candidates; consolidation drops them " +
-      "physically and preserves searchPq + code pruning") {
+  test("takedowns hide PQ code rows; consolidation copies the frozen " +
+      "books, drops tombstoned rows physically, search unchanged") {
+    val boot = corpus.filter(col("vec_id") < 250)
     val dir = Files.createTempDirectory("ivfpq-del").toString
-    IncrementalIvf.bootstrapPq(corpus.filter(col("vec_id") < 250),
-      dir, Modulus)
+    IncrementalIvf.bootstrapPq(boot, dir, Modulus)
     IncrementalIvf.processBatch(corpus.filter(col("vec_id") >= 250), dir, 1L)
     val idx = IncrementalIvf.index(spark, dir)
     val before = searchSet(idx)
-    // take down a vector that currently appears in some result
     val victim = before.head._2
     idx.delete(Seq(victim), deleteId = 1L)
     val after = searchSet(idx)
     assert(!after.exists(_._2 == victim), "tombstoned vector still served")
     // equality with the reduced-corpus inline pipeline over the SAME
-    // centroid set (tombstones never touch the centroid table)
-    val cents = corpus.filter(col("vec_id") < 250)
-      .filter(col("vec_id") % Modulus === 0)
+    // centroids and the SAME frozen books (trained on the full
+    // bootstrap — the takedown does not retrain metadata)
+    val cents = boot.filter(col("vec_id") % Modulus === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val books = ProductQuant.train(
+      SimilarityOps.ivfAssignTo(boot, cents), cents, M, CbMod)
     val reducedCorpus = corpus.filter(col("vec_id") =!= victim)
-    val reduced = SimilarityOps.ivfPqSearch(
-      SimilarityOps.pqCodes(
-        SimilarityOps.ivfAssignTo(reducedCorpus, cents), cents),
-      cents, reducedCorpus, queries, k, nprobe, refine)
+    val reduced = ProductQuant.adcSearch(
+      ProductQuant.encode(
+        SimilarityOps.ivfAssignTo(reducedCorpus, cents), cents, books, M),
+      books, cents, reducedCorpus, queries, k, nprobe, refine)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getLong(3))).toSet
     assert(after == reduced, "post-takedown != reduced-corpus pipeline")
 
-    // consolidate: one batch=0, codes recomputed over the tombstone-
-    // applied corpus, search unchanged
     val intoDir = Files.createTempDirectory("ivfpq-consol").toString
     IncrementalIvf.consolidate(spark, dir, intoDir)
     val cidx = IncrementalIvf.index(spark, intoDir)
     assert(searchSet(cidx) == after, "consolidation changed searchPq")
-    // the victim's code rows are PHYSICALLY gone
     assert(spark.read.parquet(s"$intoDir/pq")
       .filter(col("vec_id") === victim).isEmpty)
-    // and the code layout keeps its centroid_id partition dirs
     assert(IndexFs.childDirs(spark, s"$intoDir/pq/batch=0")
       .exists(_.startsWith("centroid_id=")))
+    // the frozen books rode along unchanged
+    assert(spark.read.parquet(s"$intoDir/codebooks").count() ==
+      spark.read.parquet(s"$dir/codebooks").count())
   }
 }
