@@ -45,4 +45,32 @@ object Bm25 {
       .select(col("doc_id"),
         round(col("sc").cast("double"), 6).as("bm25"), col("rnk"))
   }
+
+  /** Per-QUERY top-k: `postings` covers the UNION of every query's
+    * vocabulary (each row one (doc, matched term) pair, df per term
+    * derived here — corpus-level, shared across queries); `qterms`
+    * (qid, term) is the per-query vocabulary filter, broadcast to the
+    * scored postings so each query only sums ITS terms. Per-term
+    * contribution arithmetic is [[rank]]'s verbatim; the final rank is
+    * a qid-PARTITIONED window over per-(qid, doc) decimal sums.
+    * Returns (qid, doc_id, bm25, rnk ≤ k). */
+  def rankByQuery(postings: DataFrame, qterms: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        col("tf") * (lit(1.2) + lit(1)) /
+        (col("tf") + lit(1.2) *
+          (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val score = postings.join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("qid", "doc_id").agg(sum(dec(contrib)).as("sc"))
+    score
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sc").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"),
+        round(col("sc").cast("double"), 6).as("bm25"), col("rnk"))
+  }
 }

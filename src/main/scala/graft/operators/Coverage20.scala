@@ -56,10 +56,19 @@ object HybridRetrieval {
       .unionByName(ann
         .select(col("doc_id"), col("ann_rnk").as("rnk"),
           lit(false).as("is_lex")))
+    // per-leg rank recovered as MIN, and the RRF term computed FROM the
+    // recovered rank (not summed over raw rows): a leg that violates
+    // the one-row-per-doc contract — e.g. a multi-query frame leaking
+    // through an unkeyed leg — degrades to best-rank-wins instead of
+    // silently double-counting its contribution (r13 advice). For
+    // contract-honoring legs this is byte-identical to the full-outer
+    // RRF formulation.
     val fused = tagged.groupBy("doc_id").agg(
-      max(when(col("is_lex"), col("rnk"))).as("lex_rnk"),
-      max(when(!col("is_lex"), col("rnk"))).as("ann_rnk"),
-      sum(expr(s"$FP div ($C + rnk)")).as("rrf_fp"))
+      min(when(col("is_lex"), col("rnk"))).as("lex_rnk"),
+      min(when(!col("is_lex"), col("rnk"))).as("ann_rnk"))
+      .withColumn("rrf_fp",
+        coalesce(expr(s"$FP div ($C + lex_rnk)"), lit(0L)) +
+          coalesce(expr(s"$FP div ($C + ann_rnk)"), lit(0L)))
     fused.orderBy(col("rrf_fp").desc, col("doc_id")).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
@@ -68,21 +77,50 @@ object HybridRetrieval {
   }
 
   /** N-leg RRF: fuse ANY number of (doc_id, rnk) top-k lists — the
-    * union + one-hash-aggregate shape of [[fuse]] verbatim, with the
-    * per-leg rank columns replaced by `n_legs` (how many systems
-    * ranked the doc — the agreement signal). Output
-    * (doc_id, n_legs, rrf_fp, rnk). */
+    * union + hash-aggregate shape of [[fuse]], with the per-leg rank
+    * columns replaced by `n_legs` (how many systems ranked the doc —
+    * the agreement signal). A per-(doc, leg) MIN pass ahead of the
+    * fusion enforces the one-row-per-doc-per-leg contract the same way
+    * [[fuse]] does (duplicate rows degrade to best-rank-wins, never
+    * double-count). Output (doc_id, n_legs, rrf_fp, rnk). */
   def fuseN(legs: Seq[DataFrame], k: Int): DataFrame = {
     require(legs.nonEmpty, "RRF needs at least one ranked list")
-    val tagged = legs.map(_.select(col("doc_id"), col("rnk")))
-      .reduce(_.unionByName(_))
-    val fused = tagged.groupBy("doc_id").agg(
-      count(lit(1)).as("n_legs"),
-      sum(expr(s"$FP div ($C + rnk)")).as("rrf_fp"))
+    val tagged = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col("doc_id"), col("rnk"), lit(i).as("leg"))
+    }.reduce(_.unionByName(_))
+    val fused = tagged.groupBy("doc_id", "leg").agg(min(col("rnk")).as("rnk"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_legs"),
+        sum(expr(s"$FP div ($C + rnk)")).as("rrf_fp"))
     fused.orderBy(col("rrf_fp").desc, col("doc_id")).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("n_legs"), col("rrf_fp"), col("rnk"))
+  }
+
+  /** Per-QUERY RRF (the eval-batch shape, round-13 verdict #2): every
+    * leg carries (qid, doc_id, rnk) — a top-k list PER query — and the
+    * fusion is keyed by qid end to end: per-(qid, doc, leg) MIN
+    * (the [[fuseN]] contract guard), one hash aggregate per (qid, doc),
+    * and the final rank is a qid-PARTITIONED window over the fused
+    * rows (≤ Σ legs·k per query by construction — bounded keyed
+    * window, never the unpartitioned global sort the single-query
+    * form could get away with). Output (qid, doc_id, n_legs, rrf_fp,
+    * rnk ≤ k). */
+  def fuseByQuery(legs: Seq[DataFrame], k: Int): DataFrame = {
+    require(legs.nonEmpty, "RRF needs at least one ranked list")
+    val tagged = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col("qid"), col("doc_id"), col("rnk"), lit(i).as("leg"))
+    }.reduce(_.unionByName(_))
+    tagged.groupBy("qid", "doc_id", "leg").agg(min(col("rnk")).as("rnk"))
+      .groupBy("qid", "doc_id").agg(
+        count(lit(1)).as("n_legs"),
+        sum(expr(s"$FP div ($C + rnk)")).as("rrf_fp"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"), col("n_legs"),
+        col("rrf_fp"), col("rnk"))
   }
 }
 

@@ -28,18 +28,52 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalHybrid {
 
+  /** [[HybridRetrieval.fuse]]/[[HybridRetrieval.fuseN]] aggregate on
+    * doc_id alone, so their legs must come from ONE query — a
+    * multi-row queries frame would silently collapse per-query
+    * rankings into doc-level best-rank (r13 advice). Multi-query reads
+    * go through [[searchMulti]]. */
+  private def requireSingleQuery(queries: DataFrame): Unit =
+    require(queries.limit(2).count() == 1,
+      "single-query fusion needs exactly one (qid, qv) row — " +
+        "use searchMulti for a queries batch")
+
   /** Fused top-k over the two maintained indexes. `queries` is the
-    * ANN leg's (qid, qv) frame; `terms` the lexical query. Leg depths
-    * and probe parameters mirror q_hybrid_retrieval's defaults. */
+    * ANN leg's single-row (qid, qv) frame; `terms` the lexical query.
+    * Leg depths and probe parameters mirror q_hybrid_retrieval's
+    * defaults. */
   def search(spark: SparkSession, postingsDir: String, ivfDir: String,
       terms: Seq[String], queries: DataFrame, k: Int,
       kLex: Int = 20, kAnn: Int = 20, nprobe: Int = 8, refine: Int = 3)
       : DataFrame = {
+    requireSingleQuery(queries)
     val lex = IncrementalPostings.search(spark, postingsDir, terms, kLex)
       .select(col("doc_id"), col("rnk").as("lex_rnk"))
     val ann = new IvfIndex(spark, ivfDir).searchSq8(queries, kAnn, nprobe, refine)
       .select(col("vec_id").as("doc_id"), col("rn").as("ann_rnk"))
     HybridRetrieval.fuse(lex, ann, k)
+  }
+
+  /** PER-QUERY fused read over the maintained indexes (the eval-batch
+    * shape, q_hybrid_retrieval_multi's streaming twin): each entry of
+    * `termsByQid` is one query's keyword vocabulary, `queries` the
+    * matching (qid, qv) vector frame; the lexical leg runs one
+    * term-bucket-pruned search per query (bounded — queries are a
+    * driver-known batch), the ANN leg is the per-qid quantized search
+    * unchanged, and the fusion is qid-keyed
+    * [[HybridRetrieval.fuseByQuery]]. Returns (qid, doc_id, n_legs,
+    * rrf_fp, rnk ≤ k). */
+  def searchMulti(spark: SparkSession, postingsDir: String, ivfDir: String,
+      termsByQid: Seq[(Long, Seq[String])], queries: DataFrame, k: Int,
+      kLeg: Int = 20, nprobe: Int = 8, refine: Int = 3): DataFrame = {
+    require(termsByQid.nonEmpty, "at least one keyword query")
+    val lex = termsByQid.map { case (qid, terms) =>
+      IncrementalPostings.search(spark, postingsDir, terms, kLeg)
+        .select(lit(qid).as("qid"), col("doc_id"), col("rnk"))
+    }.reduce(_.unionByName(_))
+    val ann = new IvfIndex(spark, ivfDir).searchSq8(queries, kLeg, nprobe, refine)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("rnk"))
+    HybridRetrieval.fuseByQuery(Seq(lex, ann), k)
   }
 
   /** THREE-leg fused read (q_hybrid_retrieval_3way's streaming twin):
@@ -51,6 +85,7 @@ object IncrementalHybrid {
   def search3(spark: SparkSession, postingsDir: String, ivfDir: String,
       terms: Seq[String], phrase: Seq[String], queries: DataFrame, k: Int,
       kLeg: Int = 20, nprobe: Int = 8, refine: Int = 3): DataFrame = {
+    requireSingleQuery(queries)
     val lex = IncrementalPostings.search(spark, postingsDir, terms, kLeg)
       .select(col("doc_id"), col("rnk"))
     val phr = IncrementalPostings

@@ -139,8 +139,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // one TakeOrdered: 21 observed + 2 slack
     "q_hybrid_retrieval" -> Budget(maxExchanges = 23),
     // the 3-leg edition adds the phrase leg as one per-row codegen'd
-    // pass + TakeOrdered — no new shuffle class: 21 observed + 2 slack
+    // pass + TakeOrdered, and r14's per-(doc, leg) MIN contract guard
+    // adds one bounded-row agg: 22 observed + 1 slack
     "q_hybrid_retrieval_3way" -> Budget(maxExchanges = 23),
+    // r14 per-query fusion: union-vocab BM25 ingredients once + the
+    // qid-partitioned rank windows + qid-keyed RRF aggs — every
+    // exchange carries matched postings or ≤Σk fused rows: 25 + 2
+    "q_hybrid_retrieval_multi" -> Budget(maxExchanges = 27),
+    // the eval adds brute-force qrels (one corpus scan, map-side
+    // topk_by) + two bounded metric aggs over ≤60 ranked rows: 32 + 2
+    "q_retrieval_eval" -> Budget(maxExchanges = 34),
     // r14 true PQ: every exchange carries bounded rows — N×m subvector
     // argmins (min_by partials: one row per subvector, never K scored),
     // m×K codebook aggs, per-query LUT builds, ≤k·refine shortlists;

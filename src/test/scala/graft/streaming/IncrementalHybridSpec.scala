@@ -113,6 +113,45 @@ class IncrementalHybridSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 1L), "no multi-leg agreement — vacuous")
   }
 
+  test("per-query fused read (searchMulti) over the maintained indexes " +
+      "== batch q_hybrid_retrieval_multi") {
+    val (pDir, vDir) = buildIndexes()
+    val expected = graft.SparkEntry
+      .queries("q_hybrid_retrieval_multi")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val termsByQid = Seq(
+      0L -> Seq("hash", "join", "filter"),
+      1L -> Seq("sort", "merge", "scan"),
+      2L -> Seq("row", "batch"))
+    val multiQueries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = IncrementalHybrid.searchMulti(
+        spark, pDir, vDir, termsByQid, multiQueries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, "multi-query stream != batch")
+    assert(got.map(_._1) == Set(0L, 1L, 2L), "missing a query's ranking")
+    // per-query ranks are each a dense 1..10
+    Seq(0L, 1L, 2L).foreach { q =>
+      assert(got.filter(_._1 == q).map(_._5) == (1L to 10L).toSet)
+    }
+  }
+
+  test("single-query fusion rejects a multi-row queries frame " +
+      "(the silent-double-count guard)") {
+    val (pDir, vDir) = buildIndexes()
+    val two = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    intercept[IllegalArgumentException] {
+      IncrementalHybrid.search(spark, pDir, vDir, terms, two, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalHybrid.search3(spark, pDir, vDir, terms,
+        phrase = Seq("hash", "join"), two, k = 10)
+    }
+  }
+
   test("takedown in both indexes == batch fusion over the reduced corpus") {
     val (pDir, vDir) = buildIndexes()
     val before = asT(IncrementalHybrid.search(
