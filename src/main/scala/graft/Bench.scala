@@ -293,10 +293,22 @@ object Bench {
           System.err.println(s"[bench] cdc throughput FAILED: ${e.getMessage}")
           """{"failed":true}"""
         }
-        try {
+        // SELF-DEFENDING gate (round-13 verdict #3): the child runs up
+        // to 3 attempts while its own noop canary reports a loaded
+        // window (> 0.5 s vs the ~0.09 s flat reference); the BEST-
+        // canary attempt becomes the record and the discarded readings
+        // stay in the JSON, so a driver capture landing on a bad
+        // window is retried instead of recorded — and when retries
+        // exhaust, the attempts trail says so explicitly. A child line
+        // that fails to parse (any missing field) counts as a FAILED
+        // attempt, never as a measurement (r13 advice). Heap for the
+        // child is SPARK_GRAFT_BENCH_CDC_HEAP (default 16g) so
+        // constrained hosts can still take the fresh-JVM path.
+        def childAttempt(): Either[String, Map[String, String]] = {
           val javaBin = System.getProperty("java.home") + "/bin/java"
           val cp = System.getProperty("java.class.path")
-          val pb = new ProcessBuilder(javaBin, "-Xmx16g", "-cp", cp,
+          val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_CDC_HEAP", "16g")
+          val pb = new ProcessBuilder(javaBin, s"-Xmx$heap", "-cp", cp,
             "graft.cdc.CdcThroughput", nCdc.toString, "count")
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           val proc = pb.start()
@@ -304,18 +316,52 @@ object Bench {
             .getLines().toList
           val rc = proc.waitFor()
           val line = out.findLast(_.contains("\"metric\":\"cdc_throughput\""))
-          if (rc != 0 || line.isEmpty) {
-            System.err.println(s"[bench] fresh-JVM cdc gate failed " +
-              s"(rc=$rc) — falling back to in-process")
+          if (rc != 0 || line.isEmpty) Left(s"child rc=$rc, no record line")
+          else {
+            val keys = Seq("records", "first_sec", "steady_sec",
+              "noop_sec", "records_per_sec")
+            val parsed = keys.flatMap { key =>
+              (s""""$key":([-0-9.]+)""".r).findFirstMatchIn(line.get)
+                .map(key -> _.group(1))
+            }.toMap
+            val missing = keys.filterNot(parsed.contains)
+            if (missing.nonEmpty) Left(s"unparseable fields: $missing")
+            else Right(parsed)
+          }
+        }
+        try {
+          val maxAttempts = 3
+          val noopGate = 0.5
+          val attempts = scala.collection.mutable.ArrayBuffer
+            .empty[Either[String, Map[String, String]]]
+          var done = false
+          while (!done && attempts.size < maxAttempts) {
+            val a = childAttempt()
+            attempts += a
+            done = a.exists(_("noop_sec").toDouble <= noopGate)
+            if (!done && attempts.size < maxAttempts)
+              System.err.println(s"[bench] cdc attempt ${attempts.size} " +
+                s"rejected (${a.fold(identity, m => s"noop_sec=${m("noop_sec")}")}) — retrying")
+          }
+          val good = attempts.flatMap(_.toOption)
+          if (good.isEmpty) {
+            System.err.println(s"[bench] fresh-JVM cdc gate failed all " +
+              s"$maxAttempts attempts — falling back to in-process")
             inProcess()
           } else {
-            def f(key: String): String =
-              (s""""$key":([-0-9.]+)""".r).findFirstMatchIn(line.get)
-                .map(_.group(1)).getOrElse("-1")
-            s"""{"records":${f("records")},"first_sec":${f("first_sec")},""" +
-              s""""steady_sec":${f("steady_sec")},""" +
-              s""""noop_sec":${f("noop_sec")},""" +
-              s""""rec_per_sec":${f("records_per_sec")},"fresh_jvm":true}"""
+            val best = good.minBy(_("noop_sec").toDouble)
+            val discarded = attempts.map {
+              case Left(err) => s"""{"failed":"$err"}"""
+              case Right(m) if m eq best => null
+              case Right(m) =>
+                s"""{"noop_sec":${m("noop_sec")},"rec_per_sec":${m("records_per_sec")}}"""
+            }.filter(_ != null).mkString("[", ",", "]")
+            s"""{"records":${best("records")},"first_sec":${best("first_sec")},""" +
+              s""""steady_sec":${best("steady_sec")},""" +
+              s""""noop_sec":${best("noop_sec")},""" +
+              s""""rec_per_sec":${best("records_per_sec")},""" +
+              s""""attempts":${attempts.size},"discarded":$discarded,""" +
+              s""""fresh_jvm":true}"""
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] fresh-JVM cdc gate unavailable " +

@@ -166,14 +166,22 @@ object CdcThroughput {
       val t0 = System.nanoTime(); spark.range(1).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val secs = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      Materializer.applyBatch(raw, catalog, Envelope.defaultRegistry, sink)
-      (System.nanoTime() - t0) / 1e9
-    }
-    val canary = noop()
-    val rps = n / secs.last
-    println(f"""{"metric":"cdc_throughput","records":$n,"mode":"$mode","first_sec":${secs.head}%.2f,"steady_sec":${secs.last}%.2f,"noop_sec":$canary%.3f,"records_per_sec":$rps%.0f}""")
+    // three canary samples — before, between and after the measured
+    // passes — so a load spike confined to EITHER pass is visible
+    // (a single post-hoc sample missed a pass-2-only spike, r13
+    // verdict minor); the record carries the median
+    val canaryBefore = noop()
+    val t1 = System.nanoTime()
+    Materializer.applyBatch(raw, catalog, Envelope.defaultRegistry, sink)
+    val firstSec = (System.nanoTime() - t1) / 1e9
+    val canaryMid = noop()
+    val t2 = System.nanoTime()
+    Materializer.applyBatch(raw, catalog, Envelope.defaultRegistry, sink)
+    val steadySec = (System.nanoTime() - t2) / 1e9
+    val canaryAfter = noop()
+    val canary = Seq(canaryBefore, canaryMid, canaryAfter).sorted.apply(1)
+    val rps = n / steadySec
+    println(f"""{"metric":"cdc_throughput","records":$n,"mode":"$mode","first_sec":$firstSec%.2f,"steady_sec":$steadySec%.2f,"noop_sec":$canary%.3f,"noop_all":[$canaryBefore%.3f,$canaryMid%.3f,$canaryAfter%.3f],"records_per_sec":$rps%.0f}""")
     spark.stop()
   }
 }

@@ -63,7 +63,17 @@ object IncrementalKsDrift {
   /** A source's last-seen batch index (eviction bookkeeping). */
   final case class SeenAt(source: String, b: Long)
 
-  /** Accumulated histogram + per-source idleness clock. */
+  /** Accumulated histogram + per-source idleness clock.
+    *
+    * STATE-SCHEMA COMPATIBILITY: `seen`/`batch` were added in round 13
+    * (TTL eviction) and this class is the flatMapGroupsWithState state
+    * encoder for BOTH the KS and the chi-square monitor — a checkpoint
+    * written before that round will NOT restore against the current
+    * encoder (Spark fails the state deserialization, it does not
+    * migrate). Restart affected streams from a FRESH checkpoint after
+    * upgrading; any future field change here is the same breaking
+    * event and must be called out the same way (or introduce a
+    * versioned KsStateV2 + explicit migration). */
   final case class KsState(cells: Array[Cell], seen: Array[SeenAt],
       batch: Long)
 
