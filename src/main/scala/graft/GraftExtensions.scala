@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArgMaxBy, BloomMightContain, CompositeLowerBound, FreqSketch, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot, ZInterleave}
+import graft.functions.{ArgMaxBy, BloomMightContain, CompositeLowerBound, FreqSketch, MinHashSignature, RollingHash, SimHash64, SrpBuckets, TopKBy, TopKStrBy, VecSum, VectorDot, ZInterleave, ZInterleaveN}
 
 /** Session extension point (SURVEY.md §2-B UDF-surface row): `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("z_interleave"),
       new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
       (children: Seq[Expression]) => ZInterleave(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("z_interleave_n"),
+      new ExpressionInfo(classOf[ZInterleaveN].getName, "z_interleave_n"),
+      (children: Seq[Expression]) => ZInterleaveN(children)))
     ext.injectFunction((
       new FunctionIdentifier("srp_buckets"),
       new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),

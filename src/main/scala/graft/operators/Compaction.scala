@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * repartition), keeping min/max pruning effective after the rewrite.
   * A table whose scans filter on TWO correlated dimensions passes
   * `zOrderBy` instead: the rewrite re-clusters on the Morton curve
-  * (the ZOrder.write layout at the byte-derived file count), so the
+  * (the ZOrder.writeN layout at the byte-derived file count, any arity), so the
   * maintenance pass that fixes the file-count pathology ALSO restores
   * the 2-d data-skipping a stream of appends erodes — file-level
   * min/max stats are tight on both dimensions after every cycle
@@ -62,7 +62,7 @@ object Compaction {
     * but the live path always holds a complete file set. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
       preserveSortWithin: Seq[String] = Nil,
-      zOrderBy: Option[(String, String)] = None): (Int, Int) = {
+      zOrderBy: Seq[String] = Nil): (Int, Int) = {
     require(zOrderBy.isEmpty || preserveSortWithin.isEmpty,
       "pass either zOrderBy (Morton re-cluster) or preserveSortWithin " +
         "(per-file sort), not both — they prescribe conflicting layouts")
@@ -85,7 +85,7 @@ object Compaction {
 
   private def compactLocal(spark: SparkSession, dir: String,
       targetBytes: Long, preserveSortWithin: Seq[String],
-      zOrderBy: Option[(String, String)]): (Int, Int) = {
+      zOrderBy: Seq[String]): (Int, Int) = {
     val (bytes, before) = stats(spark, dir)
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
@@ -93,20 +93,18 @@ object Compaction {
     // range-partitioned layout into the temp dir, then swaps below —
     // one skew-aware sampled shuffle, the same cost class as the
     // round-robin repartition it replaces
-    val rewritten = zOrderBy match {
-      case Some(_) => df // layout handled by ZOrder.write at the swap
-      case None =>
+    val rewritten =
+      if (zOrderBy.nonEmpty) df // layout handled by ZOrder.writeN at the swap
+      else {
         val rep = df.repartition(n)
         if (preserveSortWithin.nonEmpty)
           rep.sortWithinPartitions(preserveSortWithin.map(col): _*)
         else rep
-    }
+      }
     val tmp = dir.stripSuffix("/") + "_compact_tmp"
     val old = dir.stripSuffix("/") + "_compact_old"
-    zOrderBy match {
-      case Some((a, b)) => ZOrder.write(rewritten, a, b, tmp, n)
-      case None => rewritten.write.mode("overwrite").parquet(tmp)
-    }
+    if (zOrderBy.nonEmpty) ZOrder.writeN(rewritten, zOrderBy, tmp, n)
+    else rewritten.write.mode("overwrite").parquet(tmp)
     val dirF = new java.io.File(dir); val tmpF = new java.io.File(tmp)
     val oldF = new java.io.File(old)
     def rm(f: java.io.File): Unit = {

@@ -46,26 +46,42 @@ object ZOrder {
     * on (`colA`, `colB`). Both columns must be numeric (dates/
     * timestamps: cast upstream). */
   def write(df: DataFrame, colA: String, colB: String, dir: String,
+      nFiles: Int): Unit = writeN(df, Seq(colA, colB), dir, nFiles)
+
+  /** N-DIMENSIONAL [[write]] (round-13 verdict #6): cluster on ANY
+    * number of numeric columns — a fact table filtered on
+    * (date, key, source) needs all three dimensions locally tight.
+    * Bucket resolution is min(16, ⌊63/n⌋) bits per dimension (16 at
+    * n ≤ 3 — the 2-column layout is byte-identical to the old
+    * [[write]]; 15 at n = 4), interleaved by the codegen'd n-ary
+    * `z_interleave_n`. Same degenerate-column guards per dimension. */
+  def writeN(df: DataFrame, cols: Seq[String], dir: String,
       nFiles: Int): Unit = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
     ZInterleave.register(df.sparkSession)
-    val stats = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val bits = math.min(Bits, 63 / cols.size)
+    val buckets = (1 << bits) - 2 // width_bucket emits 0..n+1
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
     // degenerate-column guards (round-4 advice): an all-null column has
     // NULL min/max (getDouble would NPE) — fail with the actual reason;
     // a constant column (min == max) makes width_bucket return null for
     // every row — widen the range so the whole column lands in bucket 1
-    // and the layout degrades to a single-dimension sort, not to one
+    // and the layout degrades to fewer effective dimensions, not to one
     // null z-value.
     def range(name: String, lo: Int): (Double, Double) = {
       require(!stats.isNullAt(lo) && !stats.isNullAt(lo + 1),
-        s"ZOrder.write: column '$name' is all-null — cannot derive a bucket range")
+        s"ZOrder.writeN: column '$name' is all-null — cannot derive a bucket range")
       val (mn, mx) = (stats.getDouble(lo), stats.getDouble(lo + 1))
       if (mn == mx) (mn, mx + 1.0) else (mn, mx)
     }
-    val (aMin, aMax) = range(colA, 0)
-    val (bMin, bMax) = range(colB, 2)
-    val z = zValue(col(colA), aMin, aMax, col(colB), bMin, bMax)
+    val bucketed = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = range(c, 2 * i)
+      width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(buckets))
+        .cast("int")
+    }
+    val z = call_function("z_interleave_n", bucketed: _*)
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")

@@ -133,4 +133,31 @@ object StreamingOps {
       "leftOuter")
       .select("purchase_id", "user_id", "p_ts", "view_id", "v_ts", "purchase_value")
   }
+
+  /** FULL OUTER watermarked stream-stream join — the last member of
+    * the join family ([[purchaseViewJoin]] inner,
+    * [[purchaseViewJoinOuter]] left): BOTH dangling cohorts emit
+    * null-extended when the watermark proves no admissible partner can
+    * arrive — purchases with no preceding-hour view ("bought without
+    * browsing") AND views that led to no purchase within the following
+    * hour (the abandoned-browse cohort an attribution consumer
+    * retargets). `user_id` is coalesced across sides so every output
+    * row carries its user regardless of which side dangles. Matched
+    * pairs emit as they meet; state per side stays the inner join's
+    * one hour. Complete-input equality with the batch full join is
+    * pinned in StreamingOpsSpec. */
+  def purchaseViewJoinFull(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    p.join(v, expr(
+      "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"),
+      "fullOuter")
+      .select(col("purchase_id"),
+        coalesce(col("user_id"), col("v_user_id")).as("user_id"),
+        col("p_ts"), col("view_id"), col("v_ts"), col("purchase_value"))
+  }
 }

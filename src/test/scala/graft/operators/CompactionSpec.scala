@@ -84,7 +84,7 @@ class CompactionSpec extends AnyFunSuite {
 
     // Morton re-cluster at the byte-derived target (~the original 64)
     val (_, after) = Compaction.compact(spark, dir, bytes / 64,
-      zOrderBy = Some(("x", "y")))
+      zOrderBy = Seq("x", "y"))
     assert(spark.read.parquet(dir).count() == original)
     assert(after <= 70 && after >= 32, s"unexpected file count $after")
     // the 10%×10% box touches O(sqrt(files)) again — the layout the
@@ -100,7 +100,7 @@ class CompactionSpec extends AnyFunSuite {
     // both layout knobs at once is a contract error, not a silent pick
     intercept[IllegalArgumentException] {
       Compaction.compact(spark, dir, bytes, preserveSortWithin = Seq("x"),
-        zOrderBy = Some(("x", "y")))
+        zOrderBy = Seq("x", "y"))
     }
   }
 

@@ -52,6 +52,74 @@ class ZOrderSpec extends AnyFunSuite {
       "max in-domain ids must still produce a positive z-value")
   }
 
+  test("z_interleave_n: per-bit reference at n=3, bit-identical to " +
+      "z_interleave at n=2, out-of-budget ids rejected, codegen==eval") {
+    def slowN(vals: Seq[Int]): Long = {
+      val n = vals.size; val bits = 63 / n
+      var z = 0L
+      for (j <- vals.indices; i <- 0 until bits)
+        z |= ((vals(j).toLong >> i) & 1L) << (i * n + (n - 1 - j))
+      z
+    }
+    val cases3 = Seq(Seq(0, 0, 0), Seq(1, 2, 3), Seq(12345, 54321, 999),
+      Seq((1 << 21) - 1, 0, (1 << 21) - 1), Seq(7, (1 << 20), 13))
+    cases3.foreach { c =>
+      assert(ZInterleave.interleaveN(c.toArray) === slowN(c), s"$c")
+    }
+    // containment: all dims small => z smaller than any dim large
+    assert(ZInterleave.interleaveN(Array(3, 3, 3)) <
+      ZInterleave.interleaveN(Array(4, 0, 0)))
+    // n=2 agrees with the binary interleave on the shared domain
+    Seq((0, 0), (12345, 54321), ((1 << 30) - 1, 7)).foreach { case (a, b) =>
+      assert(ZInterleave.interleaveN(Array(a, b)) ===
+        ZInterleave.interleave(a, b), s"($a, $b)")
+    }
+    // budget: n=3 caps each dim at 2^21
+    val e = intercept[IllegalArgumentException](
+      ZInterleave.interleaveN(Array(1 << 21, 0, 0)))
+    assert(e.getMessage.contains("outside"))
+    intercept[IllegalArgumentException](
+      ZInterleave.interleaveN(Array(-1, 0, 0)))
+    // codegen path == scala path
+    ZInterleave.register(spark)
+    val df = (0 until 500).map(i => (i * 7919 % 100000,
+      i * 104729 % 100000, i * 1299709 % 100000)).toDF("a", "b", "c")
+    val viaExpr = df.select(expr("z_interleave_n(a, b, c)").as("z"))
+      .as[Long].collect()
+    val viaScala = df.as[(Int, Int, Int)].collect()
+      .map { case (a, b, c) => ZInterleave.interleaveN(Array(a, b, c)) }
+    assert(viaExpr.toSeq === viaScala.toSeq)
+  }
+
+  test("3-d z-ordered layout prunes 3-d box scans that a 1-d sort cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    val n = 200000
+    val df = spark.range(n).select(
+      (pmod(col("id") * 2654435761L, lit(1000000)) / 1000.0).as("x"),
+      (pmod(col("id") * 40503L + 17, lit(1000000)) / 1000.0).as("y"),
+      (pmod(col("id") * 7919L + 3, lit(1000000)) / 1000.0).as("s"))
+    val nFiles = 64
+    ZOrder.writeN(df, Seq("x", "y", "s"), s"$dir/z", nFiles)
+    df.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    // a 20%^3 box — the (date, key, source) fact-scan shape
+    def pred = col("x").between(400, 600) && col("y").between(400, 600) &&
+      col("s").between(400, 600)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val zTouched = filesTouched(s"$dir/z")
+    val linTouched = filesTouched(s"$dir/linear")
+    assert(zTouched < linTouched,
+      s"3-d z-order ($zTouched files) did not beat linear ($linTouched)")
+    assert(zTouched <= nFiles / 2, s"3-d z-order touched $zTouched of $nFiles")
+    info(s"20%^3 box on $nFiles files: 3-d z-order touches $zTouched, " +
+      s"x-sorted touches $linTouched")
+    // content identical either way
+    assert(spark.read.parquet(s"$dir/z").filter(pred).count() ===
+      spark.read.parquet(s"$dir/linear").filter(pred).count())
+  }
+
   test("z-ordered layout prunes 2-d box scans that a 1-d sort cannot") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val n = 200000
