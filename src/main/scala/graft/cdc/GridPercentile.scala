@@ -70,4 +70,27 @@ object GridPercentile {
       : Option[DataFrame] =
     IncrementalView.read(store, view, viewDef(group, bucket))
       .map(percentiles(_, group, bucket, pcts, width))
+
+  /** Percentiles off a live JOIN view (round-13 verdict #8): the same
+    * count-only histogram, but its (group…, bucket) columns span TWO
+    * mirrored tables — e.g. p90 order value per customer segment,
+    * where the bucket column rides the orders base (bucketed
+    * UPSTREAM, the standing grid-shaping stance) and the segment
+    * rides customers. Everything IncrementalJoinView already proves —
+    * delta-join maintenance, join-key churn, dangling keys, outer
+    * forms, exactly-once markers — applies unchanged, because the
+    * histogram is just a count-only join view; this is only the read
+    * edge over it. The JoinViewDef's vdef must be count-only with the
+    * bucket as the LAST group key (the [[viewDef]] shape).
+    * GridPercentileJoinSpec pins 25-round churn recompute-exactness. */
+  def readJoin(store: ParquetTableStore, j: IncrementalJoinView.JoinViewDef,
+      pcts: Seq[Long], width: Long = 1L): Option[DataFrame] = {
+    val gb = j.vdef.groupBy
+    require(gb.size >= 2 && j.vdef.sums.isEmpty,
+      s"grid-percentile join view must be COUNT-ONLY grouped by " +
+        s"(group…, bucket); got groupBy=${gb.mkString(",")} " +
+        s"sums=${j.vdef.sums.mkString(",")}")
+    IncrementalJoinView.read(store, j)
+      .map(percentiles(_, gb.init, gb.last, pcts, width))
+  }
 }
