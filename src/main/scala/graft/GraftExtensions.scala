@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[graft.functions.VectorL2Sq].getName, "vec_l2sq"),
+      (children: Seq[Expression]) =>
+        graft.functions.VectorL2Sq(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) =>

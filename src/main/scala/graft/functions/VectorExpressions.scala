@@ -79,10 +79,86 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_l2sq(a, b)` — squared L2 distance Σ(aᵢ−bᵢ)², the PQ trainer/
+  * encoder hot loop (round 14): `ProductQuant.nearest` scores
+  * N·m·K codeword candidates, and the zip_with-diff formulation paid
+  * an interpreted lambda plus an array allocation per candidate
+  * (ScaleCurve caught one 16× task burning 86 s in `ZipWith.eval`).
+  * The accumulation is the SAME sequential left-to-right
+  * (a−b)·(a−b) fold the HOF form computed — each difference rounded
+  * once, then squared, then added — so results are bit-identical to
+  * `vec_dot(zip_with(a, b, (x, y) -> x - y), same)` and to the DuckDB
+  * oracle's `sum((a - b) * (a - b))`. */
+case class VectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double)$a.$lGet($i) - (double)$b.$rGet($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register `vec_dot` in the session's function registry (idempotent);
-    * usable from both the Column API (via expr) and SQL. */
-  def register(spark: SparkSession): Unit =
+  /** Register `vec_dot` + `vec_l2sq` in the session's function registry
+    * (idempotent); usable from both the Column API (via expr) and SQL. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq", exprs => VectorL2Sq(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -27,6 +27,10 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
+  /** Squared L2 distance (codegen'd; bit-identical to the
+    * zip_with-diff + dot formulation). */
+  def l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+
   /** Cosine similarity in double: dot / (‖a‖·‖b‖). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

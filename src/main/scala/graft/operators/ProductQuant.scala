@@ -82,11 +82,14 @@ object ProductQuant {
 
   /** Nearest codeword per (vec_id, sub) under L2 — round-6 distance,
     * smallest-code tie-break; `min_by` keeps the argmin map-side (one
-    * row per subvector crosses the exchange, never the K-scored rows). */
+    * row per subvector crosses the exchange, never the K-scored rows).
+    * The distance is the codegen'd `vec_l2sq` (N·m·K evaluations — an
+    * interpreted zip_with lambda here cost an 86-second task in the
+    * 16× scale curve; the expression folds the same left-to-right
+    * (a−b)² sum bit-identically). */
   private def nearest(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), "sub")
-      .withColumn("diff", expr("zip_with(rs, cw, (x, y) -> x - y)"))
-      .withColumn("d2", round(VectorOps.dot(col("diff"), col("diff")), 6))
+      .withColumn("d2", round(VectorOps.l2sq(col("rs"), col("cw")), 6))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
 
