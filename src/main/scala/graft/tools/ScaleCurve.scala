@@ -120,27 +120,50 @@ object ScaleCurve {
       s -> d
     }.toMap
 
+    // SELF-DEFENDING measurements (the CDC-gate lesson): every
+    // (query, scale) sample carries its own noop canary, and a sample
+    // whose canary reads a loaded window (> noopGate) is retried up to
+    // maxTries times — the recorded value is the min over samples
+    // whose canary passed (or over all, flagged "window":true, when
+    // the window never cleared). The first curve capture read q_bm25
+    // at 61× growth purely because its 4×/16× samples landed in an
+    // ~8×-slow host window (bracketing canaries 0.79/0.67 s vs the
+    // 0.09 s flat reference) — an independent quiet re-run of the same
+    // query on the same synthetic dir read 1.3 s.
+    val noopGate = sys.env.getOrElse("SPARK_GRAFT_CURVE_NOOP_GATE", "0.25").toDouble
     val canary0 = noop()
     val results = Queries.map { q =>
       val fn = graft.SparkEntry.queries(q)
       val bySc = scales.map { s =>
-        val samples = (1 to runs).map { _ =>
+        var clean = List.empty[Double]
+        var all = List.empty[Double]
+        var tries = 0
+        val maxTries = runs * 3
+        while (clean.size < runs && tries < maxTries) {
           graft.operators.DedupOps.clearMemos()
           spark.catalog.clearCache()
+          System.gc()
+          val cBefore = noop()
           val t0 = System.nanoTime()
           fn(spark, dirs(s)).count()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          val cAfter = noop()
+          all ::= sec
+          if (math.max(cBefore, cAfter) <= noopGate) clean ::= sec
+          tries += 1
         }
-        s -> samples.min
+        val windowed = clean.isEmpty
+        s -> ((if (windowed) all.min else clean.min), windowed)
       }.toMap
-      val secs = scales.map(s => f"""\"$s\":${bySc(s)}%.2f""").mkString(",")
-      val r4 = bySc(4) / bySc(1)
-      val r16 = bySc(16) / bySc(1)
-      println(f"""{"metric":"scale_curve","query":"$q","sec":{$secs},"ratio_4":$r4%.2f,"ratio_16":$r16%.2f}""")
+      val secs = scales.map(s => f"""\"$s\":${bySc(s)._1}%.2f""").mkString(",")
+      val windowed = scales.exists(s => bySc(s)._2)
+      val r4 = bySc(4)._1 / bySc(1)._1
+      val r16 = bySc(16)._1 / bySc(1)._1
+      println(f"""{"metric":"scale_curve","query":"$q","sec":{$secs},"ratio_4":$r4%.2f,"ratio_16":$r16%.2f,"window":$windowed}""")
       (q, bySc, r4, r16)
     }
     val canary1 = noop()
-    println(f"""{"metric":"scale_curve_summary","base_docs":$baseDocs,"base_vecs":$baseVecs,"runs":$runs,"noop_sec":[$canary0%.3f,$canary1%.3f],"queries":${results.size}}""")
+    println(f"""{"metric":"scale_curve_summary","base_docs":$baseDocs,"base_vecs":$baseVecs,"runs":$runs,"noop_gate":$noopGate,"noop_sec":[$canary0%.3f,$canary1%.3f],"queries":${results.size}}""")
     spark.stop()
   }
 }
