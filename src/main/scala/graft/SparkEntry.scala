@@ -21,7 +21,8 @@ object SparkEntry {
       Coverage11.defs ++ Coverage12.defs ++ Coverage13.defs ++
       Coverage14.defs ++ Coverage15.defs ++ Coverage16.defs ++
       Coverage17.defs ++ Coverage18.defs ++ Coverage19.defs ++
-      Coverage20.defs ++ Coverage21.defs ++ ProductQuant.defs ++ Formats.defs
+      Coverage20.defs ++ Coverage21.defs ++ Coverage22.defs ++
+      ProductQuant.defs ++ Formats.defs
 
   /** Flagship query (TPC-H Q3 shape) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

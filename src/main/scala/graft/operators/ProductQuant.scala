@@ -86,12 +86,24 @@ object ProductQuant {
     * The distance is the codegen'd `vec_l2sq` (N·m·K evaluations — an
     * interpreted zip_with lambda here cost an 86-second task in the
     * 16× scale curve; the expression folds the same left-to-right
-    * (a−b)² sum bit-identically). */
-  private def nearest(subs: DataFrame, books: DataFrame): DataFrame =
-    subs.join(broadcast(books), "sub")
+    * (a−b)² sum bit-identically).
+    *
+    * The subvector frame is REPARTITIONED by vec_id with an explicit
+    * width before the codebook broadcast-join: the N·m·K scoring is
+    * per-ROW work the upstream one-file scan (and AQE's byte-count
+    * heuristic, which cannot see it) would otherwise serialize into a
+    * single task — the q_fuzzy_match lesson (Coverage8). Measured at
+    * sf0.1 (N=2000, K=256, m=32 → 16.4M scored rows): 27.8 s → 2.9 s.
+    * The exchange itself carries only N·m subvector rows. */
+  private def nearest(subs: DataFrame, books: DataFrame): DataFrame = {
+    val width =
+      subs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    subs.repartition(width, col("vec_id"))
+      .join(broadcast(books), "sub")
       .withColumn("d2", round(VectorOps.l2sq(col("rs"), col("cw")), 6))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+  }
 
   /** Train the m per-subspace codebooks: deterministic residual seed
     * sample (vec_id % cbMod == 0, codes densely renumbered by vec_id)
@@ -384,8 +396,18 @@ object ProductQuant {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val assigned = SimilarityOps.ivfAssign(e, 97)
-      val books = train(assigned, centroids, M, CbMod)
+      // localCheckpoint the fan-out nodes (the engine's grid-sized-
+      // intermediate idiom): `books` (m×K rows) feeds encode, the
+      // query LUTs, AND the centroid tables — uncheckpointed, each
+      // consumer re-evaluates the full training subtree including its
+      // N·m·K nearest-codeword pass; `assigned` (the N-row index
+      // relation) likewise feeds train, encode, and the ADC scan. The
+      // persisted twin (IvfIndex.buildPq) materializes exactly these
+      // two to parquet — the checkpoint is the inline query's analog.
+      // Measured at sf0.1: 27.8 s → ~3 s together with the
+      // `nearest` repartition.
+      val assigned = SimilarityOps.ivfAssign(e, 97).localCheckpoint()
+      val books = train(assigned, centroids, M, CbMod).localCheckpoint()
       adcSearch(encode(assigned, centroids, books, M), books, centroids,
         e, q, k = 10, nprobe = 8, refine = 3)
     }

@@ -106,7 +106,8 @@ object IncrementalKsDrift {
 
   /** Fold one micro-batch's pre-reduced cells into the accumulated
     * state, applying the opt-in idle-source eviction — the shared
-    * state transition of both monitors. Returns the retained cells. */
+    * state transition of the monitor family (KS, chi-square, TVD).
+    * Returns the retained cells. */
   private[streaming] def foldState(
       it: Iterator[Cell],
       state: org.apache.spark.sql.streaming.GroupState[KsState],

@@ -134,9 +134,10 @@ object StreamingOps {
       .select("purchase_id", "user_id", "p_ts", "view_id", "v_ts", "purchase_value")
   }
 
-  /** FULL OUTER watermarked stream-stream join — the last member of
+  /** FULL OUTER watermarked stream-stream join — the union member of
     * the join family ([[purchaseViewJoin]] inner,
-    * [[purchaseViewJoinOuter]] left): BOTH dangling cohorts emit
+    * [[purchaseViewJoinOuter]] left, [[purchaseViewJoinRight]] right):
+    * BOTH dangling cohorts emit
     * null-extended when the watermark proves no admissible partner can
     * arrive — purchases with no preceding-hour view ("bought without
     * browsing") AND views that led to no purchase within the following
@@ -146,6 +147,32 @@ object StreamingOps {
     * pairs emit as they meet; state per side stays the inner join's
     * one hour. Complete-input equality with the batch full join is
     * pinned in StreamingOpsSpec. */
+  /** RIGHT OUTER watermarked stream-stream join — the mirror of
+    * [[purchaseViewJoinOuter]], completing the family (inner, left,
+    * right, full): matched pairs plus ONLY the view-side dangling
+    * cohort — views that led to no purchase within the following hour
+    * (the abandoned-browse retarget list), null-extended on the
+    * purchase columns once the watermark proves no admissible purchase
+    * can arrive. `user_id` is coalesced across sides (the view side
+    * always carries it on dangling rows). Matched pairs emit as they
+    * meet; state per side stays the inner join's one hour. Complete-
+    * input equality with the batch right join is pinned in
+    * StreamingOpsSpec. */
+  def purchaseViewJoinRight(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    p.join(v, expr(
+      "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"),
+      "rightOuter")
+      .select(col("purchase_id"),
+        coalesce(col("user_id"), col("v_user_id")).as("user_id"),
+        col("p_ts"), col("view_id"), col("v_ts"), col("purchase_value"))
+  }
+
   def purchaseViewJoinFull(purchases: DataFrame, views: DataFrame): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour")
       .select(col("event_id").as("purchase_id"), col("user_id"),

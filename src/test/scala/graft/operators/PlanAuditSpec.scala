@@ -151,10 +151,31 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_retrieval_eval" -> Budget(maxExchanges = 34),
     // r14 true PQ: every exchange carries bounded rows — N×m subvector
     // argmins (min_by partials: one row per subvector, never K scored),
-    // m×K codebook aggs, per-query LUT builds, ≤k·refine shortlists;
-    // the count is train+encode+search in ONE declarative tree (build
-    // amortizes at deployment): 44 observed + 1 slack
-    "q_sim_ann_pq" -> Budget(maxExchanges = 45),
+    // m×K codebook aggs, per-query LUT builds, ≤k·refine shortlists.
+    // The audited tree is the SEARCH after the assigned/books
+    // localCheckpoints (the build fan-out nodes — uncheckpointed, each
+    // of the 3 books consumers re-ran the training subtree, 27.8 s →
+    // ~3 s at sf0.1): 10 observed + 2 slack
+    "q_sim_ann_pq" -> Budget(maxExchanges = 12),
+    // r14 second wave: MMR re-rank audits as the post-checkpoint
+    // selection tree (candidates/pairs are bounded checkpointed
+    // frames; the 4 unrolled argmax steps are grid-sized): 0 observed
+    "q_retrieval_mmr" -> Budget(maxExchanges = 2),
+    // recall curve: ONE probed-candidate scoring pass serves all 3
+    // nprobe points (pr carried, filtered per point) + the brute-force
+    // leg; exchanges carry probe rows, topk partials, 9 curve rows
+    "q_sim_ann_recall_curve" -> Budget(maxExchanges = 13),
+    // the funnel re-derives the flagship's stages and left-joins the
+    // dispositions back over doc_id — every exchange key-partitioned,
+    // output 4 rows; a diagnostic run next to the flagship, not ahead
+    // of it: 17 observed + 2 slack
+    "q_corpus_funnel" -> Budget(maxExchanges = 19),
+    // TVD drift: one corpus-sized histogram agg, grid-sized everything
+    // after (the KS/chi-square posture): 7 observed + 1
+    "q_drift_tvd" -> Budget(maxExchanges = 8),
+    // gap fill: daily agg (checkpointed leaf) + generated spine join +
+    // keys×days LOCF window: 4 observed + 1
+    "q_gap_fill" -> Budget(maxExchanges = 5),
     // one scan × 4 broadcast dims, map-side topk_by, 40-row overlap
     "q_sim_dim_curve" -> Budget(maxExchanges = 4),
     // cohort agg + join-side agg + the (cohort, age) rollup

@@ -239,6 +239,62 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == expected, s"stream != batch full join: $got vs $expected")
   }
 
+  test("right-outer stream-stream join: the view-side dangling cohort " +
+      "emits null-extended, the purchase-side cohort does NOT, and the " +
+      "result equals the batch right join over the complete input") {
+    val p = MemoryStream[Ev](spark)
+    val v = MemoryStream[Ev](spark)
+    val joined = StreamingOps.purchaseViewJoinRight(
+      p.toDF().filter(col("event_type") === "purchase"),
+      v.toDF().filter(col("event_type") === "view"))
+    val name = s"ssjr_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    // user 2 purchases with NO view ever (left-dangling — must NOT
+    // emit); user 3 views with NO purchase ever (right-dangling — must
+    // emit null-extended); user 1's purchase matches a later-batch view
+    val purchase2 = Ev(10, t("2024-01-01 00:55:00"), 2, "purchase", 10.0)
+    val purchase1 = Ev(11, t("2024-01-01 01:10:00"), 1, "purchase", 7.0)
+    val view3 = Ev(13, t("2024-01-01 00:50:00"), 3, "view", 2.0)
+    val lateView1 = Ev(12, t("2024-01-01 00:40:00"), 1, "view", 1.0)
+    val flushP = Ev(90, t("2024-01-01 09:00:00"), 9, "purchase", 0.0)
+    val flushV = Ev(91, t("2024-01-01 09:00:00"), 9, "view", 0.0)
+    val nudgeP = Ev(92, t("2024-01-01 11:00:00"), 8, "purchase", 0.0)
+    val nudgeV = Ev(93, t("2024-01-01 11:00:00"), 8, "view", 0.0)
+    try {
+      p.addData(Seq(purchase2, purchase1)); v.addData(Seq(view3))
+      q.processAllAvailable()
+      v.addData(Seq(lateView1)); q.processAllAvailable() // later batch
+      p.addData(Seq(flushP)); v.addData(Seq(flushV)); q.processAllAvailable()
+      p.addData(Seq(nudgeP)); v.addData(Seq(nudgeV)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .select(coalesce(col("purchase_id"), lit(-1L)),
+        coalesce(col("view_id"), lit(-1L)), col("user_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    // late view matched across batches
+    assert(got.contains((11L, 12L, 1L)), s"late view must match: $got")
+    // never-matched VIEW emitted once, null-extended, user carried
+    assert(got.contains((-1L, 13L, 3L)), s"unmatched view: $got")
+    assert(spark.table(name).filter(col("view_id") === 13L).count() == 1L)
+    // never-matched PURCHASE suppressed — the right join's defining cut
+    assert(!got.exists(_._1 == 10L), s"unmatched purchase must not emit: $got")
+    // equality with the batch RIGHT join over the complete input
+    val all = Seq(purchase2, purchase1, view3, lateView1,
+      flushP, flushV, nudgeP, nudgeV)
+    val ps = all.filter(_.event_type == "purchase")
+    val vs = all.filter(_.event_type == "view")
+    def admissible(pp: Ev, vv: Ev): Boolean =
+      vv.user_id == pp.user_id && !vv.ts.after(pp.ts) &&
+        vv.ts.getTime >= pp.ts.getTime - 3600 * 1000
+    val matched = for (pp <- ps; vv <- vs if admissible(pp, vv))
+      yield (pp.event_id, vv.event_id, pp.user_id)
+    val rightDangle = vs.filterNot(vv => ps.exists(pp => admissible(pp, vv)))
+      .map(vv => (-1L, vv.event_id, vv.user_id))
+    val expected = (matched ++ rightDangle).toSet
+    assert(got == expected, s"stream != batch right join: $got vs $expected")
+  }
+
   test("streamed sessions over the real corpus equal batch sessionization") {
     val sfDir = "/root/testdata/sf0.001"
     val corpus = graft.table(spark, sfDir, "events")
