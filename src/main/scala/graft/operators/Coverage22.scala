@@ -377,10 +377,12 @@ object Coverage22 {
         .orderBy("source")
     },
 
-    // ---- date-spine gap fill (resampling) ----------------------------
-    // The time-series regularization q_locf cannot do alone: LOCF fills
-    // nulls on EXISTING rows, but a daily feature pipeline needs rows
-    // for the days that have no data at all. The spine is keys ×
+    // ---- LOCF resampling over a date spine ---------------------------
+    // The COMPOSITION of q_gapfill (generated date spine, zero-filled
+    // counts — Coverage4) and q_locf (IGNORE NULLS forward fill —
+    // Coverage8): a daily feature pipeline needs rows for days with no
+    // data at all AND a value column carried across those rows, which
+    // neither standalone query produces. The spine is keys ×
     // sequence(min_day, max_day) — generated, never scanned — left-
     // joined to the daily aggregate: absent days get n_orders = 0 and
     // carry the last observed daily peak forward (leading nulls stay
@@ -388,7 +390,7 @@ object Coverage22 {
     // (the daily agg); the spine, the join's right side, and the LOCF
     // window are all grid-sized (keys × days), so the fill costs the
     // same at any corpus scale with the same calendar span.
-    QDef("q_gap_fill",
+    QDef("q_resample_locf",
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS c, max(o_totalprice) AS peak

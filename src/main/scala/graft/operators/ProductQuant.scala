@@ -92,8 +92,9 @@ object ProductQuant {
     * width before the codebook broadcast-join: the N·m·K scoring is
     * per-ROW work the upstream one-file scan (and AQE's byte-count
     * heuristic, which cannot see it) would otherwise serialize into a
-    * single task — the q_fuzzy_match lesson (Coverage8). Measured at
-    * sf0.1 (N=2000, K=256, m=32 → 16.4M scored rows): 27.8 s → 2.9 s.
+    * single task — the q_fuzzy_match lesson (Coverage8). Together with
+    * the fan-out checkpoints in q_sim_ann_pq, measured at sf0.1
+    * (N=2000, K=256, m=32 → 16.4M scored rows): 27.8 s → ~3 s.
     * The exchange itself carries only N·m subvector rows. */
   private def nearest(subs: DataFrame, books: DataFrame): DataFrame = {
     val width =

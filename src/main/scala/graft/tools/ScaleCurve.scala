@@ -131,8 +131,13 @@ object ScaleCurve {
     // 0.09 s flat reference) — an independent quiet re-run of the same
     // query on the same synthetic dir read 1.3 s.
     val noopGate = sys.env.getOrElse("SPARK_GRAFT_CURVE_NOOP_GATE", "0.25").toDouble
+    // comma-list filter for re-curving a single family after a perf
+    // change without paying for the full sweep
+    val only = sys.env.get("SPARK_GRAFT_CURVE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(Queries)(f => Queries.filter(f))
     val canary0 = noop()
-    val results = Queries.map { q =>
+    val results = selected.map { q =>
       val fn = graft.SparkEntry.queries(q)
       val bySc = scales.map { s =>
         var clean = List.empty[Double]

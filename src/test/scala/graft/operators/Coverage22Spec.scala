@@ -152,9 +152,9 @@ class Coverage22Spec extends AnyFunSuite {
     assert(kept > 0)
   }
 
-  test("q_gap_fill: every key covers the full calendar span, absent " +
+  test("q_resample_locf: every key covers the full calendar span, absent " +
       "days are zero-filled, and the carried peak is a true LOCF") {
-    val rows = run("q_gap_fill").collect().map(r =>
+    val rows = run("q_resample_locf").collect().map(r =>
       (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
         Option(r.get(3)).map(_.asInstanceOf[Double])))
     val orders = graft.table(spark, sfDir, "orders")

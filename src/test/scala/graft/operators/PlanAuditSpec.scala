@@ -175,7 +175,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_drift_tvd" -> Budget(maxExchanges = 8),
     // gap fill: daily agg (checkpointed leaf) + generated spine join +
     // keys×days LOCF window: 4 observed + 1
-    "q_gap_fill" -> Budget(maxExchanges = 5),
+    "q_resample_locf" -> Budget(maxExchanges = 5),
     // one scan × 4 broadcast dims, map-side topk_by, 40-row overlap
     "q_sim_dim_curve" -> Budget(maxExchanges = 4),
     // cohort agg + join-side agg + the (cohort, age) rollup
