@@ -96,7 +96,7 @@ object Coverage21 {
   /** Per-query BM25 chain ending in `lex(qid, doc_id, rnk ≤ 20)` —
     * tf/df/dl/stats computed ONCE over the union vocabulary, the
     * per-query filter applied at scoring time. */
-  private val lexMultiCtes =
+  private[operators] val lexMultiCtes =
     s"""qt AS (SELECT CAST(q AS BIGINT) AS qid, t AS term
       |       FROM (VALUES $qtValues) v(q, t)),
       |docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -126,7 +126,7 @@ object Coverage21 {
 
   /** q_sim_ann_ivfsq8's chain for query vectors 0..2, per-qid top-20,
     * ending in `ann(qid, doc_id, rnk)`. */
-  private val annMultiCtes =
+  private[operators] val annMultiCtes =
     """c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
       |vq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
       |ax AS (SELECT e.vec_id, c.cid, unnest(e.embedding) AS a, unnest(c.cv) AS b
@@ -192,7 +192,7 @@ object Coverage21 {
 
   /** qid-keyed RRF of lex ⊕ ann, ending in `fsel(qid, doc_id, n_legs,
     * rrf_fp, rnk ≤ 10)`. */
-  private val fusedCtes =
+  private[operators] val fusedCtes =
     """fused AS (
       |  SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_legs,
       |    CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_fp
@@ -236,7 +236,7 @@ object Coverage21 {
       .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("rnk"))
   }
 
-  private def fusedMulti(s: SparkSession, dir: String): DataFrame =
+  private[operators] def fusedMulti(s: SparkSession, dir: String): DataFrame =
     HybridRetrieval.fuseByQuery(
       Seq(lexMultiLeg(s, dir), annMultiLeg(s, dir)), 10)
 

@@ -25,6 +25,58 @@ object Coverage22 {
   private val CandK = 12
   private val Picks = 5
 
+  /** Unrolled greedy MMR selection over bounded candidate/pair frames:
+    * `cand` is (qid, vec_id, rel6, rn) with rn = 1 the top candidate,
+    * `pairs` is (qid, id1, id2, sim6) over the candidate set — BOTH
+    * expected locally checkpointed by the caller (the steps below
+    * consume each several times). Each of the `picks − 1` unrolled
+    * steps anti-joins the selected set, takes the max similarity to it
+    * per remaining candidate, scores 7·rel6 − 3·maxsim6, and picks the
+    * per-qid argmax via `min_by` on (−score, vec_id) — all grid-sized.
+    * Shared by q_retrieval_mmr (cosine relevance) and q_hybrid_mmr
+    * (fused-rank relevance). */
+  private[operators] def mmrSelect(cand: DataFrame, pairs: DataFrame,
+      picks: Int): DataFrame = {
+    var sel = cand.filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), lit(1L).as("pick"), col("rel6"),
+        lit(0L).as("maxsim6"), (col("rel6") * 7).as("mmr10"))
+    for (t <- 2 to picks) {
+      val ms = pairs
+        .join(sel.select(col("qid").as("sqid"), col("vec_id").as("sid")),
+          col("qid") === col("sqid") && col("id2") === col("sid"))
+        .groupBy(col("qid"), col("id1"))
+        .agg(max(col("sim6")).as("maxsim6"))
+      val scored = cand
+        .join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+        .join(ms.select(col("qid").as("mqid"), col("id1"), col("maxsim6")),
+          col("qid") === col("mqid") && col("vec_id") === col("id1"))
+        .select(col("qid"), col("vec_id"), col("rel6"), col("maxsim6"),
+          (col("rel6") * 7 - col("maxsim6") * 3).as("mmr10"))
+      val pick = scored.groupBy("qid")
+        .agg(min_by(
+          struct(col("vec_id"), col("rel6"), col("maxsim6"), col("mmr10")),
+          struct((-col("mmr10")).as("neg"), col("vec_id").as("id"))).as("p"))
+        .select(col("qid"), col("p.vec_id").as("vec_id"),
+          lit(t.toLong).as("pick"), col("p.rel6").as("rel6"),
+          col("p.maxsim6").as("maxsim6"), col("p.mmr10").as("mmr10"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select("qid", "pick", "vec_id", "rel6", "maxsim6", "mmr10")
+  }
+
+  /** Candidate-pair cosines at integer scale: (qid, id1, id2, sim6)
+    * over the candidate ids joined back to their embeddings. */
+  private def pairSimsOf(cand: DataFrame, e: DataFrame): DataFrame = {
+    val ce = cand.select("qid", "vec_id").join(e, "vec_id")
+      .select(col("qid"), col("vec_id"), col("embedding"))
+    ce.alias("a").join(ce.alias("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("id1"),
+        col("b.vec_id").as("id2"),
+        round(round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6)
+          * 1000000, 0).cast("long").as("sim6"))
+  }
+
   /** One unrolled MMR step for the DuckDB oracle: remaining candidates
     * score 7·rel6 − 3·max(sim6 to any already-selected), argmax picked
     * with (score DESC, vec_id) — exactly the Spark `min_by` ordering. */
@@ -103,41 +155,59 @@ object Coverage22 {
         .select(col("qid"), col("vec_id"),
           round(col("cos") * 1000000, 0).cast("long").as("rel6"), col("rn"))
         .localCheckpoint()
-      val ce = cand.select("qid", "vec_id").join(e, "vec_id")
-        .select(col("qid"), col("vec_id"), col("embedding"))
       // bounded: ≤ 3 × CandK·(CandK−1) rows
-      val pairs = ce.alias("a").join(ce.alias("b"),
-          col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.qid").as("qid"), col("a.vec_id").as("id1"),
-          col("b.vec_id").as("id2"),
-          round(round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6)
-            * 1000000, 0).cast("long").as("sim6"))
+      val pairs = pairSimsOf(cand, e).localCheckpoint()
+      mmrSelect(cand, pairs, Picks)
+    },
+
+    // ---- MMR over the FUSED hybrid ranking ---------------------------
+    // The composition read a context-budget-aware RAG deployment runs:
+    // q_hybrid_retrieval_multi's per-query RRF fusion produces the
+    // top-10, and MMR diversifies the 5 that actually enter the
+    // context window. Relevance is RANK-derived — rel6 = (11 − rnk)·10⁵
+    // — because RRF is itself a rank aggregate, which keeps relevance
+    // and the embedding-cosine diversity penalty on one integer scale
+    // (the same 7·rel6 − 3·maxsim6 objective as q_retrieval_mmr,
+    // selection machinery shared via mmrSelect). Corpus cost is the
+    // fused read's own; the diversification adds only candidate-pair
+    // cosines (≤ qids·k² rows) and grid-sized argmax steps.
+    QDef("q_hybrid_mmr",
+      s"""WITH ${Coverage21.lexMultiCtes},
+        |${Coverage21.annMultiCtes},
+        |${Coverage21.fusedCtes},
+        |cand AS (SELECT qid, doc_id AS vec_id,
+        |    CAST((11 - rnk) * 100000 AS BIGINT) AS rel6, rnk AS rn
+        |  FROM fsel),
+        |pe AS (SELECT c2.qid, c2.vec_id, e.embedding
+        |       FROM cand c2 JOIN embeddings e ON e.vec_id = c2.vec_id),
+        |hpx AS (SELECT a.qid, a.vec_id AS id1, b.vec_id AS id2,
+        |          unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |        FROM pe a JOIN pe b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+        |hpd AS (SELECT qid, id1, id2, sum(CAST(x AS DOUBLE) * y) AS dot,
+        |               sum(CAST(x AS DOUBLE) * x) AS nx, sum(CAST(y AS DOUBLE) * y) AS ny
+        |        FROM hpx GROUP BY 1, 2, 3),
+        |pairs AS (SELECT qid, id1, id2,
+        |    CAST(round(round(dot / (sqrt(nx) * sqrt(ny)), 6) * 1000000, 0) AS BIGINT) AS sim6
+        |  FROM hpd),
+        |sel1 AS (SELECT qid, vec_id, CAST(1 AS BIGINT) AS pick, rel6,
+        |    CAST(0 AS BIGINT) AS maxsim6, CAST(rel6 * 7 AS BIGINT) AS mmr10
+        |  FROM cand WHERE rn = 1),
+        |${(2 to Picks).map(mmrStepSql).mkString(",\n")}
+        |SELECT qid, pick, vec_id AS doc_id, rel6, maxsim6, mmr10
+        |FROM sel$Picks
+        |""".stripMargin) { (s, dir) =>
+      VectorOps.ensure(s)
+      TopKBy.register(s)
+      val e = table(s, dir, "embeddings")
+      val cand = Coverage21.fusedMulti(s, dir)
+        .select(col("qid"), col("doc_id").as("vec_id"),
+          ((lit(11L) - col("rnk")) * lit(100000L)).as("rel6"),
+          col("rnk").as("rn"))
         .localCheckpoint()
-      var sel = cand.filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id"), lit(1L).as("pick"), col("rel6"),
-          lit(0L).as("maxsim6"), (col("rel6") * 7).as("mmr10"))
-      for (t <- 2 to Picks) {
-        val ms = pairs
-          .join(sel.select(col("qid").as("sqid"), col("vec_id").as("sid")),
-            col("qid") === col("sqid") && col("id2") === col("sid"))
-          .groupBy(col("qid"), col("id1"))
-          .agg(max(col("sim6")).as("maxsim6"))
-        val scored = cand
-          .join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
-          .join(ms.select(col("qid").as("mqid"), col("id1"), col("maxsim6")),
-            col("qid") === col("mqid") && col("vec_id") === col("id1"))
-          .select(col("qid"), col("vec_id"), col("rel6"), col("maxsim6"),
-            (col("rel6") * 7 - col("maxsim6") * 3).as("mmr10"))
-        val pick = scored.groupBy("qid")
-          .agg(min_by(
-            struct(col("vec_id"), col("rel6"), col("maxsim6"), col("mmr10")),
-            struct((-col("mmr10")).as("neg"), col("vec_id").as("id"))).as("p"))
-          .select(col("qid"), col("p.vec_id").as("vec_id"),
-            lit(t.toLong).as("pick"), col("p.rel6").as("rel6"),
-            col("p.maxsim6").as("maxsim6"), col("p.mmr10").as("mmr10"))
-        sel = sel.unionByName(pick).localCheckpoint()
-      }
-      sel.select("qid", "pick", "vec_id", "rel6", "maxsim6", "mmr10")
+      val pairs = pairSimsOf(cand, e).localCheckpoint()
+      mmrSelect(cand, pairs, Picks)
+        .select(col("qid"), col("pick"), col("vec_id").as("doc_id"),
+          col("rel6"), col("maxsim6"), col("mmr10"))
     },
 
     // ---- ANN tuning curve: recall@10 vs nprobe -----------------------

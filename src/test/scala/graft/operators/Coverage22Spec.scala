@@ -112,6 +112,66 @@ class Coverage22Spec extends AnyFunSuite {
       s"MMR must not be less diverse than top-5: $mmrSum vs $topSum")
   }
 
+  test("q_hybrid_mmr diversifies the fused ranking: picks are 5 distinct " +
+      "members of the fused top-10 per query, led by the fused top-1, " +
+      "and equal a sequential greedy over the same integer scores") {
+    val fused = graft.SparkEntry.queries("q_hybrid_retrieval_multi")(
+        spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))) // qid, doc, rnk
+    val got = run("q_hybrid_mmr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val fusedSet = fused.map(f => (f._1, f._2)).toSet
+    assert(got.forall(g => fusedSet.contains((g._1, g._3))),
+      "every pick must come from the fused top-10")
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length == 5 && rows.map(_._3).distinct.length == 5)
+      val first = rows.find(_._2 == 1L).get._3
+      val top1 = fused.filter(f => f._1 == qid && f._3 == 1L).head._2
+      assert(first == top1, s"qid $qid pick 1 must be the fused top-1")
+    }
+    // independent sequential greedy over (rank-derived rel6, pair sim6)
+    import spark.implicits._
+    val candDf = fused.toSeq.toDF("qid", "vec_id", "rnk")
+      .select(col("qid"), col("vec_id"),
+        ((lit(11L) - col("rnk")) * lit(100000L)).as("rel6"),
+        col("rnk").as("rn"))
+    val e = graft.table(spark, sfDir, "embeddings")
+    val ce = candDf.select("qid", "vec_id").join(e, "vec_id")
+      .select(col("qid"), col("vec_id"), col("embedding"))
+    graft.functions.VectorOps.ensure(spark)
+    val sims = ce.alias("a").join(ce.alias("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid"), col("a.vec_id").as("id1"),
+        col("b.vec_id").as("id2"),
+        round(round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6)
+          * 1000000, 0).cast("long").as("sim6"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val cand = candDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = cand.map(_._1).distinct.sorted.flatMap { qid =>
+      val pool = cand.filter(_._1 == qid).sortBy(_._4)
+      var selected = Vector(pool.head)
+      var out = Vector((qid, 1L, pool.head._2, pool.head._3, 0L,
+        pool.head._3 * 7))
+      for (t <- 2 to 5) {
+        val rem = pool.filterNot(c => selected.exists(_._2 == c._2))
+        val scored = rem.map { c =>
+          val maxsim = selected.map(s => sims((qid, c._2, s._2))).max
+          (c, maxsim, c._3 * 7 - maxsim * 3)
+        }
+        val best = scored.minBy { case (c, _, sc) => (-sc, c._2) }
+        selected :+= best._1
+        out :+= ((qid, t.toLong, best._1._2, best._1._3, best._2, best._3))
+      }
+      out
+    }.toSet
+    assert(got.toSet == expected,
+      s"hybrid MMR mismatch:\n got=${got.toSet}\n exp=$expected")
+  }
+
   test("q_sim_ann_recall_curve: hits monotone non-decreasing in nprobe " +
       "per query and bounded by k = 10") {
     val rows = run("q_sim_ann_recall_curve").collect()
@@ -151,6 +211,37 @@ class Coverage22Spec extends AnyFunSuite {
     assert(funnel.exists(r => r._1 == 3L && r._3 > 0))
     assert(kept > 0)
   }
+
+  test("q_corpus_funnel counts real duplicates on a planted corpus — " +
+      "the stage the shipped corpus (zero exact dups) cannot exercise") {
+    import spark.implicits._
+    // 40 docs: 5 zero-alpha (quality-cut), 10 sharing 3 distinct
+    // pure-letter texts (alpha = 1 > any p25 cut, so 7 duplicates
+    // MUST reach the dedup stage), 25 ordinary uniques
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      val text =
+        if (i >= 30) s"dupsharedtextpayload${('a' + i % 3).toChar}"
+        else if (i % 7 == 0) "1234 5678 90!!"
+        else s"unique document $i with plenty of alphabetic words here"
+      (i.toLong, src, text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val funnel = run0("q_corpus_funnel", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    assert(funnel.values.sum == 40L, s"must partition all docs: $funnel")
+    assert(funnel.getOrElse(1L, 0L) >= 5L, s"quality stage: $funnel")
+    assert(funnel.getOrElse(2L, 0L) == 7L,
+      s"exactly 7 planted duplicates must land in the dedup stage: $funnel")
+    assert(funnel.getOrElse(4L, 0L) ==
+      run0("q_corpus_prep", dir).count(), "kept must equal the flagship")
+  }
+
+  private def run0(name: String, dir: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
 
   test("q_resample_locf: every key covers the full calendar span, absent " +
       "days are zero-filled, and the carried peak is a true LOCF") {

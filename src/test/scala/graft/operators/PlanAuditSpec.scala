@@ -161,6 +161,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // selection tree (candidates/pairs are bounded checkpointed
     // frames; the 4 unrolled argmax steps are grid-sized): 0 observed
     "q_retrieval_mmr" -> Budget(maxExchanges = 2),
+    // fused-candidate MMR: same post-checkpoint selection tree (the
+    // fused read's own cost is audited as q_hybrid_retrieval_multi)
+    "q_hybrid_mmr" -> Budget(maxExchanges = 2),
     // recall curve: ONE probed-candidate scoring pass serves all 3
     // nprobe points (pr carried, filtered per point) + the brute-force
     // leg; exchanges carry probe rows, topk partials, 9 curve rows
