@@ -163,7 +163,17 @@ object SimilarityOps {
       exact.groupBy(col("qid")).agg(topkBy(col("cos"), col("vec_id"), k).as("top")))
   }
 
-  val defs: Seq[QDef] = Seq(
+  /** The SQ8 query was declared as `q_sim_ann_ivfpq` through round 13;
+    * the honest rename keeps the old name alive as an alias (same fn,
+    * same oracle SQL) because the driver contract forbids removing or
+    * renaming a declared query. */
+  val defs: Seq[QDef] = {
+    val base = baseDefs
+    base :+ base.find(_.name == "q_sim_ann_ivfsq8").get
+      .copy(name = "q_sim_ann_ivfpq")
+  }
+
+  private def baseDefs: Seq[QDef] = Seq(
 
     // Brute-force cosine top-10 for one query vector.
     QDef("q_sim_topk",
