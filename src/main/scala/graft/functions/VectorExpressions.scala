@@ -152,13 +152,118 @@ case class VectorL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `argmin_l2sq6(rs, cws)` — index of the nearest codeword: for each
+  * candidate array cws[c] (ascending c), compute the same sequential
+  * (rs−cw)² fold as [[VectorL2Sq]], round it to 6 digits with EXACTLY
+  * Spark's `round(x, 6)` double arithmetic (the codegen'd
+  * `java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP)` — NaN/Inf
+  * pass through), and return the first index attaining the minimum
+  * (ties → smallest index, NaN ordered largest via `Double.compare` —
+  * the `min_by(code, struct(d2, code))` ordering).
+  *
+  * This collapses the PQ trainer/encoder hot path (round-14
+  * optimization): the previous shape joined every subvector row
+  * against all K codeword ROWS (N·m·K rows through the operator
+  * pipeline — 16.4M at sf0.1 — then a groupBy exchange to argmin),
+  * where this expression scans the K candidates in one tight
+  * codegen'd loop per subvector row: N·m rows total, no argmin
+  * exchange, bit-identical result (ProductQuantSpec pins equality
+  * against the min_by formulation on the full corpus). */
+case class ArgMinL2Sq6(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) => true
+      case _ => false
+    }
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"argmin_l2sq6 expects (array<double>, array<array<double>>), " +
+        s"got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val rs = a.asInstanceOf[ArrayData]
+    val cws = b.asInstanceOf[ArrayData]
+    val k = cws.numElements()
+    var best = -1
+    var bestD = 0.0
+    var c = 0
+    while (c < k) {
+      val cw = cws.getArray(c)
+      val n = math.min(rs.numElements(), cw.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = rs.getDouble(i) - cw.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      val r =
+        if (acc.isNaN || acc.isInfinite) acc
+        else java.math.BigDecimal.valueOf(acc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (best < 0 || java.lang.Double.compare(r, bestD) < 0) {
+        best = c; bestD = r
+      }
+      c += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k"); val c = ctx.freshName("c")
+      val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val r = ctx.freshName("r")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $k = $b.numElements();
+         |int $best = -1;
+         |double $bestD = 0.0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($c);
+         |  int $n = java.lang.Math.min($a.numElements(), $cw.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $cw.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  double $r = (java.lang.Double.isNaN($acc) || java.lang.Double.isInfinite($acc))
+         |    ? $acc
+         |    : java.math.BigDecimal.valueOf($acc)
+         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  if ($best < 0 || java.lang.Double.compare($r, $bestD) < 0) {
+         |    $best = $c; $bestD = $r;
+         |  }
+         |}
+         |${ev.isNull} = $best < 0;
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgMinL2Sq6 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register `vec_dot` + `vec_l2sq` in the session's function registry
-    * (idempotent); usable from both the Column API (via expr) and SQL. */
+  /** Register `vec_dot` + `vec_l2sq` + `argmin_l2sq6` in the session's
+    * function registry (idempotent); usable from both the Column API
+    * (via expr) and SQL. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_l2sq", exprs => VectorL2Sq(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_l2sq6", exprs => ArgMinL2Sq6(exprs(0), exprs(1)), "built-in")
   }
 }

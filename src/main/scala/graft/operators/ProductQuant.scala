@@ -81,29 +81,43 @@ object ProductQuant {
   }
 
   /** Nearest codeword per (vec_id, sub) under L2 — round-6 distance,
-    * smallest-code tie-break; `min_by` keeps the argmin map-side (one
-    * row per subvector crosses the exchange, never the K-scored rows).
-    * The distance is the codegen'd `vec_l2sq` (N·m·K evaluations — an
-    * interpreted zip_with lambda here cost an 86-second task in the
-    * 16× scale curve; the expression folds the same left-to-right
-    * (a−b)² sum bit-identically).
+    * smallest-code tie-break. Round-14 optimization (guide §2.3/§2.4 +
+    * §1.2 "per-task work"): the previous shape broadcast-joined every
+    * subvector row against all K codeword ROWS (N·m·K rows through the
+    * operator pipeline — 16.4M at sf0.1 even after the fan-out was
+    * kept map-side by `min_by`) and still paid a groupBy exchange to
+    * reduce the argmin. Now the codebooks are PACKED per subspace into
+    * one `cws` array ordered by code (codes are dense 0..K−1 by
+    * construction — seeds are `row_number()-1` and Lloyd preserves the
+    * key set), broadcast-joined on `sub` alone (m rows), and the
+    * argmin runs inside the codegen'd [[graft.functions.ArgMinL2Sq6]]
+    * expression: N·m rows total, ZERO exchanges, one tight fused loop
+    * per row. The expression reproduces the old pipeline's arithmetic
+    * bit-for-bit — the same sequential (a−b)² fold as `vec_l2sq`,
+    * Spark's exact `round(x, 6)` (BigDecimal HALF_UP), first-index
+    * tie-break = smallest code, NaN ordered largest — equality with
+    * the min_by formulation on the full corpus is pinned by
+    * ProductQuantSpec.
     *
     * The subvector frame is REPARTITIONED by vec_id with an explicit
-    * width before the codebook broadcast-join: the N·m·K scoring is
-    * per-ROW work the upstream one-file scan (and AQE's byte-count
-    * heuristic, which cannot see it) would otherwise serialize into a
-    * single task — the q_fuzzy_match lesson (Coverage8). Together with
-    * the fan-out checkpoints in q_sim_ann_pq, measured at sf0.1
-    * (N=2000, K=256, m=32 → 16.4M scored rows): 27.8 s → ~3 s.
-    * The exchange itself carries only N·m subvector rows. */
-  private def nearest(subs: DataFrame, books: DataFrame): DataFrame = {
+    * width before the scoring: the N·m·K flops are per-ROW work the
+    * upstream one-file scan (and AQE's byte-count heuristic, which
+    * cannot see it) would otherwise serialize into a single task —
+    * the q_fuzzy_match lesson (Coverage8). */
+  private def nearest(subs: DataFrame, books: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val width =
       subs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val packed = books.groupBy(col("sub"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(code, cw))), x -> x.cw)")
+        .as("cws"))
+    val out = (Seq("vec_id", "sub") ++ carry).map(col) :+
+      call_function("argmin_l2sq6", col("rs"), col("cws"))
+        .cast("long").as("code")
     subs.repartition(width, col("vec_id"))
-      .join(broadcast(books), "sub")
-      .withColumn("d2", round(VectorOps.l2sq(col("rs"), col("cw")), 6))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .join(broadcast(packed), "sub")
+      .select(out: _*)
   }
 
   /** Train the m per-subspace codebooks: deterministic residual seed
@@ -126,10 +140,11 @@ object ProductQuant {
     while (i < iters) {
       // one Lloyd step: assign every residual subvector, recompute
       // codeword means (vec_sum — K×subDim buffers cross the exchange,
-      // never N×subDim exploded rows), empty codewords keep position
-      val means = nearest(subs, books)
-        .join(subs.select(col("vec_id"), col("sub"), col("rs")),
-          Seq("vec_id", "sub"))
+      // never N×subDim exploded rows), empty codewords keep position.
+      // `rs` rides THROUGH the argmin projection (carry) — the
+      // pre-round-14 join-back of the assignment onto subs re-shuffled
+      // both sides on (vec_id, sub) for a 1:1 match (guide §2.4).
+      val means = nearest(subs, books, carry = Seq("rs"))
         .groupBy(col("sub"), col("code"))
         .agg(call_function("vec_sum", col("rs")).as("vsum"),
           count(lit(1)).as("n"))
@@ -150,8 +165,9 @@ object ProductQuant {
       codebooks: DataFrame, m: Int): DataFrame = {
     ensure(assigned)
     val subs = subvectors(residuals(assigned, centroids), m)
-    nearest(subs.select(col("vec_id"), col("sub"), col("rs")), codebooks)
-      .join(assigned.select(col("vec_id"), col("centroid_id")), "vec_id")
+    // centroid_id rides through the argmin (carry) — no join-back onto
+    // `assigned` for a column subvectors already had (guide §2.4)
+    nearest(subs, codebooks, carry = Seq("centroid_id"))
       .groupBy(col("vec_id"), col("centroid_id"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")

@@ -57,6 +57,28 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(codes.count() == corpus.count())
   }
 
+  test("argmin_l2sq6 encode == the min_by(round-6 vec_l2sq) formulation " +
+      "on the full corpus (round-14 hot-path rewrite equivalence)") {
+    graft.functions.VectorOps.ensure(spark)
+    val assigned = SimilarityOps.ivfAssign(corpus, Modulus)
+    val books = ProductQuant.train(assigned, cents, M, CbMod)
+    val subs = ProductQuant.subvectors(
+      ProductQuant.residuals(assigned, cents), M)
+    // the pre-round-14 shape: K-way row fan-out + min_by argmin
+    val legacy = subs.join(broadcast(books), "sub")
+      .withColumn("d2",
+        round(graft.functions.VectorOps.l2sq(col("rs"), col("cw")), 6))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val fast = ProductQuant.encode(assigned, cents, books, M)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("sub"),
+        col("col").as("code"))
+    assert(fast.count() == legacy.count())
+    assert(fast.except(legacy).isEmpty, "argmin codes diverge from min_by")
+    assert(legacy.except(fast).isEmpty, "min_by codes diverge from argmin")
+  }
+
   test("Lloyd trains: within-codeword SSE after the step <= seed SSE") {
     val assigned = SimilarityOps.ivfAssign(corpus, Modulus)
     val res = ProductQuant.residuals(assigned, cents)
