@@ -25,43 +25,60 @@ object Coverage22 {
   private val CandK = 12
   private val Picks = 5
 
-  /** Unrolled greedy MMR selection over bounded candidate/pair frames:
-    * `cand` is (qid, vec_id, rel6, rn) with rn = 1 the top candidate,
-    * `pairs` is (qid, id1, id2, sim6) over the candidate set — BOTH
-    * expected locally checkpointed by the caller (the steps below
-    * consume each several times). Each of the `picks − 1` unrolled
-    * steps anti-joins the selected set, takes the max similarity to it
-    * per remaining candidate, scores 7·rel6 − 3·maxsim6, and picks the
-    * per-qid argmax via `min_by` on (−score, vec_id) — all grid-sized.
-    * Shared by q_retrieval_mmr (cosine relevance) and q_hybrid_mmr
-    * (fused-rank relevance). */
+  /** Greedy MMR selection over bounded candidate/pair frames: `cand`
+    * is (qid, vec_id, rel6, rn) with rn = 1 the top candidate, `pairs`
+    * is (qid, id1, id2, sim6) over the candidate set. Both inputs are
+    * bounded BY CONSTRUCTION (≤ qids·CandK candidates from a top-k
+    * aggregate, ≤ qids·CandK² pairs), so the greedy argmax runs on
+    * collected rows — the engine's bounded-collect idiom (BPE top-1
+    * merges, probe rows) — in exact integer arithmetic. Round-14
+    * optimization (guide §1.2 "the distributed algorithm" / §5 driver
+    * rules): the previous shape unrolled picks−1 join+argmax steps as
+    * Spark jobs with an eager localCheckpoint per step — 4 extra jobs
+    * whose inputs were tens of rows. Semantics replicated exactly:
+    * pick 1 = rn 1; each later pick maximizes 7·rel6 − 3·maxsim6 over
+    * candidates REACHABLE via a pair row to the selected set (the old
+    * inner join — total here, pairs span the candidate set), maxsim6 =
+    * max sim6 to any selected doc, argmax ties on smallest vec_id (the
+    * min_by (−mmr10, vec_id) ordering). Shared by q_retrieval_mmr
+    * (cosine relevance) and q_hybrid_mmr (fused-rank relevance). */
   private[operators] def mmrSelect(cand: DataFrame, pairs: DataFrame,
       picks: Int): DataFrame = {
-    var sel = cand.filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id"), lit(1L).as("pick"), col("rel6"),
-        lit(0L).as("maxsim6"), (col("rel6") * 7).as("mmr10"))
-    for (t <- 2 to picks) {
-      val ms = pairs
-        .join(sel.select(col("qid").as("sqid"), col("vec_id").as("sid")),
-          col("qid") === col("sqid") && col("id2") === col("sid"))
-        .groupBy(col("qid"), col("id1"))
-        .agg(max(col("sim6")).as("maxsim6"))
-      val scored = cand
-        .join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
-        .join(ms.select(col("qid").as("mqid"), col("id1"), col("maxsim6")),
-          col("qid") === col("mqid") && col("vec_id") === col("id1"))
-        .select(col("qid"), col("vec_id"), col("rel6"), col("maxsim6"),
-          (col("rel6") * 7 - col("maxsim6") * 3).as("mmr10"))
-      val pick = scored.groupBy("qid")
-        .agg(min_by(
-          struct(col("vec_id"), col("rel6"), col("maxsim6"), col("mmr10")),
-          struct((-col("mmr10")).as("neg"), col("vec_id").as("id"))).as("p"))
-        .select(col("qid"), col("p.vec_id").as("vec_id"),
-          lit(t.toLong).as("pick"), col("p.rel6").as("rel6"),
-          col("p.maxsim6").as("maxsim6"), col("p.mmr10").as("mmr10"))
-      sel = sel.unionByName(pick).localCheckpoint()
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val candRows = cand.select("qid", "vec_id", "rel6", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sim = pairs.select("qid", "id1", "id2", "sim6").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    candRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qid, rows) =>
+      rows.find(_._4 == 1L).foreach { first =>
+        var selected = List(first._2)
+        out += ((qid, 1L, first._2, first._3, 0L, first._3 * 7))
+        var remaining = rows.filter(_._2 != first._2)
+        var t = 2
+        while (t <= picks && remaining.nonEmpty) {
+          val scored = remaining.flatMap { c =>
+            val sims = selected.flatMap(s => sim.get((qid, c._2, s)))
+            if (sims.isEmpty) None
+            else {
+              val maxsim = sims.max
+              Some((c._2, c._3, maxsim, c._3 * 7 - maxsim * 3))
+            }
+          }
+          if (scored.nonEmpty) {
+            val best = scored.minBy(x => (-x._4, x._1))
+            out += ((qid, t.toLong, best._1, best._2, best._3, best._4))
+            selected ::= best._1
+            remaining = remaining.filter(_._2 != best._1)
+          } else remaining = Array.empty
+          t += 1
+        }
+      }
     }
-    sel.select("qid", "pick", "vec_id", "rel6", "maxsim6", "mmr10")
+    out.toSeq.toDF("qid", "pick", "vec_id", "rel6", "maxsim6", "mmr10")
   }
 
   /** Candidate-pair cosines at integer scale: (qid, id1, id2, sim6)
@@ -155,9 +172,9 @@ object Coverage22 {
         .select(col("qid"), col("vec_id"),
           round(col("cos") * 1000000, 0).cast("long").as("rel6"), col("rn"))
         .localCheckpoint()
-      // bounded: ≤ 3 × CandK·(CandK−1) rows
-      val pairs = pairSimsOf(cand, e).localCheckpoint()
-      mmrSelect(cand, pairs, Picks)
+      // bounded: ≤ 3 × CandK·(CandK−1) rows; consumed once (collected
+      // inside mmrSelect) so no checkpoint needed
+      mmrSelect(cand, pairSimsOf(cand, e), Picks)
     },
 
     // ---- MMR over the FUSED hybrid ranking ---------------------------
@@ -204,8 +221,7 @@ object Coverage22 {
           ((lit(11L) - col("rnk")) * lit(100000L)).as("rel6"),
           col("rnk").as("rn"))
         .localCheckpoint()
-      val pairs = pairSimsOf(cand, e).localCheckpoint()
-      mmrSelect(cand, pairs, Picks)
+      mmrSelect(cand, pairSimsOf(cand, e), Picks)
         .select(col("qid"), col("pick"), col("vec_id").as("doc_id"),
           col("rel6"), col("maxsim6"), col("mmr10"))
     },

@@ -140,17 +140,24 @@ object SimilarityOps {
       .agg(first(col("qv")).as("qv"),
         topkBy(col("cd"), col("cid"), nprobe).as("pr"))
       .select(col("qid"), col("qv"), explode(col("pr.id")).as("cid"))
-    val recon = codes.join(broadcast(
+    // Probe-filter BEFORE reconstructing (round-14, guide §1.2 "don't
+    // compute things you throw away"): the previous shape decoded xhat
+    // for EVERY corpus row and only then joined the probe list — the
+    // reconstruction zip_with (an interpreted HOF lambda, 64 elements/
+    // row) ran over all N codes where only the probed buckets'
+    // (~nprobe/|centroids| of the corpus) ever reach the scorer. Same
+    // joins, same arithmetic, same rows — just ordered so the decode
+    // runs after the candidate cut.
+    val appx = codes.join(broadcast(probes),
+        codes("centroid_id") === probes("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(
         centroids.select(col("cid").as("rcid"), col("cv"))),
         col("centroid_id") === col("rcid"))
       .withColumn("xhat", expr(
         """zip_with(cv, codes, (c, qc) -> CAST(c AS DOUBLE) +
           | (CASE WHEN sc = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
           |  ELSE qc / sc END))""".stripMargin))
-      .select(col("vec_id"), col("centroid_id"), col("xhat"))
-    val appx = recon.join(broadcast(probes),
-        recon("centroid_id") === probes("cid"))
-      .filter(col("vec_id") =!= col("qid"))
       .withColumn("ap", round(VectorOps.cosine(col("xhat"), col("qv")), 6))
     val shortlist = appx.groupBy(col("qid"))
       .agg(topkBy(col("ap"), col("vec_id"), k * refine).as("top"))
