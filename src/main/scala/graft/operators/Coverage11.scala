@@ -336,18 +336,27 @@ object Coverage11 {
         |SELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum_tokens
         |FROM c WHERE cum - toks < 600
         |""".stripMargin) { (s, dir) =>
+      // round-14 (guide §1.2/§2.4): checkpoint the alpha projection so
+      // the quality-cut scan runs once; dedup via ONE keyed window
+      // instead of groupBy + semi join-back; narrow checkpoint before
+      // PrefixSum's two-phase double consumption. Same rows at every
+      // stage (the Coverage17 prep-chain treatment).
       val m = table(s, dir, "documents").select(
         col("doc_id"), col("source"), col("text"),
         (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
           / length(col("text"))).as("alpha"))
+        .localCheckpoint()
       val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
       val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
         .select("doc_id", "source", "text")
-      val keep = q.groupBy(md5(lower(trim(col("text"))).cast("binary")))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val d = q.join(keep, Seq("doc_id"), "left_semi").select(
-        col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val d = q.withColumn("_keep_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            md5(lower(trim(col("text"))).cast("binary")))))
+        .filter(col("doc_id") === col("_keep_id"))
+        .select(
+          col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .localCheckpoint()
       graft.plans.PrefixSum.perKey(d, "source",
           md5(col("doc_id").cast("string").cast("binary")), "doc_id",
           col("toks"), "cum")

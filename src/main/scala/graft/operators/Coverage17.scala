@@ -55,33 +55,44 @@ object Coverage17 {
   private[operators] def trainBpe(s: SparkSession,
       dir: String): (Seq[(Long, String, String, Long)], DataFrame) =
     BpeMemo.get(s, dir) {
-      var vocab = DedupOps.loopInput(wrapped(s, dir))
+      import s.implicits._
+      // Round-14 (guide §1.2): the corpus is touched exactly once (the
+      // word-frequency aggregation); the vocabulary it produces is
+      // Heaps-law bounded regardless of corpus size — the property
+      // that already justified broadcasting it to the apply/tokenize
+      // stages — so the BpeN-round merge loop runs DRIVER-SIDE on the
+      // collected vocab instead of paying ~2 Spark jobs per round
+      // (pair agg + top-1 collect + rewrite checkpoint; ~32 jobs at
+      // BpeN = 15) over a vocab-sized frame. Arithmetic is identical:
+      // adjacent-pair counts are exact Long sums of word freqs, the
+      // per-round winner orders by (cnt DESC, p ASC) — binary string
+      // order, the symbols are pure ASCII — and the rewrite replaces
+      // every occurrence left to right, as `replace` did.
+      var vocab: Array[(String, Long)] = wrapped(s, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
       val merges =
         scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
       (1 to BpeN).foreach { step =>
-        val top = vocab
-          .select(col("freq"), symsCol.as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> concat(element_at(syms, i), '|', element_at(syms, i + 1)))"))
-            .as("p"))
-          .groupBy("p").agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("p")).limit(1)
-          .collect()
-        if (top.nonEmpty) {
-          val Array(a, b) = top(0).getString(0).split("\\|", 2)
-          merges += ((step.toLong, a, b, top(0).getLong(1)))
-          val next = DedupOps.loopInput(vocab.select(
-            call_function("replace", col("w"),
-              lit(s"($a)($b)"), lit(s"($a$b)")).as("w"),
-            col("freq")))
-          next.count() // materialize before the input's blocks drop
-          DedupOps.releaseLoopInput(vocab)
-          vocab = next
+        val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        vocab.foreach { case (w, freq) =>
+          val syms = w.substring(1, w.length - 1).split("\\)\\(")
+          var i = 0
+          while (i < syms.length - 1) {
+            val p = syms(i) + "|" + syms(i + 1)
+            cnt.update(p, cnt.getOrElse(p, 0L) + freq)
+            i += 1
+          }
+        }
+        if (cnt.nonEmpty) {
+          val (p, c) = cnt.minBy { case (k, v) => (-v, k) }
+          val Array(a, b) = p.split("\\|", 2)
+          merges += ((step.toLong, a, b, c))
+          vocab = vocab.map { case (w, freq) =>
+            (w.replace(s"($a)($b)", s"($a$b)"), freq)
+          }
         }
       }
-      (merges.toSeq, vocab)
+      (merges.toSeq, vocab.toSeq.toDF("w", "freq"))
     }
 
   // ---- shared DuckDB oracle: the unrolled training CTE ----------------
@@ -157,24 +168,40 @@ object Coverage17 {
     * every downstream accounting stage (whitespace budget, BPE
     * tokenize) hangs off. */
   private def dedupedPrep(s: SparkSession, dir: String): DataFrame = {
+    // round-14 (guide §1.2/§2.4): `m` is localCheckpointed so the
+    // enrich + 3-regex redact + alpha-regex chain — the dominant
+    // per-row cost — runs ONCE; before, the quantile cut, the
+    // dedup-key aggregate, and the survivor probe each re-evaluated
+    // the whole subtree (the _redacted plan carried 16 document scans
+    // and 60 regexp_replace nodes; now 2 scans / 12).
     val m = redacted(s, dir).select(
       col("doc_id"), col("source"), col("text"),
       (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
         / length(col("text"))).as("alpha"))
+      .localCheckpoint()
     val cut = m.agg(expr("percentile(alpha, 0.25)").as("cut"))
     val q = m.crossJoin(broadcast(cut)).filter(col("alpha") > col("cut"))
       .select("doc_id", "source", "text")
-    val keep = q.groupBy(md5(lower(trim(col("text"))).cast("binary")))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    q.join(keep, Seq("doc_id"), "left_semi")
+    // smallest doc_id per normalized-text group via ONE keyed window
+    // (hash keys spread uniformly; group sizes are dup counts) instead
+    // of groupBy + semi join-back — same survivor set, one exchange,
+    // no second evaluation of q (guide §2.4)
+    q.withColumn("_keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          md5(lower(trim(col("text"))).cast("binary")))))
+      .filter(col("doc_id") === col("_keep_id"))
+      .select("doc_id", "source", "text")
   }
 
   /** [[dedupedPrep]] through the whitespace-token budget, `cum`
     * carried (the per-source contiguous position of each doc). */
   private def budgetedPrep(s: SparkSession, dir: String): DataFrame = {
+    // narrow (3-column, text dropped) checkpoint: PrefixSum's
+    // two-phase shape consumes its input twice (bucket totals + probe)
     val d = dedupedPrep(s, dir).select(
       col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .localCheckpoint()
     graft.plans.PrefixSum.perKey(d, "source",
         md5(col("doc_id").cast("string").cast("binary")), "doc_id",
         col("toks"), "cum")
@@ -432,6 +459,9 @@ object Coverage17 {
         .join(broadcast(bmap), "word")
         .groupBy("doc_id", "source")
         .agg(sum(col("n_toks")).cast("long").as("btoks"))
+        // narrow checkpoint: PrefixSum consumes its input twice —
+        // without it the explode + vocab join re-runs per phase
+        .localCheckpoint()
       graft.plans.PrefixSum.perKey(btok, "source",
           md5(col("doc_id").cast("string").cast("binary")), "doc_id",
           col("btoks"), "cum")
