@@ -188,12 +188,28 @@ case class ArgMinL2Sq6(left: Expression, right: Expression)
         s"got ${left.dataType} / ${right.dataType}")
   }
 
+  // Round-14 optimization (guide §1.2 step 2 "per-task work"): the
+  // original loop rounded EVERY candidate distance with
+  // BigDecimal.valueOf(x).setScale(6, HALF_UP) — ~2.5 µs each through
+  // Double.toString — which at N·m rows × K codewords (10.7M calls per
+  // PQ train/encode pass at sf0.1) was ~25–40 CPU-seconds, the entire
+  // hot cost of the PQ pipeline. round6 is MONOTONE non-decreasing, so
+  // min_c round6(d2_c) = round6(min_c d2_c): one raw double pass finds
+  // the minimum, ONE BigDecimal call rounds it, and the smallest-code
+  // tie-break only needs rounded values for candidates within 2e-6 of
+  // the raw minimum (round6(y) == round6(x) with y ≥ x forces
+  // y − x ≤ 1e-6 + 2 ulp, so anything farther provably rounds higher).
+  // Bit-identical to the round-every-candidate formulation — including
+  // NaN (ordered largest, so an all-NaN row keeps returning its first
+  // index) and +Inf pass-through — pinned by ProductQuantSpec's
+  // equality test against the min_by pipeline.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val rs = a.asInstanceOf[ArrayData]
     val cws = b.asInstanceOf[ArrayData]
     val k = cws.numElements()
-    var best = -1
-    var bestD = 0.0
+    if (k == 0) return null
+    val accs = new Array[Double](k)
+    var rawMin = Double.NaN
     var c = 0
     while (c < k) {
       val cw = cws.getArray(c)
@@ -205,53 +221,77 @@ case class ArgMinL2Sq6(left: Expression, right: Expression)
         acc += d * d
         i += 1
       }
-      val r =
-        if (acc.isNaN || acc.isInfinite) acc
-        else java.math.BigDecimal.valueOf(acc)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (best < 0 || java.lang.Double.compare(r, bestD) < 0) {
-        best = c; bestD = r
-      }
+      accs(c) = acc
+      if (c == 0 || java.lang.Double.compare(acc, rawMin) < 0) rawMin = acc
       c += 1
     }
-    if (best < 0) null else best
+    val rRef = ArgMinL2Sq6.round6(rawMin)
+    c = 0
+    while (c < k) {
+      val acc = accs(c)
+      // fast reject: provably rounds to a larger bucket (NaN/Inf fall
+      // through to the exact comparison below)
+      if (!(acc - rawMin > 2e-6) &&
+          java.lang.Double.compare(ArgMinL2Sq6.round6(acc), rRef) == 0)
+        return c
+      c += 1
+    }
+    -1 // unreachable: the raw minimum itself always matches
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("double[]", "argminAccBuf")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val k = ctx.freshName("k"); val c = ctx.freshName("c")
       val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
       val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d"); val r = ctx.freshName("r")
-      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d"); val rRef = ctx.freshName("rRef")
+      val rawMin = ctx.freshName("rawMin"); val best = ctx.freshName("best")
       s"""
          |int $k = $b.numElements();
          |int $best = -1;
-         |double $bestD = 0.0;
-         |for (int $c = 0; $c < $k; $c++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($c);
-         |  int $n = java.lang.Math.min($a.numElements(), $cw.numElements());
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = $a.getDouble($i) - $cw.getDouble($i);
-         |    $acc += $d * $d;
+         |if ($k > 0) {
+         |  if ($buf == null || $buf.length < $k) $buf = new double[$k];
+         |  double $rawMin = Double.NaN;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($c);
+         |    int $n = java.lang.Math.min($a.numElements(), $cw.numElements());
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $d = $a.getDouble($i) - $cw.getDouble($i);
+         |      $acc += $d * $d;
+         |    }
+         |    $buf[$c] = $acc;
+         |    if ($c == 0 || java.lang.Double.compare($acc, $rawMin) < 0) $rawMin = $acc;
          |  }
-         |  double $r = (java.lang.Double.isNaN($acc) || java.lang.Double.isInfinite($acc))
-         |    ? $acc
-         |    : java.math.BigDecimal.valueOf($acc)
-         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
-         |  if ($best < 0 || java.lang.Double.compare($r, $bestD) < 0) {
-         |    $best = $c; $bestD = $r;
+         |  double $rRef = graft.functions.ArgMinL2Sq6$$.MODULE$$.round6($rawMin);
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    if (!($buf[$c] - $rawMin > 2e-6) &&
+         |        java.lang.Double.compare(
+         |          graft.functions.ArgMinL2Sq6$$.MODULE$$.round6($buf[$c]), $rRef) == 0) {
+         |      $best = $c;
+         |      break;
+         |    }
          |  }
          |}
          |${ev.isNull} = $best < 0;
          |${ev.value} = $best;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArgMinL2Sq6 =
     copy(left = newLeft, right = newRight)
+}
+
+object ArgMinL2Sq6 {
+  /** Spark's exact `round(x, 6)` double arithmetic — NaN/Inf pass
+    * through (shared by the interpreted and codegen'd paths). */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }
 
 object VectorExpressions {

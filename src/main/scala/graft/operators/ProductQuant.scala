@@ -80,6 +80,45 @@ object ProductQuant {
           subDim.cast("int")).as("rs"))
   }
 
+  /** [[subvectors]] ∘ [[residuals]] with the slice applied to the
+    * OPERANDS instead of the subtraction's result — element-wise
+    * identical (slice commutes with zip_with), and the hot-path form
+    * train/encode use.
+    *
+    * Round-14 optimization (guide §1.2 step 2 "per-task work"): in the
+    * composed form, Catalyst's projection collapse inlined the FULL
+    * dim-element interpreted `zip_with` subtraction into every
+    * (vec, sub) row — the whole residual recomputed m times per vector
+    * (measured as the dominant CPU of both train and encode, ~15–25
+    * CPU-s each at sf0.1). Subtracting the dim/m-element slices leaves
+    * the interpreted lambda touching 2 elements per row. Equality with
+    * the composed form is pinned in ProductQuantSpec. */
+  def subvectorsOf(assigned: DataFrame,
+      centroids: DataFrame, m: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val subsDf = spark.range(m).select(col("id").as("sub"))
+    val subDim = size(col("embedding")) / m
+    val start = (col("sub") * subDim + 1).cast("int")
+    val len = subDim.cast("int")
+    // Spread the per-row-heavy argmin work ONLY when the input is
+    // under-parallel (e.g. a one-file parquet scan, whose single task
+    // AQE's byte-count heuristic would serialize — the q_fuzzy_match
+    // lesson): a checkpointed assignment already carries the session's
+    // shuffle-partition layout, and re-exchanging it per train/encode
+    // pass was pure overhead (guide §2.4 — remove shuffles outright).
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base =
+      if (assigned.rdd.getNumPartitions < width)
+        assigned.repartition(width, col("vec_id"))
+      else assigned
+    base.join(broadcast(centroids), col("centroid_id") === col("cid"))
+      .crossJoin(broadcast(subsDf))
+      .select(col("vec_id"), col("centroid_id"), col("sub"),
+        zip_with(slice(col("embedding"), start, len),
+          slice(col("cv"), start, len),
+          (x, c) => x.cast("double") - c.cast("double")).as("rs"))
+  }
+
   /** Nearest codeword per (vec_id, sub) under L2 — round-6 distance,
     * smallest-code tie-break. Round-14 optimization (guide §2.3/§2.4 +
     * §1.2 "per-task work"): the previous shape broadcast-joined every
@@ -99,15 +138,14 @@ object ProductQuant {
     * the min_by formulation on the full corpus is pinned by
     * ProductQuantSpec.
     *
-    * The subvector frame is REPARTITIONED by vec_id with an explicit
-    * width before the scoring: the N·m·K flops are per-ROW work the
-    * upstream one-file scan (and AQE's byte-count heuristic, which
-    * cannot see it) would otherwise serialize into a single task —
-    * the q_fuzzy_match lesson (Coverage8). */
+    * Parallelism for the per-row argmin work is ensured upstream by
+    * [[subvectorsOf]] (repartition only when the input is
+    * under-parallel) — the unconditional repartition that used to sit
+    * here re-exchanged the subvector frame on every train/encode pass
+    * even when the checkpointed assignment already carried the
+    * session's layout (guide §2.4). */
   private def nearest(subs: DataFrame, books: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
-    val width =
-      subs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val packed = books.groupBy(col("sub"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(code, cw))), x -> x.cw)")
@@ -115,27 +153,57 @@ object ProductQuant {
     val out = (Seq("vec_id", "sub") ++ carry).map(col) :+
       call_function("argmin_l2sq6", col("rs"), col("cws"))
         .cast("long").as("code")
-    subs.repartition(width, col("vec_id"))
-      .join(broadcast(packed), "sub")
+    subs.join(broadcast(packed), "sub")
       .select(out: _*)
   }
 
   /** Train the m per-subspace codebooks: deterministic residual seed
     * sample (vec_id % cbMod == 0, codes densely renumbered by vec_id)
-    * plus `iters` Lloyd steps under L2. Returns (sub, code, cw).
+    * plus `iters` Lloyd steps under L2. Returns (sub, code, cw) as a
+    * LOCAL relation.
     * K = |seed sample| must be ≤ 256 for the one-byte-per-subvector
     * claim — the caller picks cbMod accordingly (ProductQuantSpec
-    * pins the bound). */
+    * pins the bound).
+    *
+    * Round-14 optimization (guide §1.2 "the distributed algorithm" /
+    * §5 driver rules): the seed sample is bounded BY CONSTRUCTION to
+    * < 256 vectors, yet the previous shape derived it with a
+    * `row_number()` window over the full N·m subvector frame (a
+    * corpus-wide exchange to number ≤ 256·m rows), and each Lloyd
+    * step's books lived as a distributed plan every consumer
+    * re-planned. Now the seed residuals are collected (≤ 256 rows, the
+    * engine's bounded-collect idiom) and sliced locally — pure
+    * indexing, no arithmetic — and the grid-sized Lloyd means (m×K
+    * rows, computed by the SAME distributed aggregation with the SAME
+    * `round(x/n, 6)` Spark expression) are collected and merged
+    * locally, so the returned codebook is a LocalRelation: downstream
+    * broadcasts (encode's packed `cws`, the ADC lookup tables, the
+    * centroid-side tables) build from local rows with no corpus
+    * re-scan and no extra query stages. The corpus-sized Lloyd
+    * assignment pass itself stays distributed, unchanged. */
   def train(assigned: DataFrame, centroids: DataFrame, m: Int,
       cbMod: Int, iters: Int = 1): DataFrame = {
     ensure(assigned)
-    val subs = subvectors(residuals(assigned, centroids), m)
-    val seeds = subs
-      .filter(col("vec_id") % cbMod === 0 && col("vec_id") < cbMod * 256L)
-      .withColumn("code", (row_number().over(
-        Window.partitionBy("sub").orderBy("vec_id")) - 1).cast("long"))
-      .select(col("sub"), col("code"), col("rs").as("cw"))
-    var books = seeds
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    // seed residuals: ≤ 256 rows by the structural filter — collected,
+    // ordered by vec_id (the window's ORDER BY), codes 0..K−1 dense
+    val seedRes = residuals(
+        assigned.filter(col("vec_id") % cbMod === 0 &&
+          col("vec_id") < cbMod * 256L), centroids)
+      .select(col("vec_id"), col("r")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val subDim = seedRes.headOption.map(_._2.length / m).getOrElse(0)
+    var books: Seq[(Long, Long, Seq[Double])] = (0 until m).flatMap { sub =>
+      seedRes.zipWithIndex.map { case ((_, r), code) =>
+        (sub.toLong, code.toLong,
+          r.slice(sub * subDim, (sub + 1) * subDim).toSeq)
+      }
+    }
+    def booksDf(rows: Seq[(Long, Long, Seq[Double])]): DataFrame =
+      rows.toDF("sub", "code", "cw")
+    val subs = subvectorsOf(assigned, centroids, m)
     var i = 0
     while (i < iters) {
       // one Lloyd step: assign every residual subvector, recompute
@@ -143,19 +211,24 @@ object ProductQuant {
       // never N×subDim exploded rows), empty codewords keep position.
       // `rs` rides THROUGH the argmin projection (carry) — the
       // pre-round-14 join-back of the assignment onto subs re-shuffled
-      // both sides on (vec_id, sub) for a 1:1 match (guide §2.4).
-      val means = nearest(subs, books, carry = Seq("rs"))
+      // both sides on (vec_id, sub) for a 1:1 match (guide §2.4). The
+      // means table is grid-sized (m×K) — collected and merged into the
+      // local books (identical to the old left-join + coalesce).
+      val means = nearest(subs, booksDf(books), carry = Seq("rs"))
         .groupBy(col("sub"), col("code"))
         .agg(call_function("vec_sum", col("rs")).as("vsum"),
           count(lit(1)).as("n"))
         .select(col("sub"), col("code"),
           expr("transform(vsum, x -> round(x / n, 6))").as("cw1"))
-      books = books.join(means, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"),
-          coalesce(col("cw1"), col("cw")).as("cw"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2)))
+        .toMap
+      books = books.map { case (sub, code, cw) =>
+        (sub, code, means.getOrElse((sub, code), cw))
+      }
       i += 1
     }
-    books
+    booksDf(books)
   }
 
   /** Encode the assigned corpus against trained codebooks:
@@ -164,7 +237,7 @@ object ProductQuant {
   def encode(assigned: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, m: Int): DataFrame = {
     ensure(assigned)
-    val subs = subvectors(residuals(assigned, centroids), m)
+    val subs = subvectorsOf(assigned, centroids, m)
     // centroid_id rides through the argmin (carry) — no join-back onto
     // `assigned` for a column subvectors already had (guide §2.4)
     nearest(subs, codebooks, carry = Seq("centroid_id"))
@@ -408,23 +481,32 @@ object ProductQuant {
         |      FROM sc2)
         |SELECT qid, vec_id, cos, rn FROM r2 WHERE rn <= 10
         |""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val e = table(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      // localCheckpoint the fan-out nodes (the engine's grid-sized-
-      // intermediate idiom): `books` (m×K rows) feeds encode, the
-      // query LUTs, AND the centroid tables — uncheckpointed, each
-      // consumer re-evaluates the full training subtree including its
-      // N·m·K nearest-codeword pass; `assigned` (the N-row index
-      // relation) likewise feeds train, encode, and the ADC scan. The
-      // persisted twin (IvfIndex.buildPq) materializes exactly these
-      // two to parquet — the checkpoint is the inline query's analog.
-      // Measured at sf0.1: 27.8 s → ~3 s together with the
-      // `nearest` repartition.
+      // localCheckpoint the fan-out node (the engine's grid-sized-
+      // intermediate idiom): `assigned` (the N-row index relation)
+      // feeds train, encode, and the ADC scan — uncheckpointed, each
+      // consumer re-evaluates the full assignment subtree. The
+      // persisted twin (IvfIndex.buildPq) materializes exactly this
+      // to parquet — the checkpoint is the inline query's analog.
       val assigned = SimilarityOps.ivfAssign(e, 97).localCheckpoint()
-      val books = train(assigned, centroids, M, CbMod).localCheckpoint()
+      // Round-14 optimization (guide §2.4 / §1.2): the centroid table
+      // and the 5 eval queries are broadcast-class index metadata —
+      // every prior consumer (probes, LUTs, centroid tables, re-rank)
+      // re-scanned the embeddings parquet just to re-derive these ≤
+      // N/97-row / 5-row frames, each scan its own AQE stage. One
+      // bounded collect off the checkpointed assignment (embedding
+      // rides it already) turns both into LocalRelations: identical
+      // float vectors, zero extra scans. `books` from train() is
+      // likewise local now (bounded m×K by construction).
+      val meta = assigned
+        .filter(col("vec_id") % 97 === 0 || col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val centroids = meta.filter(_._1 % 97 == 0).toSeq
+        .toDF("cid", "cv")
+      val q = meta.filter(_._1 < 5).toSeq.toDF("qid", "qv")
+      val books = train(assigned, centroids, M, CbMod)
       adcSearch(encode(assigned, centroids, books, M), books, centroids,
         e, q, k = 10, nprobe = 8, refine = 3)
     }

@@ -79,6 +79,19 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(legacy.except(fast).isEmpty, "min_by codes diverge from argmin")
   }
 
+  test("subvectorsOf (slice-first) == subvectors(residuals) on the full " +
+      "corpus (round-14 hot-path equivalence: slice commutes with zip_with)") {
+    val assigned = SimilarityOps.ivfAssign(corpus, Modulus)
+    val composed = ProductQuant.subvectors(
+      ProductQuant.residuals(assigned, cents), M)
+    val fused = ProductQuant.subvectorsOf(assigned, cents, M)
+    assert(fused.count() == composed.count())
+    assert(fused.except(composed).isEmpty,
+      "slice-first subvectors diverge from the composed form")
+    assert(composed.except(fused).isEmpty,
+      "composed subvectors diverge from the slice-first form")
+  }
+
   test("Lloyd trains: within-codeword SSE after the step <= seed SSE") {
     val assigned = SimilarityOps.ivfAssign(corpus, Modulus)
     val res = ProductQuant.residuals(assigned, cents)
