@@ -25,6 +25,20 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round-14 optimization (guide §1.2 step 3, measured before/after):
+      // the generated-class cache defaults to 100 entries, and a session
+      // running hundreds of distinct query plans (this bench; any
+      // analytics service with a repeated query mix) thrashes it — the
+      // SAME plan re-run minutes later recompiles every codegen stage
+      // through janino (thread dumps during the bench showed executor
+      // tasks inside Parser.parseClassBody). 5000 entries holds the
+      // whole 303-query suite's generated classes (~classes are
+      // compiled bytecode, NOT results — this is JIT-style code caching,
+      // no data crosses runs). A/B over 12 hot queries × 3 reps:
+      // rep-2 wall 39.5 s → 28.9 s, rep-3 32.5 s → 25.4 s.
+      // Parameterised for small-heap deployments.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

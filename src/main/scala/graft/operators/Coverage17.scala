@@ -876,43 +876,20 @@ object Coverage17 {
     // loopInput-checkpointed edge weights, rank vector rebroadcast per
     // round, facts touched once) and the same unrolled-CTE oracle
     // move; round-6 determinism convention.
+    // Round-14 optimization: the 10 damped iterations over the bounded
+    // event-type graph ran as ~30 Spark jobs of ≤ |vocab|-row frames —
+    // pure job latency (guide §1.2). One corpus pass now collects the
+    // weighted edges (Spark arithmetic unchanged) and the loop runs on
+    // the bounded graph driver-side; see RankLoops for the float-order
+    // argument. Measured 5.0 s med → ~1 s; oracle hash-verified at
+    // both SFs; PprLoopSpec pins equality with the Spark-loop shape.
     QDef("q_ppr", pprOracle) { (s, dir) =>
-      val ev = table(s, dir, "events")
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val nx = ev.select(col("event_type").as("src"),
-        lead(col("event_type"), 1).over(wOrd).as("dst"))
-        .filter(col("dst").isNotNull)
-      val edges = nx.groupBy("src", "dst").agg(count(lit(1)).as("c"))
-      val outd = edges.groupBy("src").agg(sum(col("c")).as("tot"))
-      val wts = DedupOps.loopInput(edges.join(outd, "src")
-        .select(col("src"), col("dst"), (col("c") / col("tot")).as("w")))
-      val nodes = DedupOps.loopInput(
-        ev.select(col("event_type").as("node")).distinct())
-      val seed = nodes.agg(min(col("node")).as("seed"))
-      def restart(mass: Double) =
-        when(col("node") === col("seed"), lit(mass)).otherwise(lit(0.0))
-      // the rank vector rides the same loopInput discipline as the
-      // k-core/BPE fixpoints (round-10 judge note): each round's p is
-      // checkpointed and its predecessor released in-loop, so the plan
-      // stays constant-size even if this loop is ever pointed at an
-      // unbounded node set instead of the bounded event-type vocabulary
-      var p = DedupOps.loopInput(nodes.crossJoin(broadcast(seed))
-        .select(col("node"), restart(1.0).as("r")))
-      for (_ <- 1 to 10) {
-        val inflow = wts
-          .join(p.withColumnRenamed("node", "src"), "src")
-          .groupBy("dst").agg(sum(col("r") * col("w")).as("inflow"))
-        val next = DedupOps.loopInput(nodes.crossJoin(broadcast(seed))
-          .join(inflow, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (restart(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0)))
-              .as("r")))
-        next.count() // materialize before the input's blocks drop
-        DedupOps.releaseLoopInput(p)
-        p = next
-      }
-      p.select(col("node"), (round(col("r"), 6) + lit(0.0)).as("ppr"))
+      val (edges, nodes) = RankLoops.eventGraph(s, dir)
+      val seed = nodes.min
+      val ranks = RankLoops.damped(edges, nodes,
+        init = n => if (n == seed) 1.0 else 0.0,
+        restart = n => if (n == seed) 0.15 else 0.0)
+      RankLoops.rankedDf(s, ranks, "ppr")
     },
 
     // ---- URL canonicalization dedup --------------------------------------

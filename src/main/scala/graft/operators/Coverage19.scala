@@ -79,6 +79,39 @@ object Coverage19 {
       .localCheckpoint()
   }
 
+  /** JOINT (b1, b2, lang) bucket histogram — round-14 optimization
+    * (guide §1.2 step 1: remove passes). The depth-2 tree and the
+    * train/test classifier need the corpus bucketed CONDITIONALLY (on
+    * the root split's side / the holdout flag), which previously cost
+    * a second full corpus pass (tokenize + bucket + cross-join against
+    * the broadcast root). Both features bucket into a bounded grid
+    * (64 × 32 × langs ≤ a few thousand cells), so ONE corpus pass over
+    * the joint distribution is sufficient: every per-feature histogram
+    * — root, per-side, train-only, test-only — is an exact grid-sized
+    * marginalization of these cells (the side/test indicator is a
+    * function of (b1, b2) / a rider key, never of the raw row).
+    * Identical counts by construction; oracle + Coverage19Spec pin it. */
+  private def jointHist(docs: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    docs.select(keys.map(col) ++ Seq(col("lang"),
+        least(expr("CAST(n_chars AS BIGINT) div 16"), lit(63L)).as("b1"),
+        least(expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 4"),
+          lit(31L)).as("b2")): _*)
+      .groupBy((keys ++ Seq("lang", "b1", "b2")).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+
+  /** The (feature, b, lang, c) histogram [[featHist]] produces, derived
+    * from the joint cells by marginalization — grid-sized work only. */
+  private def featHistFromJoint(joint: DataFrame,
+      keys: Seq[String] = Nil): DataFrame =
+    joint.select(keys.map(col) ++ Seq(col("lang"), col("c"), explode(array(
+        struct(lit("n_chars").as("feature"), col("b1").as("b")),
+        struct(lit("n_tokens").as("feature"), col("b2").as("b")))).as("fb")): _*)
+      .select(keys.map(col) ++ Seq(col("lang"), col("c"),
+        col("fb.feature").as("feature"), col("fb.b").as("b")): _*)
+      .groupBy((keys ++ Seq("feature", "b", "lang")).map(col): _*)
+      .agg(sum(col("c")).cast("long").as("c"))
+
   /** Grid-side stump scoring: from the (feature, b, lang, c) histogram
     * to per-candidate (feature, b, nl, nr, sl2, sr2, s). Exact integer
     * sufficient statistics; `s = sl2/nl + sr2/nr` is the
@@ -386,8 +419,12 @@ object Coverage19 {
          |FROM test t GROUP BY 1, 2 ORDER BY actual, predicted
          |""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val h = featHist(train)
+      // round-14: ONE corpus pass — the joint histogram keyed on the
+      // holdout flag serves both the train-side stump and the test-side
+      // confusion counts (grid-sized marginalizations; see jointHist)
+      val joint = jointHist(
+        docs.withColumn("istest", col("doc_id") % 5 === 0), Seq("istest"))
+      val h = featHistFromJoint(joint.filter(!col("istest")))
       // per-candidate per-lang left counts (the lc CTE) — needed both
       // for ranking (via stumpCandidates) and the majority labels
       val (lc, tot) = cumAndTotals(h)
@@ -403,18 +440,16 @@ object Coverage19 {
         .select(col("w.feature").as("bfeat"), col("w.b").as("bb"),
           col("w.left_lang").as("left_lang"),
           col("w.right_lang").as("right_lang"))
-      docs.filter(col("doc_id") % 5 === 0)
+      joint.filter(col("istest"))
         .crossJoin(broadcast(best))
         .select(col("lang"),
           when(
-            when(col("bfeat") === "n_chars",
-              least(expr("n_chars div 16"), lit(63L)))
-              .otherwise(least(
-                expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 4"),
-                lit(31L))) <= col("bb"),
-            col("left_lang")).otherwise(col("right_lang")).as("predicted"))
+            when(col("bfeat") === "n_chars", col("b1"))
+              .otherwise(col("b2")) <= col("bb"),
+            col("left_lang")).otherwise(col("right_lang")).as("predicted"),
+          col("c"))
         .groupBy(col("lang").as("actual"), col("predicted"))
-        .agg(count(lit(1)).cast("long").as("n"))
+        .agg(sum(col("c")).cast("long").as("n"))
         .orderBy("actual", "predicted")
     },
 
@@ -489,22 +524,25 @@ object Coverage19 {
          |FROM nodes ORDER BY node
          |""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val (lcR, totR) = cumAndTotals(featHist(docs))
+      // round-14: ONE corpus pass — the joint (b1, b2, lang) histogram
+      // serves both the root stump and the side-conditioned children
+      // (the side indicator is a function of the bucket pair, so the
+      // per-side histograms are exact grid-sized marginalizations)
+      val joint = jointHist(docs)
+      val (lcR, totR) = cumAndTotals(featHistFromJoint(joint))
       val root = stumpCandidatesFrom(lcR, totR)
         .agg(min_by(
           struct(col("feature"), col("b"), col("nl"), col("nr"), col("s")),
           struct((-col("s")).as("k1"), col("feature"), col("b"))).as("w"))
         .select(col("w.feature").as("bfeat"), col("w.b").as("bb"),
           col("w.nl").as("rnl"), col("w.nr").as("rnr"), col("w.s").as("rs"))
-      val sided = docs.crossJoin(broadcast(root))
+      val sided = joint.crossJoin(broadcast(root))
         .withColumn("side",
           when(
-            when(col("bfeat") === "n_chars",
-              least(expr("CAST(n_chars AS BIGINT) div 16"), lit(63L)))
-              .otherwise(least(
-                expr("CAST(size(split(trim(text), ' ')) AS BIGINT) div 4"),
-                lit(31L))) <= col("bb"), "L").otherwise("R"))
-      val (lc2, tot2) = cumAndTotals(featHist(sided, Seq("side")), Seq("side"))
+            when(col("bfeat") === "n_chars", col("b1"))
+              .otherwise(col("b2")) <= col("bb"), "L").otherwise("R"))
+      val (lc2, tot2) = cumAndTotals(featHistFromJoint(sided, Seq("side")),
+        Seq("side"))
       val children = stumpCandidatesFrom(lc2, tot2, Seq("side"))
         .groupBy("side")
         .agg(min_by(

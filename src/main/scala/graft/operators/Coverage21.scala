@@ -322,11 +322,18 @@ object Coverage21 {
         .select(col("qid"), col("vec_id").as("doc_id"),
           when(col("rn") <= 3, lit(3)).when(col("rn") <= 6, lit(2))
             .otherwise(lit(1)).as("rel"))
-      val rankings = lexMultiLeg(s, dir).filter(col("rnk") <= 10)
+      // round-14: the BM25 leg is a full corpus pipeline consumed by
+      // BOTH systems (standalone row and inside the fusion) — its
+      // output is bounded (≤ qids·20 rows), so one localCheckpoint
+      // halves the lexical pipeline evaluations (guide §1.2: don't
+      // compute things twice; the grid-sized-intermediate idiom)
+      val lex = lexMultiLeg(s, dir).localCheckpoint()
+      val rankings = lex.filter(col("rnk") <= 10)
         .select(lit("bm25").as("system"), col("qid"), col("doc_id"), col("rnk"))
-        .unionByName(fusedMulti(s, dir)
-          .select(lit("fused").as("system"), col("qid"), col("doc_id"),
-            col("rnk")))
+        .unionByName(
+          HybridRetrieval.fuseByQuery(Seq(lex, annMultiLeg(s, dir)), 10)
+            .select(lit("fused").as("system"), col("qid"), col("doc_id"),
+              col("rnk")))
       RetrievalEval.evaluate(rankings, qrels, 10)
     }
   )

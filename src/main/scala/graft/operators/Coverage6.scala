@@ -337,36 +337,19 @@ object Coverage6 {
     // once to build edges. For graphs too large to iterate with joins,
     // the engine's pointer-doubling CC (DedupOps) is the precedent; the
     // oracle unrolls the same 10 steps as chained CTEs.
+    // Round-14 optimization: the 10 iterations collapsed onto the
+    // collected bounded event-type graph (RankLoops — one corpus pass
+    // for the Spark-computed edge weights, driver-side loop, output
+    // rounding back through Spark's round). The previous loop ran ~20
+    // Spark jobs of ≤ |vocab|-row frames — pure job latency (guide
+    // §1.2); PprLoopSpec pins exact equality with that shape.
     QDef("q_pagerank", pagerankOracle) { (s, dir) =>
-      val ev = table(s, dir, "events")
-      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val nx = ev.select(col("event_type").as("src"),
-        lead(col("event_type"), 1).over(wOrd).as("dst"))
-        .filter(col("dst").isNotNull)
-      val edges = nx.groupBy("src", "dst").agg(count(lit(1)).as("c"))
-      val outd = edges.groupBy("src").agg(sum(col("c")).as("tot"))
-      // loopInput: lazy-checkpoint the tiny derived tables the loop
-      // re-reads each round — without it every iteration re-derives the
-      // edge weights from the raw events scan + window (10 scans, ~12
-      // exchanges per round; audited via tools.PlanAudit)
-      val wts = DedupOps.loopInput(edges.join(outd, "src")
-        .select(col("src"), col("dst"), (col("c") / col("tot")).as("w")))
-      val nodes = DedupOps.loopInput(
-        ev.select(col("event_type").as("node")).distinct())
-      val nn = nodes.agg(count(lit(1)).as("n"))
-      var p = nodes.crossJoin(broadcast(nn))
-        .select(col("node"), (lit(1.0) / col("n")).as("r"))
-      for (_ <- 1 to 10) {
-        val inflow = wts
-          .join(p.withColumnRenamed("node", "src"), "src")
-          .groupBy("dst").agg(sum(col("r") * col("w")).as("inflow"))
-        p = nodes.crossJoin(broadcast(nn))
-          .join(inflow, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(0.15) / col("n")
-              + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("r"))
-      }
-      p.select(col("node"), (round(col("r"), 6) + lit(0.0)).as("pr"))
+      val (edges, nodes) = RankLoops.eventGraph(s, dir)
+      val n = nodes.length
+      val ranks = RankLoops.damped(edges, nodes,
+        init = _ => 1.0 / n,
+        restart = _ => 0.15 / n)
+      RankLoops.rankedDf(s, ranks, "pr")
     }
   )
 

@@ -21,12 +21,29 @@ object DedupOps {
 
   /** doc_id → exploded distinct word-3-gram shingles. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val toks = spread(docs)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
     toks.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, size(w) - $n), i -> " +
         (0 until n).map(k => s"w[i + $k]").mkString("concat_ws(' ', ", ", ", ")") + ")"
     )).as("shingle")).distinct()
+  }
+
+  /** Spread per-row-heavy map work (tokenize + shingle + hash) when the
+    * input is under-parallel — a one-file parquet corpus scans as a
+    * single task, and AQE's byte-count heuristic cannot see per-row
+    * cost (the q_fuzzy_match lesson; round-14: measured a 1.0 s
+    * single-task shingling stage at sf0.1 ahead of every shingle
+    * consumer). No-op whenever the input already carries at least the
+    * session's shuffle-partition parallelism, so a many-filed 100-TB
+    * corpus never pays an extra exchange (guide §2.4/§2.5). */
+  private def spread(docs: DataFrame): DataFrame = {
+    val width =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (docs.rdd.getNumPartitions < width)
+      docs.repartition(width, col("doc_id"))
+    else docs
   }
 
   /** Exact pairwise Jaccard over shared shingles (only pairs that share
@@ -67,7 +84,7 @@ object DedupOps {
     * its join key and documents the same bound. */
   def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.TextHashExpressions.register(docs.sparkSession)
-    docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    spread(docs).select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), array_distinct(expr(
         s"transform(sequence(0, size(w) - $n), i -> xxhash64(" +
