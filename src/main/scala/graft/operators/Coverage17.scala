@@ -872,9 +872,8 @@ object Coverage17 {
     // a SEED node (deterministically the lexicographic-min event type)
     // instead of spreading uniformly, so ranks answer "what is reached
     // from HERE" — related-item scoring over the same transition
-    // graph. Identical loop discipline (10 damped iterations,
-    // loopInput-checkpointed edge weights, rank vector rebroadcast per
-    // round, facts touched once) and the same unrolled-CTE oracle
+    // graph. Identical loop discipline to q_pagerank (10 damped
+    // iterations, facts touched once) and the same unrolled-CTE oracle
     // move; round-6 determinism convention.
     // Round-14 optimization: the 10 damped iterations over the bounded
     // event-type graph ran as ~30 Spark jobs of ≤ |vocab|-row frames —
